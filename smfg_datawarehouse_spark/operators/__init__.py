@@ -1,0 +1,23 @@
+"""Extension operators [X]: dedup, similarity search, text analysis,
+multimodal columns (BASELINE.json mandate, SURVEY.md §2.12).
+
+Each operator module registers its driver-facing queries into the central
+registry on import; ``register_all()`` is idempotent.
+"""
+
+from __future__ import annotations
+
+_REGISTERED = False
+
+
+def register_all() -> None:
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    _REGISTERED = True
+    # Imports are for registration side effects.
+    from smfg_datawarehouse_spark.operators import (  # noqa: F401
+        dedup,
+        similarity,
+        text_analysis,
+    )

@@ -1,0 +1,190 @@
+"""Text-analysis operators [X]: token stats, quality scoring, language ID,
+document fingerprinting. All Catalyst expressions (no UDFs) so they run
+inside whole-stage codegen and scale linearly with a single pass over the
+corpus — the shape a 100 TB document pipeline needs.
+
+Determinism: every emitted double is either a ratio of exact integers or a
+fixed-shape arithmetic expression over such ratios — bit-identical across
+engines, no rounding needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smfg_datawarehouse_spark.functions import word_tokens
+from smfg_datawarehouse_spark.queries import register, t
+
+_STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def token_count(text: Column) -> Column:
+    return F.size(word_tokens(text)).cast("long")
+
+
+def fingerprint(text: Column) -> Column:
+    """Whitespace-normalized content fingerprint (md5 of canonical form)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append token/char statistics + a composite quality score.
+
+    Score = 0.4·alpha_ratio + 0.3·stopword_ratio + 0.3·min(len,500)/500 —
+    a stand-in for fastText-style quality classifiers, kept expression-only.
+    """
+    text = F.col(text_col)
+    tokens = word_tokens(text)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    n_tokens = F.size(tokens)
+    stop_hits = F.size(
+        F.filter(tokens, lambda w: w.isin(_STOPWORDS_EN))
+    )
+    alpha_ratio = alpha_chars.cast("double") / n_chars
+    stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(0.0)
+    len_norm = F.least(n_chars, F.lit(500)).cast("double") / F.lit(500.0)
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn(
+            "quality_score",
+            F.lit(0.4) * alpha_ratio + F.lit(0.3) * stop_ratio + F.lit(0.3) * len_norm,
+        )
+    )
+
+
+_LANG_SETS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword-heuristic language ID.
+
+    Counts token hits against per-language stopword sets; argmax wins,
+    'und' (undetermined) when all zero. Deterministic tie-break by fixed
+    language order en > fr > de > es.
+    """
+    tokens = word_tokens(F.col(text_col))
+
+    def hits(words: list[str]):
+        # closure factory: a 2-arg lambda would be treated as the
+        # (element, index) form by F.filter
+        return F.size(F.filter(tokens, lambda w: w.isin(words)))
+
+    hit_cols = {lang: hits(words).alias(f"hits_{lang}") for lang, words in _LANG_SETS.items()}
+    out = df
+    for lang, col in hit_cols.items():
+        out = out.withColumn(f"hits_{lang}", col)
+    h = {lang: F.col(f"hits_{lang}") for lang in _LANG_SETS}
+    best = (
+        F.when(
+            (h["en"] >= h["fr"]) & (h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] > 0),
+            "en",
+        )
+        .when((h["fr"] >= h["de"]) & (h["fr"] >= h["es"]) & (h["fr"] > 0), "fr")
+        .when((h["de"] >= h["es"]) & (h["de"] > 0), "de")
+        .when(h["es"] > 0, "es")
+        .otherwise("und")
+    )
+    return out.withColumn("pred_lang", best)
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x20_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   w -> w <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def x20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Token counting + canonical-form fingerprint per document."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+@register(
+    "x21_quality_scores",
+    r"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     w -> w <> '')) AS BIGINT) AS n_tokens,
+             CAST(length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  w -> w IN ('the','a','of','and','to','in','is','it'))) AS BIGINT)
+               AS stop_hits,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+             CAST(LEAST(length(text), 500) AS DOUBLE) / 500.0 AS len_norm,
+             length(text) AS n_chars_raw
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, alpha_ratio,
+           CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens
+                ELSE 0.0 END AS stopword_ratio,
+           0.4 * alpha_ratio
+             + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens
+                           ELSE 0.0 END)
+             + 0.3 * len_norm AS quality_score
+    FROM feats
+    """,
+)
+def x21_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Composite quality scoring over the documents corpus."""
+    d = t(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id", "n_tokens", "alpha_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+@register(
+    "x22_lang_id",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS tk
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             CAST(length(list_filter(tk, w -> w IN ('the','and','of','to','is'))) AS BIGINT) AS hits_en,
+             CAST(length(list_filter(tk, w -> w IN ('le','la','et','les','des'))) AS BIGINT) AS hits_fr,
+             CAST(length(list_filter(tk, w -> w IN ('der','die','und','das','ist'))) AS BIGINT) AS hits_de,
+             CAST(length(list_filter(tk, w -> w IN ('el','la','los','que','es'))) AS BIGINT) AS hits_es
+      FROM toks
+    )
+    SELECT doc_id, hits_en, hits_fr, hits_de, hits_es,
+           CASE WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es
+                     AND hits_en > 0 THEN 'en'
+                WHEN hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+                WHEN hits_de >= hits_es AND hits_de > 0 THEN 'de'
+                WHEN hits_es > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
+    FROM hits
+    """,
+)
+def x22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Stopword-heuristic language identification."""
+    d = t(spark, sf_dir, "documents")
+    return lang_id(d).select(
+        "doc_id", "hits_en", "hits_fr", "hits_de", "hits_es", "pred_lang"
+    )

@@ -1,0 +1,489 @@
+"""Engine query surface — one named query per operator in SURVEY.md §2.
+
+Each entry pairs a DataFrame-API implementation with an ANSI-SQL oracle
+(DuckDB dialect) the driver runs side-by-side. Registry keys are stable
+names surfaced through ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Determinism conventions (so Spark and the DuckDB oracle hash-match):
+
+- **Money/float SUMs**: per-row arithmetic stays in double (IEEE ops are
+  bit-identical across engines), each row value is cast to
+  ``DECIMAL(30,6)`` (deterministic round-to-nearest), the sum is exact
+  decimal (associative — partition order can't change it), and the final
+  value is cast back to double. AVG = exact-decimal-sum / count.
+- **Counts/ints**: cast to BIGINT on both sides.
+- **Top-k / windows**: always a unique tie-break key in the ORDER BY.
+- **Ratios of exact ints**: plain double division (single op, no
+  summation-order issue) — safe to round.
+
+Reference-coverage tags (SURVEY.md §2) are noted per query: P=projection/
+filter, J=join, A=aggregation, O=sort/limit, U=set-op, L=audit, T=incremental,
+X=extension (BASELINE.json LLM-pipeline ops).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from smfg_datawarehouse_spark.functions import ordered_concat_ws
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    # import for registration side effects
+    from smfg_datawarehouse_spark.operators import register_all  # noqa: F401
+
+    register_all()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    from smfg_datawarehouse_spark.operators import register_all  # noqa: F401
+
+    register_all()
+    return dict(_ORACLES)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (column-pruned / filter-pushed by Catalyst)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def dsum(col: F.Column) -> F.Column:
+    """Deterministic float SUM: exact decimal accumulation, double result."""
+    return F.sum(col.cast("decimal(30,6)")).cast("double")
+
+
+def davg(col: F.Column) -> F.Column:
+    """Deterministic float AVG matching `CAST(SUM(DECIMAL) AS DOUBLE)/COUNT`."""
+    return F.sum(col.cast("decimal(30,6)")).cast("double") / F.count(F.lit(1))
+
+
+# SQL fragment helpers for the DuckDB oracle side
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+def _davg_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)"
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity analytical queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_davg_sql('l_quantity')} AS avg_qty,
+           {_davg_sql('l_extendedprice')} AS avg_price,
+           {_davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] TPC-H-Q1-shaped grouped aggregation — the flagship analytical agg.
+
+    Single scan, partial (map-side) aggregation before the shuffle; at 100 TB
+    this is one shuffle of |groups| rows per partition — optimal.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_projection_rename_filter",
+    """
+    SELECT l_orderkey AS order_key,
+           l_linenumber AS line_no,
+           l_quantity AS qty,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+      AND l_quantity > 45
+    """,
+)
+def q02_projection_rename_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P1/P2/P3/P4] Include-flag pruning + alias map + expression transform +
+    incremental predicate — the compiled-extraction shape of the reference
+    (``Staging_Extraction_Metadata_Query.sql:20-52``) on a fact table.
+
+    Catalyst pushes both the projection and the predicates into the parquet
+    scan (verify: PushedFilters + ReadSchema in `.explain`).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-06-01 00:00:00")))
+            & (F.col("l_quantity") > 45)
+        )
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").alias("line_no"),
+            F.col("l_quantity").alias("qty"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "q03_join_customer_orders",
+    f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS order_cnt,
+           {_dsum_sql('o.o_totalprice')} AS total_revenue,
+           {_davg_sql('o.o_totalprice')} AS avg_order_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q03_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/A4] Inner equi-join + grouped agg. Customer is the small side —
+    broadcast (no shuffle of orders); at 100 TB customer would exceed the
+    threshold and AQE falls back to sort-merge, which is correct.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dsum(F.col("o_totalprice")).alias("total_revenue"),
+            davg(F.col("o_totalprice")).alias("avg_order_value"),
+        )
+    )
+
+
+@register(
+    "q04_revenue_by_nation",
+    f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS line_cnt
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q04_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/J2/A4] 5-table star join. Dim tables broadcast; the only shuffle
+    is lineitem⋈orders (both big at scale — sort-merge on orderkey) plus the
+    final small agg shuffle.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
+@register(
+    "q05_ordered_group_concat",
+    """
+    SELECT r.r_name AS region_name,
+           string_agg(n.n_name, ', ' ORDER BY n.n_nationkey) AS nations,
+           COUNT(*) AS nation_cnt
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q05_ordered_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1] Ordered GROUP_CONCAT — the reference's core compiler aggregate
+    (``Staging_Extraction_Metadata_Query.sql:33-40``), deterministic via
+    sort-inside-array (collect_list order is partition-dependent; the struct
+    sort makes it stable under any partitioning).
+    """
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            ordered_concat_ws(", ", "n_nationkey", "n_name").alias("nations"),
+            F.count(F.lit(1)).alias("nation_cnt"),
+        )
+    )
+
+
+@register(
+    "q06_window_top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q06_window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5] Window function: top-3 orders per customer. One shuffle on the
+    partition key; unique o_orderkey tie-break keeps it deterministic.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q07_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q07_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O] Top-k: Spark plans TakeOrderedAndProject (per-partition heap +
+    driver merge — no global sort shuffle even at 100 TB).
+    """
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "q08_except_customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q08_except_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U] Set difference (EXCEPT DISTINCT)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+@register(
+    "q09_anti_join_integrity",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q09_anti_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4] Referential-integrity check as a left-anti join — the engine's
+    replacement for the reference's FK constraints
+    (``1. Metadata Creation.sql:43-46,98-99,137-139``).
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q10_rollup_returns",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q10_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] ROLLUP hierarchy totals (subtotal + grand-total rows)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q11_case_bucketing",
+    f"""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS cnt,
+           {_dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q11_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P3/§2.10] CASE WHEN expression transform (the metadata
+    ``TransformationLogic`` pattern) + aggregation."""
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@register(
+    "q12_string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           p_name || '/' || p_type AS full_name,
+           substring(p_name, 1, 8) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_slug,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+    FROM part
+    """,
+)
+def q12_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.10] Scalar string surface (concat/upper/substring/replace/length/
+    lpad) — the function family metadata expressions draw from."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.concat(F.col("p_name"), F.lit("/"), F.col("p_type")).alias("full_name"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+    )
+
+
+@register(
+    "q13_date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01 00:00:00') AS BIGINT)
+             AS days_to_1999
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def q13_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.10] Date/time surface: year/month/trunc/diff with pushdown filter."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("days_to_1999"),
+        )
+    )
+
+
+@register(
+    "q14_union_priority_classes",
+    f"""
+    SELECT 'urgent' AS class, COUNT(*) AS cnt, {_dsum_sql('o_totalprice')} AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'high' AS class, COUNT(*) AS cnt, {_dsum_sql('o_totalprice')} AS total
+    FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def q14_union_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U1] UNION ALL of two aggregate branches (the reference's config-seeding
+    idiom, ``2. SampleConfigInsert.sql:30-101``)."""
+    o = t(spark, sf_dir, "orders")
+
+    def branch(prio: str, label: str) -> DataFrame:
+        return (
+            o.where(F.col("o_orderpriority") == prio)
+            .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("o_totalprice")).alias("total"))
+            .select(F.lit(label).alias("class"), "cnt", "total")
+        )
+
+    return branch("1-URGENT", "urgent").unionByName(branch("2-HIGH", "high"))
+
+
+@register(
+    "q15_semi_join_active_parts",
+    """
+    SELECT p.p_partkey, p.p_name
+    FROM part p
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49
+    )
+    """,
+)
+def q15_semi_join_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J] Left-semi join (EXISTS): parts with at least one big-quantity sale."""
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")

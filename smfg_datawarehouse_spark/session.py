@@ -1,0 +1,94 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for correctness-first local runs while keeping the
+same knobs that matter on a real cluster:
+
+- AQE on (runtime re-planning, skew-join handling, partition coalescing)
+- UTC session timezone (determinism across environments)
+- Arrow enabled for the pandas-UDF escape hatches
+- ``spark.sql.shuffle.partitions`` sized to the local core count rather
+  than the 200 default; on a production cluster this is overridden by AQE
+  coalescing + explicit ``repartition`` at write boundaries.
+
+Reference parity note: the reference has no engine/session concept — it
+opens SQLAlchemy engines per task (``airflow_utility/process_logger.py:41-77``).
+Here a single SparkSession is the engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # Auto-broadcast threshold: dims at our scale (region/nation/customer/
+    # supplier/part) comfortably fit; on a 100 TB cluster only region/nation
+    # stay under it, which is the correct behavior.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    # local mode = driver-only: give the single JVM real memory
+    # (overridable via SPARK_GRAFT_DRIVER_MEM)
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.maxResultSize": "4g",
+}
+
+
+def get_spark(
+    app_name: str = "smfg_datawarehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_DEFAULTS)
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    )
+    conf["spark.sql.shuffle.partitions"] = str(n_shuffle)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register the standard testdata tables as temp views; return dict of DFs.
+
+    Tables: region nation customer supplier part orders lineitem events
+    documents embeddings (see /root/repo/TESTDATA.md).
+    """
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
