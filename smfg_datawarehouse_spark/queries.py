@@ -487,3 +487,122 @@ def q15_semi_join_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
     return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# Metadata-driven ETL core (the reference's defining capability, SURVEY §3)
+# ---------------------------------------------------------------------------
+
+_COMPILER_ORACLE = """
+    WITH table_config(TableID, SchemaName, TableName, ActiveFlag, LoadType, IncrementalFilter) AS (
+      VALUES (1,'tpch','lineitem',true,'INCREMENTAL','l_shipdate >= ''1995-06-01'''),
+             (2,'tpch','orders',true,'FULL',NULL),
+             (3,'tpch','customer',false,'FULL',NULL)
+    ),
+    column_config(ColumnID, TableID, ColumnName, AliasName, IncludeFlag, TransformationLogic) AS (
+      VALUES
+       (1,1,'l_orderkey','Order_Key',true,NULL),
+       (2,1,'l_linenumber',NULL,true,NULL),
+       (3,1,'l_quantity','Qty',true,NULL),
+       (4,1,'l_extendedprice','Net_Price',true,'l_extendedprice * (1 - l_discount)'),
+       (5,1,'l_returnflag','Return_Flag',true,'   '),
+       (6,1,'l_comment',NULL,false,NULL),
+       (7,2,'o_orderkey',NULL,true,NULL),
+       (8,2,'o_totalprice','Total_Price',true,NULL),
+       (9,2,'o_orderstatus','Status_Code',true,'CASE WHEN o_orderstatus = ''O'' THEN ''OPEN'' ELSE o_orderstatus END'),
+       (10,3,'c_custkey',NULL,true,NULL)
+    ),
+    tableDetail AS (SELECT * FROM table_config WHERE ActiveFlag),
+    columnDetail AS (
+      SELECT t.TableID, t.SchemaName, t.TableName, c.ColumnID,
+        (CASE WHEN c.TransformationLogic IS NULL OR TRIM(c.TransformationLogic) = ''
+              THEN c.ColumnName ELSE c.TransformationLogic END)
+        || ' AS ' || COALESCE(c.AliasName, c.ColumnName) AS modifiedColumns
+      FROM tableDetail t JOIN column_config c ON t.TableID = c.TableID
+      WHERE c.IncludeFlag
+    ),
+    finalColumnList AS (
+      SELECT cd.TableID, cd.SchemaName || '.' || cd.TableName AS FullTableName,
+             string_agg(cd.modifiedColumns, ', ' ORDER BY cd.ColumnID) AS FinalColumns
+      FROM columnDetail cd GROUP BY cd.TableID, cd.SchemaName || '.' || cd.TableName
+    )
+    SELECT CAST(f.TableID AS BIGINT) AS TableID, f.FullTableName,
+           'SELECT ' || f.FinalColumns || ' FROM ' || f.FullTableName ||
+           (CASE WHEN td.LoadType = 'INCREMENTAL' AND td.IncrementalFilter IS NOT NULL
+                 THEN ' WHERE ' || td.IncrementalFilter ELSE '' END) AS DataExtractQuery
+    FROM finalColumnList f JOIN tableDetail td ON f.TableID = td.TableID
+"""
+
+
+@register("q16_metadata_compiler", _COMPILER_ORACLE)
+def q16_metadata_compiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S4/P1-P5/A1/O1] The metadata→SQL compiler itself, differentially
+    checked: the engine compiles the seeded config catalog into per-table
+    DataExtractQuery strings; the oracle replicates the reference's 5-CTE
+    pipeline (``Staging_Extraction_Metadata_Query.sql``) over the same
+    inline config rows. Exercises ActiveFlag/IncludeFlag filtering,
+    NULL-alias and whitespace-only-logic fallbacks, and ColumnID-ordered
+    deterministic concat."""
+    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
+    from smfg_datawarehouse_spark.compiler import compile_extraction_queries
+
+    cat = seed_fixture_catalog(spark)
+    return compile_extraction_queries(cat).select(
+        F.col("TableID").cast("long").alias("TableID"),
+        "FullTableName",
+        "DataExtractQuery",
+    )
+
+
+@register(
+    "q17_config_driven_extraction",
+    """
+    SELECT l_orderkey AS Order_Key,
+           l_linenumber,
+           l_quantity AS Qty,
+           l_extendedprice * (1 - l_discount) AS Net_Price,
+           l_returnflag AS Return_Flag
+    FROM lineitem
+    WHERE l_shipdate >= '1995-06-01'
+    """,
+)
+def q17_config_driven_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S1/P1-P4] A compiled ExtractionPlan executed end-to-end against the
+    lineitem source — the engine's config-driven projection/rename/transform/
+    incremental-filter path (the reference's extract_table_data consuming a
+    generated query, ``staging_data_extraction.py:220-272``)."""
+    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
+    from smfg_datawarehouse_spark.compiler import compile_extraction_plans
+
+    cat = seed_fixture_catalog(spark)
+    plans = {p.full_table_name: p for p in compile_extraction_plans(cat)}
+    return plans["tpch.lineitem"].apply(t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q18_output_mapping_load",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS order_key,
+           CAST(l_linenumber AS INT) AS line_no,
+           CAST(l_quantity * 1.0 AS DECIMAL(18,2)) AS quantity,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= '1995-06-01'
+    """,
+)
+def q18_output_mapping_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P7/O3/J3-prep] The DW-load output mapping (the reference's declared
+    transformation stage): AdditionalTransform → cast(TargetDataType) →
+    TargetPosition ordering, from DW_Output_Column_Config metadata."""
+    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
+    from smfg_datawarehouse_spark.compiler import compile_extraction_plans
+    from smfg_datawarehouse_spark.transform import (
+        apply_output_mapping,
+        output_mapping_plan,
+    )
+
+    cat = seed_fixture_catalog(spark)
+    plans = {p.full_table_name: p for p in compile_extraction_plans(cat)}
+    staged = plans["tpch.lineitem"].apply(t(spark, sf_dir, "lineitem"))
+    _target, mapping, _keys = output_mapping_plan(cat, 1)
+    return apply_output_mapping(staged, mapping)

@@ -1,0 +1,99 @@
+"""Run lifecycle — the engine's replacement for the reference's Airflow DAG
+(``dag/SMFG_DW_ETL_DAG.py``): INIT_STAGE → STAGING_EXTRACT (per-table
+fan-out) → DATA_TRANSFORMATION → finalize, with the audit ledger recording
+every step and per-table isolation (one failure ≠ run abort,
+``dag/SMFG_DW_ETL_DAG.py:121-150`` error paths).
+
+Parallelism: a thread pool submits independent per-table Spark jobs
+(max_workers mirrors the DAG's ``concurrency=5``); Spark's scheduler
+interleaves them across executor slots. No orchestrator dependency in the
+engine core — an external Airflow can still call these functions per stage.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from smfg_datawarehouse_spark.audit import AuditLedger
+from smfg_datawarehouse_spark.catalog import ConfigCatalog
+from smfg_datawarehouse_spark.compiler import ExtractionPlan, compile_extraction_plans
+from smfg_datawarehouse_spark.sources.lake import LakeZones, write_staging
+
+
+@dataclass
+class TableResult:
+    table: str
+    status: str  # SUCCESS | FAILED
+    row_count: int | None = None
+    output_path: str | None = None
+    error: str | None = None
+
+
+def run_staging_extraction(
+    spark: SparkSession,
+    catalog: ConfigCatalog,
+    zones: LakeZones,
+    audit: AuditLedger,
+    source_reader=None,
+    process_type: str = "EOD",
+    max_workers: int = 5,
+) -> tuple[int, list[TableResult]]:
+    """Full staging-extraction run. ``source_reader(spark, plan) ->
+    DataFrame`` resolves a plan's source table (defaults to reading
+    ``{zones.raw}/{schema}/{table}`` parquet); swap in a JDBC reader for
+    database sources.
+
+    Returns (process_id, per-table results); run status derivable from the
+    ledger (SUCCESS/PARTIAL/FAILED, L6).
+    """
+    errors = catalog.validate()
+    if errors:
+        raise ValueError(f"catalog validation failed: {errors}")
+
+    process_id = audit.create_process_master(
+        process_type=process_type, current_stage="INIT_STAGE"
+    )
+    audit.update_process_master(
+        process_id, status="RUNNING", current_stage="STAGING_EXTRACT"
+    )
+
+    if source_reader is None:
+
+        def source_reader(s: SparkSession, plan: ExtractionPlan) -> DataFrame:
+            import os
+
+            return s.read.parquet(
+                os.path.join(zones.raw, plan.schema_name, plan.table_name)
+            )
+
+    plans = compile_extraction_plans(catalog)
+
+    def extract_one(plan: ExtractionPlan) -> TableResult:
+        sid = audit.log_stage_detail(
+            process_id,
+            "STAGING_EXTRACT",
+            table_id=plan.table_id,
+            table_name=plan.full_table_name,
+        )
+        try:
+            src = source_reader(spark, plan)
+            out = plan.apply(src)
+            path = write_staging(out, zones, plan.schema_name, plan.table_name)
+            n = spark.read.parquet(path).count()
+            audit.update_stage_detail(sid, status="SUCCESS", row_count=n, output_path=path)
+            return TableResult(plan.full_table_name, "SUCCESS", n, path)
+        except Exception as exc:  # per-table isolation (L6)
+            audit.update_stage_detail(sid, status="FAILED", error_msg=str(exc)[:2000])
+            return TableResult(plan.full_table_name, "FAILED", error=str(exc))
+
+    results: list[TableResult] = []
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = [pool.submit(extract_one, p) for p in plans]
+        for fut in as_completed(futures):
+            results.append(fut.result())
+
+    audit.finalize_run(process_id)
+    return process_id, results
