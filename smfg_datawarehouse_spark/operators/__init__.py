@@ -18,6 +18,8 @@ def register_all() -> None:
     # Imports are for registration side effects.
     from smfg_datawarehouse_spark.operators import (  # noqa: F401
         dedup,
+        events_analytics,
+        multimodal,
         similarity,
         text_analysis,
     )

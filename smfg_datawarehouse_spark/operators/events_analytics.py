@@ -1,0 +1,216 @@
+"""Event-stream analytics — windowed aggregation (tumbling/sliding/session),
+JSON extraction, per-entity window functions, pivot/cube, distinct counts.
+
+These are the batch twins of the streaming surface (SURVEY §2.9 T2): the
+same builder functions run over ``readStream`` in
+``smfg_datawarehouse_spark.streaming``; here they run over the batch events
+table so the driver's DuckDB oracle can differential-check the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from smfg_datawarehouse_spark.queries import _davg_sql, _dsum_sql, davg, dsum, register, t
+from smfg_datawarehouse_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q20_tumbling_window",
+    f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {_dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2] Tumbling 1-hour windows per event type — batch twin of the
+    streaming aggregation (state-bounded by watermark in stream mode)."""
+    return tumbling_agg(t(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "q21_sliding_window",
+    """
+    WITH base AS (
+      SELECT event_type,
+             make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000)
+               AS s0
+      FROM events
+    ),
+    assigned AS (
+      SELECT event_type, s0 AS window_start FROM base
+      UNION ALL
+      SELECT event_type, s0 - INTERVAL 30 MINUTE FROM base
+    )
+    SELECT window_start, event_type, COUNT(*) AS cnt
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def q21_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2] Sliding windows (1h width / 30min slide): every event lands in
+    exactly two windows; oracle materializes the same two buckets."""
+    return sliding_agg(t(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@register(
+    "q22_session_window",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o
+    )
+    SELECT MIN(ts) AS session_start, user_id,
+           COUNT(*) AS n_events,
+           {_dsum_sql('value')} AS total_value
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def q22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2] Gap-based session windows (5 min): Spark's ``session_window``
+    vs. the classic gaps-and-islands SQL construction. A new session starts
+    when the gap to the previous event is >= the timeout (Spark merges an
+    event only while it lands strictly inside session end = last_ts + gap)."""
+    return session_agg(t(spark, sf_dir, "events"), "5 minutes")
+
+
+@register(
+    "q23_json_extraction",
+    f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           COUNT(*) AS cnt,
+           {_davg_sql('value')} AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q23_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.10] JSON path extraction from the events ``props`` payload
+    (semi-structured column surface)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.get_json_object("props", "$.k").cast("long").alias("k_val")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), davg(F.col("value")).alias("avg_value"))
+    )
+
+
+@register(
+    "q24_window_lag_running",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS micros_since_prev,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def q24_window_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5] Per-entity ordered window functions: lag-based inter-event gap
+    (exact microseconds) + running total (exact decimal accumulation)."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        (micros - F.lag(micros).over(w)).alias("micros_since_prev"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+@register(
+    "q25_pivot_daily_events",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q25_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] Pivot: daily event counts, one column per (fixed) event type.
+    Fixed pivot values keep the output schema deterministic — open-ended
+    ``pivot()`` would scan for values first (extra job) and break schema
+    stability at scale."""
+    e = t(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+    return out
+
+
+@register(
+    "q26_cube_event_matrix",
+    f"""
+    SELECT event_type,
+           CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym,
+           COUNT(*) AS cnt,
+           {_dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(year(ts) * 100 + month(ts) AS BIGINT))
+    """,
+)
+def q26_cube_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] CUBE: all grouping-set combinations over (type, year-month)."""
+    e = t(spark, sf_dir, "events")
+    ym = (F.year("ts") * 100 + F.month("ts")).cast("long").alias("ym")
+    return e.cube("event_type", ym).agg(
+        F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("total_value")
+    )
+
+
+@register(
+    "q27_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q27_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] Exact distinct aggregation (two-phase shuffle). The approximate
+    sibling (``approx_count_distinct``/HLL, the 100 TB path) is exposed in
+    the engine API but can't be oracle-checked value-for-value."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

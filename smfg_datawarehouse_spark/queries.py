@@ -65,7 +65,20 @@ def all_oracles() -> dict[str, str]:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (column-pruned / filter-pushed by Catalyst)."""
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores ts as parquet INT64 TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos
+    as long (legacy flag, set dynamically so it works on any session) and
+    truncate to microsecond timestamps — the same truncation DuckDB applies
+    when casting TIMESTAMP_NS, keeping oracle comparisons exact."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def dsum(col: F.Column) -> F.Column:

@@ -1,0 +1,101 @@
+"""Windowed event aggregation: tumbling / sliding / session, batch+stream.
+
+At scale these are the canonical Structured Streaming shapes: watermark
+bounds state, window+key grouping shuffles once, and late rows beyond the
+watermark are dropped deterministically. In batch mode the same expressions
+compile to ordinary grouped aggregation (no state store).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        # ts: INT64 TIMESTAMP(NANOS) in the source parquet — read as long
+        # under the nanosAsLong flag, converted below (see queries.load_events)
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, events_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """File-source stream over an events parquet directory (schema fixed —
+    streaming sources cannot infer)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .withWatermark("ts", watermark)
+    )
+
+
+def _dsum(col):  # deterministic float sum (see queries.py convention)
+    return F.sum(F.col(col).cast("decimal(30,6)")).cast("double")
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per (tumbling window, event_type): count + value sum."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), _dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Per (sliding window, event_type) counts — each event lands in
+    width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows (gap-based): session start + event count +
+    value sum. In streaming mode requires a watermark on ts."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, streaming_df: DataFrame, query_name: str
+) -> DataFrame:
+    """Drain a streaming aggregation with Trigger.AvailableNow into a memory
+    sink; returns the result table. Complete output mode (windowed aggs)."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(query_name)

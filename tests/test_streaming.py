@@ -1,0 +1,53 @@
+"""Structured Streaming: the same window builders must produce identical
+results over readStream (AvailableNow trigger, memory sink) and over the
+batch DataFrame — Spark's unified-semantics guarantee, asserted here."""
+
+from __future__ import annotations
+
+from smfg_datawarehouse_spark.streaming.windows import (
+    events_stream,
+    run_stream_to_memory,
+    session_agg,
+    tumbling_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rowset(df):
+    return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+
+import shutil
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # streaming file source requires a directory, not a single file
+    d = tmp_path_factory.mktemp("events_stream_src")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir):
+    from smfg_datawarehouse_spark.queries import load_events
+
+    batch = load_events(spark, SF_DIR)
+    expected = _rowset(tumbling_agg(batch, "1 hour"))
+
+    stream = events_stream(spark, events_dir, watermark="10 minutes")
+    result = run_stream_to_memory(spark, tumbling_agg(stream, "1 hour"), "tumbling_test")
+    assert _rowset(result) == expected
+
+
+def test_session_stream_equals_batch(spark, events_dir):
+    from smfg_datawarehouse_spark.queries import load_events
+
+    batch = load_events(spark, SF_DIR)
+    expected = _rowset(session_agg(batch, "5 minutes"))
+
+    stream = events_stream(spark, events_dir, watermark="10 minutes")
+    result = run_stream_to_memory(spark, session_agg(stream, "5 minutes"), "session_test")
+    assert _rowset(result) == expected
