@@ -214,3 +214,35 @@ def q27_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("distinct_users"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "q28_incremental_watermark",
+    f"""
+    WITH wm AS (
+      SELECT max(ts) AS w FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    )
+    SELECT event_type, COUNT(*) AS cnt, {_dsum_sql('value')} AS total_value
+    FROM events, wm
+    WHERE ts > wm.w
+    GROUP BY event_type
+    """,
+)
+def q28_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T1] Watermark-managed incremental load: the 'previous run' loaded
+    everything before Jan 15; its high-water mark (max ts seen) gates the
+    next slice, which is aggregated here. The watermark predicate stays on
+    the raw column so it pushes into the source scan (JDBC WHERE /
+    parquet min-max skipping) — an incremental run never rescans history."""
+    from smfg_datawarehouse_spark.incremental import incremental_slice
+
+    e = t(spark, sf_dir, "events")
+    prev_wm = (
+        e.where(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(F.max("ts").alias("w"))
+        .first()["w"]
+    )
+    sliced = incremental_slice(e, "ts", prev_wm.isoformat(sep=" "))
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("total_value")
+    )

@@ -1,24 +1,38 @@
 """Similarity search [X] over embedding columns (``array<float>``).
 
-Two strategies:
+Three strategies, all oracle-checked (SURVEY §2.12; reference has no vector
+ops — this is the BASELINE.json LLM-pipeline extension surface):
 
-- **Brute-force cosine top-k** — exact; a broadcast of the query set against
-  a full scan of the corpus, cosine evaluated as a Catalyst expression
-  (``zip_with`` + ``aggregate`` fold — JVM-side, codegen). At 100 TB the
-  corpus side stays partitioned; only the query set is broadcast, so cost is
-  a single pass, no shuffle until the per-query top-k (window on query_id).
-- **LSH-bucketed (random hyperplane / SimHash for cosine)** — sign-bit
-  sketch over fixed pseudo-random hyperplanes derived deterministically from
-  the dimension index (no RNG at runtime); candidates share a bucket
-  prefix. Cuts the cross product to per-bucket blocks; recall tunable by
-  number of tables/bits. The scale path for ANN.
+- **Brute-force cosine top-k** (:func:`brute_force_topk`) — exact baseline.
+  The query set (an ANN query batch, small by contract) is broadcast as a
+  numpy matrix; the corpus streams through ONE ``mapInPandas`` pass that
+  scores batches vectorized and keeps per-partition top-k per query.
+  Nothing pair-shaped is shuffled — the final global top-k window sees only
+  (partitions × Q × k) rows. At 100 TB: one scan, no pair materialization.
+- **IVF (inverted-file) top-k** (:func:`ivf_topk`) — the ANN scale path.
+  A deterministic centroid set coarse-quantizes the corpus; each query
+  probes its ``nprobe`` nearest cells and scores only vectors assigned
+  there. Same single-scan shape; compute drops by ~nprobe/n_centroids.
+  Centroid choice is data-derived + deterministic, so DuckDB can replay the
+  exact assignment and the result is hash-checkable (recall < 1 by design,
+  but *deterministically* so).
+- **Cosine near-duplicate pairs** (:func:`cosine_near_dup`) — random-
+  hyperplane (SimHash-family) LSH banding for deduplication: sign-bit
+  sketches over deterministic pseudo-random hyperplanes put each vector in
+  one bucket per hash table; only same-bucket pairs are exactly verified.
+  Candidate volume is Σ_buckets |b|² instead of N² — the standard
+  embedding-dedup layout for web-scale corpora.
 
-Numeric determinism: the fold is left-to-right (``((0+x1)+x2)+...``), which
-matches DuckDB's ``list_reduce`` fold — the oracle is bit-identical, so
-scores can be emitted directly.
+Numeric determinism: every dot/norm accumulates over dimensions
+left-to-right (``acc += x_i·y_i``), the identical IEEE-754 fold DuckDB's
+``list_reduce`` performs — similarity scores are bit-exact against the
+oracle, which is what lets top-k ranks and threshold cuts hash-match.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -26,33 +40,85 @@ from pyspark.sql import functions as F
 
 from smfg_datawarehouse_spark.queries import register, t
 
+# ---------------------------------------------------------------------------
+# numpy kernels (bit-exact with the DuckDB list_reduce left-to-right fold)
+# ---------------------------------------------------------------------------
 
-def _unrolled_dot(a: str, b: str, dim: int) -> F.Column:
-    """Left-to-right dot product as a flat codegen'd expression.
 
-    ``zip_with``+``aggregate`` higher-order functions are *interpreted* per
-    element in Spark (no whole-stage codegen) — ~15× slower on dense math.
-    Unrolling ``element_at`` terms keeps the identical left-to-right IEEE
-    fold (bit-compatible with the DuckDB ``list_reduce`` oracle) while
-    staying inside codegen.
+def _lr_cosine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n×d, m×d) → n×m cosine matrix, per-dimension left-to-right fold."""
+    n, m, dim = a.shape[0], b.shape[0], a.shape[1]
+    dot = np.zeros((n, m))
+    an = np.zeros(n)
+    bn = np.zeros(m)
+    for i in range(dim):
+        dot += np.outer(a[:, i], b[:, i])
+        an += a[:, i] * a[:, i]
+        bn += b[:, i] * b[:, i]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return dot / np.outer(np.sqrt(an), np.sqrt(bn))
+
+
+def _topk_rows(
+    cos: np.ndarray, nid: np.ndarray, qids: np.ndarray, k: int
+) -> pd.DataFrame:
+    """Per-query top-k from a (corpus_batch × queries) score matrix.
+
+    Selection order (cos desc, neighbor_id asc) matches the global window,
+    so partial top-k commutes with the final one. Non-finite scores
+    (zero-norm vectors) are excluded, as the oracle ranks NULLs last.
     """
-    terms = [
-        F.element_at(F.col(a), i + 1) * F.element_at(F.col(b), i + 1) for i in range(dim)
-    ]
-    acc = terms[0]
-    for t_ in terms[1:]:
-        acc = acc + t_
-    return acc
+    sel = np.where(np.isfinite(cos), cos, -np.inf)
+    sel[nid[:, None] == qids[None, :]] = -np.inf  # self-match exclusion
+    b = sel.shape[0]
+    kk = min(k, b)
+    out_q, out_n, out_c = [], [], []
+    for j in range(sel.shape[1]):
+        col = sel[:, j]
+        cand = np.argpartition(-col, kk - 1)[:kk] if kk < b else np.arange(b)
+        order = cand[np.lexsort((nid[cand], -col[cand]))]
+        keep = order[col[order] > -np.inf]
+        out_q.append(np.full(len(keep), qids[j], dtype=np.int64))
+        out_n.append(nid[keep])
+        out_c.append(cos[keep, j])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q) if out_q else np.array([], dtype=np.int64),
+            "neighbor_id": np.concatenate(out_n) if out_n else np.array([], dtype=np.int64),
+            "cos_sim": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+        }
+    )
 
 
-def _unrolled_norm(a: str, dim: int) -> F.Column:
-    terms = [
-        F.element_at(F.col(a), i + 1) * F.element_at(F.col(a), i + 1) for i in range(dim)
-    ]
-    acc = terms[0]
-    for t_ in terms[1:]:
-        acc = acc + t_
-    return F.sqrt(acc)
+def _collect_matrix(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collect a small vector table to (ids, matrix), sorted by id."""
+    rows = df.select(
+        F.col(id_col).cast("long").alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).collect()
+    rows.sort(key=lambda r: r.i)
+    ids = np.array([r.i for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
+    return ids, mat
+
+
+def _global_topk(partial: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_PARTIAL_SCHEMA = "query_id long, neighbor_id long, cos_sim double"
+
+
+# ---------------------------------------------------------------------------
+# brute-force exact top-k
+# ---------------------------------------------------------------------------
 
 
 def brute_force_topk(
@@ -63,115 +129,226 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
 ) -> DataFrame:
-    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank)."""
+    qids, qmat = _collect_matrix(queries, id_col, vec_col)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qmat))
+    n_parts = spark.sparkContext.defaultParallelism
 
-    ``queries`` is broadcast; the corpus streams partitioned (single pass, no
-    shuffle until the per-query top-k window). Norms are computed once per
-    row on each side before the join — O(N+Q) instead of O(N·Q) norm work.
-    Self-matches excluded.
-    """
-    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("q_norm", _unrolled_norm("qv", dim))
-    c = (
-        corpus.repartition(n_parts)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
-        )
-        .withColumn("c_norm", _unrolled_norm("cv", dim))
+    def score_partition(it):
+        ids, qm = bq.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            yield _topk_rows(_lr_cosine(cm, qm), nid, ids, k)
+
+    c = corpus.repartition(n_parts).select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.when(
-                F.col("q_norm") * F.col("c_norm") != 0,
-                _unrolled_dot("qv", "cv", dim) / (F.col("q_norm") * F.col("c_norm")),
-            ).alias("cos_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _global_topk(c.mapInPandas(score_partition, _PARTIAL_SCHEMA), k)
 
 
-def simhash_bits(vec: F.Column, dim: int, bits: int = 16) -> F.Column:
-    """Sign-bit sketch against ``bits`` deterministic pseudo-random hyperplanes.
-
-    Hyperplane b's weight for dimension i is derived from a hash of (b, i) —
-    reproducible everywhere, no runtime RNG. Returns a bigint bucket id.
-    """
-    # weight(b, i) in {-1, +1} from parity of a cheap integer hash
-    def weight(b: int, i: int) -> int:
-        h = (b * 1_000_003 + i * 7919 + 12345) & 0xFFFFFFFF
-        h ^= h >> 16
-        h = (h * 0x45D9F3B) & 0xFFFFFFFF
-        h ^= h >> 16
-        return 1 if (h & 1) else -1
-
-    acc = F.lit(0).cast("long")
-    for b in range(bits):
-        dot = None
-        for i in range(dim):
-            term = F.element_at(vec, i + 1) * F.lit(float(weight(b, i)))
-            dot = term if dot is None else dot + term
-        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        acc = acc + (bit * F.lit(2**b).cast("long"))
-    return acc
+# ---------------------------------------------------------------------------
+# IVF — coarse-quantized ANN (the scale path)
+# ---------------------------------------------------------------------------
 
 
-def lsh_bucketed_topk(
+def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
+    centroids: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    bits: int = 8,
+    nprobe: int = 3,
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates must share the simhash bucket.
+    """IVF approximate top-k: probe ``nprobe`` nearest centroid cells.
 
-    Recall < 1.0 by construction; bits trades recall vs. block size. The
-    bucket join replaces the cross product — per-bucket cost is |q_b|×|c_b|.
+    Assignment = argmax cosine over centroids (ties → lowest centroid id;
+    centroid matrix is sorted by id so ``argmax``'s first-max rule matches
+    the oracle's ``ORDER BY cos DESC, cid`` exactly). One corpus scan:
+    each batch assigns its rows to cells, then scores rows only against the
+    queries probing that cell — compute scales with nprobe/n_centroids,
+    never N×Q. Recall is deterministic, so the DuckDB replay hash-matches.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", simhash_bits(F.col("qv"), dim, bits))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+    cids, cmat = _collect_matrix(centroids, id_col, vec_col)
+    qids, qmat = _collect_matrix(queries, id_col, vec_col)
+    # driver-side probe: per query the nprobe best cells (cos desc, cid asc)
+    qcos = _lr_cosine(qmat, cmat)
+    qsel = np.where(np.isfinite(qcos), qcos, -np.inf)
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        order = np.lexsort((cids, -qsel[qi]))[:nprobe]
+        for ci in order:
+            cell_to_q.setdefault(int(ci), []).append(qi)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qmat, cmat, cell_to_q))
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def score_partition(it):
+        ids, qm, cm_, c2q = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            vm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            acos = _lr_cosine(vm, cm_)
+            assign = np.argmax(np.where(np.isfinite(acos), acos, -np.inf), axis=1)
+            for cell in np.unique(assign):
+                qidx = c2q.get(int(cell))
+                if not qidx:
+                    continue
+                rows = np.flatnonzero(assign == cell)
+                yield _topk_rows(
+                    _lr_cosine(vm[rows], qm[qidx]), nid[rows], ids[qidx], k
+                )
+
+    c = corpus.repartition(n_parts).select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", simhash_bits(F.col("cv"), dim, bits))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return _global_topk(c.mapInPandas(score_partition, _PARTIAL_SCHEMA), k)
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+HYPER_TABLES = 4
+HYPER_BITS = 4
+
+
+def hyperplane_weight(h: int, i: int) -> float:
+    """±1 weight of hyperplane ``h`` for dimension ``i`` — derived from an
+    integer hash, reproducible in any engine (baked as literals into the
+    oracle SQL). No runtime RNG."""
+    x = (h * 1_000_003 + i * 7919 + 12345) & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x45D9F3B) & 0xFFFFFFFF
+    x ^= x >> 16
+    return 1.0 if x & 1 else -1.0
+
+
+def hyperplanes(n_tables: int, bits: int, dim: int) -> list[list[float]]:
+    return [
+        [hyperplane_weight(t * bits + j, i) for i in range(dim)]
+        for t in range(n_tables)
+        for j in range(bits)
+    ]
+
+
+def cosine_near_dup(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_tables: int = HYPER_TABLES,
+    bits: int = HYPER_BITS,
+) -> DataFrame:
+    """Near-duplicate vector pairs: LSH-banded candidates, exact verify.
+
+    Each vector gets one bucket id per hash table (``bits`` sign bits of
+    deterministic hyperplane projections). Same-bucket pairs in ANY table
+    are verified with exact cosine ≥ threshold. Shuffle = one groupBy per
+    (table, bucket); per-bucket all-pairs verify runs vectorized inside
+    ``applyInPandas``. At scale, raise ``bits`` (smaller buckets / lower
+    recall per table) and ``n_tables`` (recall back up) — candidate cost is
+    Σ|bucket|², tunable independently of N². Returns (vec_a, vec_b,
+    cos_sim), vec_a < vec_b, deduped across tables.
+    """
+    planes = np.array(hyperplanes(n_tables, bits, dim))  # (tables*bits, dim)
+    spark = corpus.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+    n_parts = spark.sparkContext.defaultParallelism
+    nh = n_tables * bits
+
+    sig_schema = "vec_id long, v array<double>, " + ", ".join(
+        f"b{t} long" for t in range(n_tables)
+    )
+
+    def bucketize(it):
+        pl = bp.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vm = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            proj = np.zeros((vm.shape[0], nh))
+            for i in range(dim):
+                proj += np.outer(vm[:, i], pl[:, i])
+            bits_ = (proj >= 0).astype(np.int64)
+            out = {"vec_id": pdf["vec_id"], "v": pdf["v"]}
+            for t_ in range(n_tables):
+                acc = np.zeros(vm.shape[0], dtype=np.int64)
+                for j in range(bits):
+                    acc += bits_[:, t_ * bits + j] << j
+                out[f"b{t_}"] = acc
+            yield pd.DataFrame(out)
+
+    sig = (
+        corpus.repartition(n_parts)
         .select(
-            "query_id",
-            "neighbor_id",
-            (_unrolled_dot("qv", "cv", dim) / (_unrolled_norm("qv", dim) * _unrolled_norm("cv", dim))).alias("cos_sim"),
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
         )
+        .mapInPandas(bucketize, sig_schema)
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    stacked = sig.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t_).alias("tbl"), F.col(f"b{t_}").alias("bucket"))
+                    for t_ in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", "tb.tbl", "tb.bucket")
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        vm = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        cos = _lr_cosine(vm, vm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        with np.errstate(invalid="ignore"):
+            m = cos[iu, ju] >= threshold
+        return pd.DataFrame(
+            {"vec_a": ids[iu[m]], "vec_b": ids[ju[m]], "cos_sim": cos[iu[m], ju[m]]}
+        )
+
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        stacked.groupBy("tbl", "bucket")
+        .applyInPandas(verify, "vec_a long, vec_b long, cos_sim double")
+        .distinct()
     )
 
 
 # ---------------------------------------------------------------------------
-# registered queries
+# registered queries + oracles
 # ---------------------------------------------------------------------------
 
-_TOPK_ORACLE = """
+_DCOS = (
+    "list_reduce(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]), (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y)))"
+)
+
+
+def _dcos(a: str, b: str) -> str:
+    return _DCOS.format(a=a, b=b)
+
+
+_TOPK_ORACLE = f"""
     WITH vecs AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -179,11 +356,7 @@ _TOPK_ORACLE = """
     q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id % 25 = 0),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
-             list_reduce(list_transform(list_zip(q.qv, c.v), s -> s[1] * s[2]),
-                         (x, y) -> x + y)
-             / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y))
-                * sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y)))
-               AS cos_sim
+             {_dcos('q.qv', 'c.v')} AS cos_sim
       FROM vecs c CROSS JOIN q
       WHERE c.vec_id <> q.query_id
     )
@@ -201,5 +374,99 @@ def x10_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[X] Exact cosine top-10 neighbors for every 25th vector."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 25 == 0)
-    out = brute_force_topk(e, queries, dim=64, k=10)
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    return brute_force_topk(e, queries, dim=64, k=10)
+
+
+_IVF_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id % 29 = 7),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT t.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {_dcos('t.v', 'c.cv')} DESC, c.cid) AS rn
+        FROM vecs t CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id % 25 = 0),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_dcos('q.qv', 'c.cv')} DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT q.query_id, tv.vec_id AS neighbor_id,
+             {_dcos('q.qv', 'tv.v')} AS cos_sim
+      FROM q
+      JOIN probe p ON p.query_id = q.query_id
+      JOIN assign a ON a.cid = p.cid
+      JOIN vecs tv ON tv.vec_id = a.vec_id
+      WHERE tv.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+"""
+
+
+@register("x11_ann_ivf_topk", _IVF_ORACLE)
+def x11_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] IVF ANN top-10: centroids = every 29th vector (deterministic
+    coarse quantizer), nprobe=3. The oracle replays assignment + probing
+    exactly, so even the *approximation* is hash-checked."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 25 == 0)
+    cents = e.where(F.col("vec_id") % 29 == 7)
+    return ivf_topk(e, queries, cents, dim=64, k=10, nprobe=3)
+
+
+def _near_dup_oracle() -> str:
+    planes = hyperplanes(HYPER_TABLES, HYPER_BITS, 64)
+    bucket_exprs = []
+    for t_ in range(HYPER_TABLES):
+        terms = []
+        for j in range(HYPER_BITS):
+            w = planes[t_ * HYPER_BITS + j]
+            lit = "[" + ", ".join(f"{x:.1f}" for x in w) + "]"
+            dot = (
+                f"list_reduce(list_transform(list_zip(v, {lit}), s -> s[1] * s[2]),"
+                f" (x, y) -> x + y)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {2**j} ELSE 0 END)")
+        bucket_exprs.append("(" + " + ".join(terms) + f") AS b{t_}")
+    buckets = ",\n             ".join(bucket_exprs)
+    same = " OR ".join(f"a.b{t_} = b.b{t_}" for t_ in range(HYPER_TABLES))
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, v,
+             {buckets}
+      FROM vecs
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_dcos('a.v', 'b.v')} AS cos_sim
+    FROM sig a JOIN sig b
+      ON a.vec_id < b.vec_id AND ({same})
+    WHERE {_dcos('a.v', 'b.v')} >= 0.45
+"""
+
+
+@register("x05_cosine_near_dup", _near_dup_oracle())
+def x05_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    banding (4 tables × 4 bits, deterministic hyperplanes baked into the
+    oracle as literals) + exact cosine ≥ 0.45 verification."""
+    e = t(spark, sf_dir, "embeddings")
+    return cosine_near_dup(e, dim=64, threshold=0.45)

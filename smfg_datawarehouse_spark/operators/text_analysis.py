@@ -11,6 +11,7 @@ engines, no rounding needed.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from smfg_datawarehouse_spark.functions import word_tokens
@@ -26,6 +27,83 @@ def token_count(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Whitespace-normalized content fingerprint (md5 of canonical form)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+WINNOW_K = 20  # char-gram width
+WINNOW_W = 8  # winnowing window (guarantee: any match ≥ w+k-1 chars is caught)
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+
+    Rolling char k-grams are hashed (md5 prefix — portable); each length-w
+    window of consecutive gram hashes keeps its minimum, rightmost-position
+    tie-break. Tie-break is encoded *inside* the value — ``hash ||
+    zero-padded (9999999 - pos)`` — so a plain window ``min`` is exact and
+    identical in any engine. Distinct selected hashes per doc are the
+    fingerprint set. One explode (linear in chars) + one per-doc window:
+    a single shuffle on doc_id, no quadratic stage.
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    txt = F.lower(F.col(text_col))
+    n = F.length(txt)
+    grams = F.when(
+        n < k, F.expr("CAST(array() AS array<struct<pos:int,gram:string>>)")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.struct(i.alias("pos"), txt.substr(i, F.lit(k)).alias("gram")),
+        )
+    )
+    g = (
+        docs.repartition(n_parts)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            F.concat(
+                F.substring(F.md5(F.col("g.gram")), 1, 8),
+                F.lpad((F.lit(9999999) - F.col("g.pos")).cast("string"), 7, "0"),
+            ).alias("enc"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = g.select(
+        "doc_id",
+        "pos",
+        F.min("enc").over(win).alias("menc"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("ng"),
+    ).where(F.col("pos") <= F.col("ng") - (w - 1))
+    return sel.select("doc_id", F.substring("menc", 1, 8).alias("fp_hash")).distinct()
+
+
+def winnowing_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    MOSS-style overlap detection. Join key is the fingerprint hash (one
+    shuffle); pair aggregation counts distinct shared fingerprints."""
+    fps = winnowing_fingerprints(docs, text_col, id_col, k, w)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -188,3 +266,42 @@ def x22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(d).select(
         "doc_id", "hits_en", "hits_fr", "hits_de", "hits_es", "pred_lang"
     )
+
+
+_WINNOW_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id, u.pos, substring(lower(text), u.pos, {WINNOW_K}) AS gram
+      FROM documents,
+           LATERAL unnest(generate_series(1, strlen(text) - {WINNOW_K} + 1)) AS u(pos)
+    ),
+    encs AS (
+      SELECT doc_id, pos,
+             substring(md5(gram), 1, 8)
+               || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0') AS enc
+      FROM g
+    ),
+    sel AS (
+      SELECT doc_id, pos,
+             min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS menc,
+             count(*) OVER (PARTITION BY doc_id) AS ng
+      FROM encs
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, substring(menc, 1, 8) AS fp_hash
+      FROM sel WHERE pos <= ng - {WINNOW_W - 1}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+"""
+
+
+@register("x23_winnowing_dupes", _WINNOW_ORACLE)
+def x23_winnowing_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Rolling-hash winnowing fingerprint overlap (MOSS-style): doc
+    pairs sharing ≥3 selected fingerprints (k=20-gram, window=8)."""
+    d = t(spark, sf_dir, "documents")
+    return winnowing_dup_pairs(d, "text", "doc_id", min_shared=3)

@@ -619,3 +619,42 @@ def q18_output_mapping_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = plans["tpch.lineitem"].apply(t(spark, sf_dir, "lineitem"))
     _target, mapping, _keys = output_mapping_plan(cat, 1)
     return apply_output_mapping(staged, mapping)
+
+
+@register(
+    "q19_merge_upsert",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    updates AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate
+      FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+    )
+    SELECT * FROM updates
+    UNION ALL
+    SELECT * FROM target
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+)
+def q19_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3] Key-based MERGE (the reference's declared DW-load upsert,
+    ``DW_Output_Column_Config.IsKey`` — `1. Metadata Creation.sql:133`):
+    a 1996+ update batch (prices restated ×2) merged into a pre-1997
+    snapshot on o_orderkey. Updates win on match, unmatched target rows
+    survive, new keys insert — one shuffle on the key via the union +
+    latest-wins window (Delta ``MERGE INTO`` on a real lake)."""
+    from smfg_datawarehouse_spark.transform import merge_upsert
+
+    o = t(spark, sf_dir, "orders")
+    target = o.where("o_orderdate < DATE '1997-01-01'").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    updates = o.where("o_orderdate >= DATE '1996-01-01'").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate",
+    )
+    return merge_upsert(target, updates, ["o_orderkey"])

@@ -51,3 +51,55 @@ def test_session_stream_equals_batch(spark, events_dir):
     stream = events_stream(spark, events_dir, watermark="10 minutes")
     result = run_stream_to_memory(spark, session_agg(stream, "5 minutes"), "session_test")
     assert _rowset(result) == expected
+
+
+def test_stateful_running_totals_equals_batch(spark, events_dir):
+    """applyInPandasWithState accumulator over one AvailableNow pass must
+    equal the batch per-user aggregate (same integer micro-unit fold)."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.queries import load_events
+    from smfg_datawarehouse_spark.streaming.stateful import running_user_totals
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    batch = load_events(spark, SF_DIR)
+    expected = _rowset(
+        batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("long"))
+            .cast("long")
+            .alias("total_micros"),
+        )
+    )
+
+    stream = events_stream(spark, events_dir, watermark="10 minutes")
+    out = running_user_totals(stream.drop("props"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rowset(spark.table("stateful_totals")) == expected
+
+
+def test_stream_dedup(spark, events_dir):
+    from smfg_datawarehouse_spark.streaming.stateful import dedup_stream
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    stream = events_stream(spark, events_dir, watermark="10 minutes")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.table("dedup_stream_t").count()
+    from smfg_datawarehouse_spark.queries import load_events
+
+    assert n == load_events(spark, SF_DIR).dropDuplicates(["event_id"]).count()
