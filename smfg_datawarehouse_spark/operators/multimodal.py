@@ -131,3 +131,108 @@ def x30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, so the whole binary pipeline is oracle-checkable."""
     d = t(spark, sf_dir, "documents")
     return extract_features(documents_as_assets(d))
+
+
+RESIZE_TARGET = 32
+FRAME_STRIDE = 4
+
+TRANSFORM_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("orig_w", T.LongType(), True),
+        T.StructField("orig_h", T.LongType(), True),
+        T.StructField("scale_x", T.DoubleType(), True),
+        T.StructField("scale_y", T.DoubleType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_sampled", T.LongType(), True),
+    ]
+)
+
+
+def decode_dims_stub(payload: bytes, fake: bool = True) -> tuple[int, int, int]:
+    """Placeholder for the real header parse (PIL.Image.open(...).size /
+    av container probe). Fake mode derives deterministic dimensions and a
+    frame count from the content hash, so the full resize / frame-sample
+    plumbing is exercised — and oracle-checkable — without a media lib."""
+    if not fake:
+        raise NotImplementedError(
+            "media header parse requires an image/video library not present "
+            "in this runtime; wire PIL / pyav here on a real cluster"
+        )
+    import hashlib
+
+    h = hashlib.md5(payload).hexdigest()
+    w = 16 + int(h[0:2], 16) % 64
+    ht = 16 + int(h[2:4], 16) % 64
+    n_frames = 8 + int(h[4:6], 16) % 56
+    return w, ht, n_frames
+
+
+def resize_and_sample(assets: DataFrame, target: int = RESIZE_TARGET,
+                      stride: int = FRAME_STRIDE) -> DataFrame:
+    """Image-resize + video-frame-sample metadata pass over binary payloads
+    (Arrow-batched ``mapInPandas``; repartitioned so decode parallelism
+    tracks cores, not file count). In a real deployment the same batch
+    shape carries the resized pixel buffers / sampled frames as binary
+    columns; here the decode is the deterministic stub above."""
+    n_parts = assets.sparkSession.sparkContext.defaultParallelism
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [decode_dims_stub(p) for p in pdf["payload"]]
+            w = pd.Series([d[0] for d in dims], dtype="int64")
+            h = pd.Series([d[1] for d in dims], dtype="int64")
+            nf = pd.Series([d[2] for d in dims], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "orig_w": w,
+                    "orig_h": h,
+                    "scale_x": float(target) / w,
+                    "scale_y": float(target) / h,
+                    "n_frames": nf,
+                    "n_sampled": (nf + stride - 1) // stride,
+                }
+            )
+
+    return assets.repartition(n_parts).mapInPandas(batches, TRANSFORM_SCHEMA)
+
+
+_HEX = "strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1"
+
+
+def _hex2(h: str, i: int) -> str:
+    """Two hex digits of md5 column expression ``h`` at 1-based pos i."""
+    return f"(({_HEX.format(h=h, i=i)}) * 16 + ({_HEX.format(h=h, i=i + 1)}))"
+
+
+_RESIZE_ORACLE = f"""
+    WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    dims AS (
+      SELECT doc_id,
+             16 + {_hex2('h', 1)} % 64 AS orig_w,
+             16 + {_hex2('h', 3)} % 64 AS orig_h,
+             8 + {_hex2('h', 5)} % 56 AS n_frames
+      FROM hashed
+    )
+    SELECT doc_id AS asset_id, 'text' AS kind,
+           CAST(orig_w AS BIGINT) AS orig_w,
+           CAST(orig_h AS BIGINT) AS orig_h,
+           CAST({RESIZE_TARGET} AS DOUBLE) / orig_w AS scale_x,
+           CAST({RESIZE_TARGET} AS DOUBLE) / orig_h AS scale_y,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST((n_frames + {FRAME_STRIDE} - 1) // {FRAME_STRIDE} AS BIGINT) AS n_sampled
+    FROM dims
+"""
+
+
+@register("x31_multimodal_resize_sample", _RESIZE_ORACLE)
+def x31_multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Resize / frame-sample plumbing over binary assets: dimensions and
+    frame counts come from the (stubbed, hash-deterministic) decode; scale
+    factors and sampled-frame counts are computed in the Arrow batch —
+    the exact pipeline shape a PIL/pyav decode slots into."""
+    d = t(spark, sf_dir, "documents")
+    return resize_and_sample(documents_as_assets(d))

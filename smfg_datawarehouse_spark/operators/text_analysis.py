@@ -305,3 +305,41 @@ def x23_winnowing_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing ≥3 selected fingerprints (k=20-gram, window=8)."""
     d = t(spark, sf_dir, "documents")
     return winnowing_dup_pairs(d, "text", "doc_id", min_shared=3)
+
+
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """GPT-2-style pre-tokenization (letter runs | single digits |
+    punctuation) via ``regexp_extract_all`` — the sub-word-ready token
+    stream a BPE vocabulary trainer consumes. Stays in codegen; the regex
+    uses only character classes so it means the same thing in RE2/Java/PCRE.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        (F.length(text_col).cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+@register(
+    "x24_bpe_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(length(list_distinct(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT)
+             AS n_distinct_tokens,
+           CAST(length(text) AS DOUBLE)
+             / length(regexp_extract_all(text, '{BPE_PATTERN}'))
+             AS chars_per_token
+    FROM documents
+    """,
+)
+def x24_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] BPE-ish regex token counting per document (letters|digit|punct),
+    the pre-tokenization pass of a BPE vocabulary pipeline."""
+    return bpe_token_stats(t(spark, sf_dir, "documents"))

@@ -85,7 +85,12 @@ def write_staging(
     schema_name: str,
     table_name: str,
     mode: str = "overwrite",
+    drop_all_na: bool = True,
 ) -> str:
+    """Staging-zone write. ``drop_all_na`` replicates the reference's
+    consolidation-time row-quality filter (all-NA rows skipped,
+    ``staging_data_extraction.py:53-56``) as ``na.drop("all")``."""
     path = zones.staging_table_dir(schema_name, table_name)
-    df.write.mode(mode).parquet(path)
+    out = df.na.drop("all") if drop_all_na else df
+    out.write.mode(mode).parquet(path)
     return path
