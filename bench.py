@@ -42,6 +42,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
+        # caches are scoped per query invocation (dedup prefix tables, LSH
+        # signatures); drop them between queries so earlier queries' leftovers
+        # don't skew later timings via memory pressure
+        spark.catalog.clearCache()
         timings[name] = round(run_query(fn, spark, sf_dir), 4)
 
     out = {

@@ -246,3 +246,29 @@ def q28_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliced.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("total_value")
     )
+
+
+@register(
+    "q29_percentile_stats",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q29_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] Exact interpolated percentiles (SQL-standard PERCENTILE_CONT
+    semantics; Spark `percentile` ≡ DuckDB `quantile_cont`, bit-exact).
+    The 100 TB path is `approx_percentile` (t-digest, one pass, mergeable
+    sketches) — exposed in the engine API but not value-checkable."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )

@@ -1,0 +1,15 @@
+from smfg_datawarehouse_spark.plans.inspect import (
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+    assert_no_cartesian,
+    broadcast_join_count,
+)
+
+__all__ = [
+    "formatted_plan",
+    "pushed_filters",
+    "read_schemas",
+    "assert_no_cartesian",
+    "broadcast_join_count",
+]

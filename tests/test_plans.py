@@ -1,0 +1,46 @@
+"""Plan-quality pins: pushdown, pruning, broadcast — the properties that
+keep these queries viable at 100 TB — asserted against the real optimizer
+output so a regression (e.g. a UDF blocking pushdown) fails CI."""
+
+from __future__ import annotations
+
+from smfg_datawarehouse_spark import queries as qmod
+from smfg_datawarehouse_spark.plans import (
+    assert_no_cartesian,
+    broadcast_join_count,
+    pushed_filters,
+    read_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q01_scan_prunes_and_pushes(spark):
+    df = qmod.all_queries()["q01_pricing_summary"](spark, SF)
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    # 7 of lineitem's 16 columns read — pruning reaches the parquet scan
+    assert len(schemas[0]) == 7
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_q04_all_dim_joins_broadcast(spark):
+    df = qmod.all_queries()["q04_revenue_by_nation"](spark, SF)
+    assert broadcast_join_count(df) == 4  # orders/customer/nation/region
+    assert_no_cartesian(df)
+
+
+def test_q17_compiled_plan_pushes_incremental_filter(spark):
+    df = qmod.all_queries()["q17_config_driven_extraction"](spark, SF)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # IncludeFlag pruning: the 6 configured source columns + the filter
+    # column — not lineitem's full 16-column schema
+    schemas = read_schemas(df)
+    assert schemas and len(schemas[0]) == 7
+
+
+def test_no_cartesian_in_relational_queries(spark):
+    qs = qmod.all_queries()
+    for name in ["q03_join_customer_orders", "q06_window_top_order_per_customer",
+                 "q15_semi_join_active_parts", "q19_merge_upsert"]:
+        assert_no_cartesian(qs[name](spark, SF))
