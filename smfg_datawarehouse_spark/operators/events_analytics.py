@@ -272,3 +272,39 @@ def q29_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
+
+
+@register(
+    "q30_asof_last_purchase",
+    """
+    SELECT event_id, user_id, ts,
+           max(CASE WHEN event_type = 'purchase' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS asof_purchase_ts,
+           epoch_us(ts) - epoch_us(
+             max(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)) AS micros_since_purchase
+    FROM events
+    """,
+)
+def q30_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/X] As-of join, window-formulated: each event picks up the
+    user's most recent purchase timestamp at-or-before it. A running
+    conditional max — one shuffle on user_id, NO join, no row blowup —
+    the formulation that survives 100 TB where a range/as-of join between
+    two event streams would shuffle both sides and explode candidates."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    asof = F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        asof.alias("asof_purchase_ts"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(asof)).alias("micros_since_purchase"),
+    )

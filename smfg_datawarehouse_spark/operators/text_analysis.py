@@ -94,7 +94,9 @@ def winnowing_dup_pairs(
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
     MOSS-style overlap detection. Join key is the fingerprint hash (one
     shuffle); pair aggregation counts distinct shared fingerprints."""
-    fps = winnowing_fingerprints(docs, text_col, id_col, k, w)
+    # cached: the pair join consumes the fingerprint set twice; without it
+    # each side replays the explode + per-doc window selection
+    fps = winnowing_fingerprints(docs, text_col, id_col, k, w).cache()
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp_hash")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp_hash")
     return (

@@ -375,6 +375,33 @@ def q10_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q31_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q31_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] Non-hierarchical GROUPING SETS — two independent groupings in
+    one pass (Catalyst expands then aggregates once), not expressible as
+    rollup/cube."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum_sql('l_quantity')} AS sum_qty,
+               COUNT(*) AS cnt
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
     "q11_case_bucketing",
     f"""
     SELECT CASE WHEN o_totalprice < 50000 THEN 'small'

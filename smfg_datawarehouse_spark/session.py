@@ -33,9 +33,10 @@ _DEFAULTS = {
     # stay under it, which is the correct behavior.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
-    # local mode = driver-only: give the single JVM real memory
-    # (overridable via SPARK_GRAFT_DRIVER_MEM)
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # local mode = driver-only: a moderate heap beats a huge one — measured
+    # bench variance with 48g showed multi-second GC spikes on long
+    # many-query sessions; 16g is stable (overridable via SPARK_GRAFT_DRIVER_MEM)
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.driver.maxResultSize": "4g",
 }
 

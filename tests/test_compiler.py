@@ -133,3 +133,30 @@ def test_catalog_validation(spark):
     assert any("orphan TableID" in e for e in errors)
     good = seed_fixture_catalog(spark)
     assert good.validate() == []
+
+
+def test_dialect_translated_expressions_evaluate(spark):
+    """Translated metadata expressions must not just parse — they must
+    evaluate with MySQL's semantics on engine data."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "", "z")], "n int, s string, maybe string"
+    )
+    cases = [
+        ("IF(n > 1, 'big', 'small')", ["small", "big"]),
+        ("IFNULL(maybe, 'dflt')", ["dflt", "z"]),
+        # the compiler's TRIM-empty-logic fallback shape
+        ("CASE WHEN TRIM(s) = '' THEN NULL ELSE s END", ["a", None]),
+        ("CONCAT(s, '-', CAST(n AS STRING))", ["a-1", "-2"]),
+        ("DATE_FORMAT(TIMESTAMP '2024-03-05 07:08:09', '%Y/%m/%d %H:%i')",
+         ["2024/03/05 07:08", "2024/03/05 07:08"]),
+    ]
+    from smfg_datawarehouse_spark import dialect
+
+    for expr, expected in cases:
+        got = [
+            r[0]
+            for r in df.orderBy("n").select(F.expr(dialect.translate(expr))).collect()
+        ]
+        assert got == expected, f"{expr}: {got} != {expected}"
