@@ -685,3 +685,49 @@ def q19_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
     )
     return merge_upsert(target, updates, ["o_orderkey"])
+
+
+@register(
+    "l01_runner_audit_end_to_end",
+    """
+    SELECT 'tpch.lineitem' AS TableName, 'SUCCESS' AS Status,
+           CAST(COUNT(*) AS BIGINT) AS RowCount
+    FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'
+    UNION ALL
+    SELECT 'tpch.orders', 'SUCCESS', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    """,
+)
+def l01_runner_audit_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[L1-L6/S2/P1-P5] The whole extraction lifecycle as a checkable query:
+    compile the fixture catalog, run the staging extraction (FAIR-pooled
+    per-table jobs, per-table failure isolation), land parquet in the
+    staging zone, audit every stage — then return the audit ledger's
+    (table, status, rowcount) view. The oracle states what the ledger MUST
+    record: the incremental lineitem slice count and the full orders count,
+    both SUCCESS — reconciling audit metadata against source truth exactly
+    like the reference's RowCount columns (`1. Metadata Creation.sql:35-39`)."""
+    import os
+    import tempfile
+
+    from smfg_datawarehouse_spark.audit import AuditLedger
+    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
+    from smfg_datawarehouse_spark.runner import run_staging_extraction
+    from smfg_datawarehouse_spark.sources.lake import LakeZones
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_run_")
+    zones = LakeZones(os.path.join(tmp, "lake"))
+    audit = AuditLedger(spark, os.path.join(tmp, "audit"))
+    cat = seed_fixture_catalog(spark)
+
+    def reader(s: SparkSession, plan) -> DataFrame:
+        return t(s, sf_dir, plan.table_name)
+
+    pid, _results = run_staging_extraction(
+        spark, cat, zones, audit, source_reader=reader
+    )
+    return (
+        audit.stage_detail()
+        .where(F.col("ProcessID") == pid)
+        .select("TableName", "Status", F.col("RowCount").cast("long").alias("RowCount"))
+    )

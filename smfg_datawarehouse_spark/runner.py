@@ -72,6 +72,11 @@ def run_staging_extraction(
     plans = compile_extraction_plans(catalog)
 
     def extract_one(plan: ExtractionPlan) -> TableResult:
+        # each worker thread tags its jobs into a per-table FAIR pool so
+        # concurrent extractions share executors instead of queueing FIFO
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"extract-{plan.table_id}"
+        )
         sid = audit.log_stage_detail(
             process_id,
             "STAGING_EXTRACT",

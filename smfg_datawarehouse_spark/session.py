@@ -23,6 +23,11 @@ from pyspark.sql import SparkSession
 
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
+    # FAIR job scheduling: the runner submits per-table extraction jobs from
+    # a bounded thread pool (the reference's Airflow concurrency=5 analogue,
+    # `dag/SMFG_DW_ETL_DAG.py:67`); FAIR keeps one big table from starving
+    # the others' jobs
+    "spark.scheduler.mode": "FAIR",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",

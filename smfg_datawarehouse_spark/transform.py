@@ -114,3 +114,20 @@ def merge_into_parquet(
         shutil.rmtree(target_path)
     os.rename(tmp, target_path)
     return spark.read.parquet(target_path).count()
+
+
+def with_audit_timestamps(
+    df: DataFrame, created: bool = True, updated: bool = True
+) -> DataFrame:
+    """Writer-injected timestamp defaults — the engine-side equivalent of
+    the reference's ``DEFAULT CURRENT_TIMESTAMP`` / ``ON UPDATE
+    CURRENT_TIMESTAMP`` column defaults (``1. Metadata Creation.sql:9-10,
+    15-16,72-73``): Spark has no write-time column defaults, so the load
+    path stamps them explicitly."""
+    out = df
+    ts = F.current_timestamp()
+    if created and "CreatedAt" not in df.columns:
+        out = out.withColumn("CreatedAt", ts)
+    if updated:
+        out = out.withColumn("UpdatedAt", ts)
+    return out

@@ -106,3 +106,16 @@ def test_audit_id_allocation_resumes(spark, tmp_path):
     audit2 = AuditLedger(spark, str(tmp_path / "audit"))  # fresh engine start
     p2 = audit2.create_process_master()
     assert p2 == p1 + 1
+
+
+def test_writer_injected_timestamps(spark):
+    from smfg_datawarehouse_spark.transform import with_audit_timestamps
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    stamped = with_audit_timestamps(df)
+    assert {"k", "CreatedAt", "UpdatedAt"} == set(stamped.columns)
+    row = stamped.first()
+    assert row["CreatedAt"] is not None and row["UpdatedAt"] is not None
+    # CreatedAt preserved on re-stamp (ON UPDATE semantics touch only UpdatedAt)
+    restamped = with_audit_timestamps(stamped)
+    assert restamped.columns.count("CreatedAt") == 1
