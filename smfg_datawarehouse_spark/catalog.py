@@ -88,55 +88,78 @@ class ConfigCatalog:
         return self.table_config.where(F.col("ActiveFlag"))
 
     def validate(self) -> list[str]:
-        """Constraint checks the reference delegates to MySQL. Returns a list
-        of human-readable violations (empty = valid)."""
+        """Constraint checks the reference delegates to MySQL (ENUM domains,
+        UNIQUE keys, FK integrity). Returns human-readable violations
+        (empty = valid).
+
+        Config tables are control-plane-small by contract (the reference's
+        whole catalog is 6 InnoDB tables), so each is collected once and
+        checked driver-side in Python: per-run validation must cost ~4
+        collects of tiny tables, not a fan-out of 8+ distributed jobs.
+        The equivalent anti-join formulation stays the right shape for
+        *data*-scale integrity checks (see q09_anti_join_integrity).
+        """
+        from collections import Counter
+
         errors: list[str] = []
-        tc, cc = self.table_config, self.column_config
+        trows = [r.asDict() for r in self.table_config.collect()]
+        crows = [r.asDict() for r in self.column_config.collect()]
 
         # ENUM domains
-        bad_lt = tc.where(~F.col("LoadType").isin(*LOAD_TYPES)).count()
+        bad_lt = sum(1 for r in trows if r["LoadType"] not in LOAD_TYPES)
         if bad_lt:
             errors.append(f"{bad_lt} table_config rows with invalid LoadType")
-        bad_rf = tc.where(~F.col("RefreshFrequency").isin(*REFRESH_FREQUENCIES)).count()
+        bad_rf = sum(
+            1 for r in trows if r["RefreshFrequency"] not in REFRESH_FREQUENCIES
+        )
         if bad_rf:
             errors.append(f"{bad_rf} table_config rows with invalid RefreshFrequency")
 
         # UNIQUE (SchemaName, TableName)
-        dup_tbl = (
-            tc.groupBy("SchemaName", "TableName").count().where("count > 1").count()
+        dup_tbl = sum(
+            1
+            for n in Counter(
+                (r["SchemaName"], r["TableName"]) for r in trows
+            ).values()
+            if n > 1
         )
         if dup_tbl:
             errors.append(f"{dup_tbl} duplicate (SchemaName, TableName) pairs")
 
-        # FK: column_config.TableID → table_config (anti-join orphan check)
-        orphans = cc.join(tc, "TableID", "left_anti").count()
+        # FK: column_config.TableID → table_config
+        tids = {r["TableID"] for r in trows}
+        orphans = sum(1 for r in crows if r["TableID"] not in tids)
         if orphans:
             errors.append(f"{orphans} column_config rows with orphan TableID")
 
         if self.output_column_config is not None:
-            occ = self.output_column_config
+            orows = [r.asDict() for r in self.output_column_config.collect()]
             for col, label in [
                 ("TargetColumnName", "name"),
                 ("TargetPosition", "position"),
             ]:
-                dups = (
-                    occ.groupBy("OutputTableID", col).count().where("count > 1").count()
+                dups = sum(
+                    1
+                    for n in Counter(
+                        (r["OutputTableID"], r[col]) for r in orows
+                    ).values()
+                    if n > 1
                 )
                 if dups:
                     errors.append(
                         f"{dups} duplicate (OutputTableID, Target{label}) pairs"
                     )
             if self.output_table_config is not None:
-                o_orph = occ.join(
-                    self.output_table_config, "OutputTableID", "left_anti"
-                ).count()
+                otids = {
+                    r["OutputTableID"] for r in self.output_table_config.collect()
+                }
+                o_orph = sum(1 for r in orows if r["OutputTableID"] not in otids)
                 if o_orph:
-                    errors.append(f"{o_orph} output_column rows with orphan OutputTableID")
-            c_orph = occ.join(
-                cc.select(F.col("ColumnID").alias("SourceColumnID")),
-                "SourceColumnID",
-                "left_anti",
-            ).count()
+                    errors.append(
+                        f"{o_orph} output_column rows with orphan OutputTableID"
+                    )
+            cids = {r["ColumnID"] for r in crows}
+            c_orph = sum(1 for r in orows if r["SourceColumnID"] not in cids)
             if c_orph:
                 errors.append(f"{c_orph} output_column rows with orphan SourceColumnID")
         return errors

@@ -1,0 +1,42 @@
+"""The 100 TB approximate path (sketches) + connected-components unit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smfg_datawarehouse_spark.operators.dedup import connected_components
+from smfg_datawarehouse_spark.queries import load_events
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """HLL sketch (one pass, mergeable, fixed memory) vs exact distinct —
+    the scale path for q27-style cardinalities; rsd=0.02 bound, asserted
+    loosely at 3x."""
+    e = load_events(spark, SF_DIR)
+    exact = e.agg(F.countDistinct("user_id").alias("d")).first()["d"]
+    approx = e.agg(F.approx_count_distinct("user_id", rsd=0.02).alias("d")).first()["d"]
+    assert abs(approx - exact) <= max(1, 0.06 * exact)
+
+
+def test_approx_percentile_within_tolerance(spark):
+    e = load_events(spark, SF_DIR)
+    exact = e.agg(F.expr("percentile(value, 0.5)").alias("p")).first()["p"]
+    approx = e.agg(F.percentile_approx("value", 0.5, 1000).alias("p")).first()["p"]
+    spread = (
+        e.agg((F.max("value") - F.min("value")).alias("s")).first()["s"] or 1.0
+    )
+    assert abs(approx - exact) <= 0.05 * spread
+
+
+def test_connected_components_known_graph(spark):
+    # two components {1,2,3,9} (chain) and {5,7}; singleton 100 not in edges
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["group_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (7, 5)}
