@@ -38,6 +38,11 @@ _DEFAULTS = {
     # stay under it, which is the correct behavior.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # managed-table warehouse (bucketed tables, saveAsTable) — static conf,
+    # must be set at session build; kept out of the repo tree
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/sgraft-warehouse"
+    ),
     # local mode = driver-only: a moderate heap beats a huge one — measured
     # bench variance with 48g showed multi-second GC spikes on long
     # many-query sessions; 16g is stable (overridable via SPARK_GRAFT_DRIVER_MEM)

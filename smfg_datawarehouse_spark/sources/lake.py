@@ -94,3 +94,42 @@ def write_staging(
     out = df.na.drop("all") if drop_all_na else df
     out.write.mode(mode).parquet(path)
     return path
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> str:
+    """Hive-style partitioned layout (``path/col=value/``) — the lake-side
+    enabler of partition pruning: a query filtering on ``partition_cols``
+    scans only matching directories (shows as ``PartitionFilters`` in the
+    plan), which at 100 TB is the difference between reading one day and
+    reading three years. Choose low-cardinality, always-filtered columns
+    (load date, region); never high-cardinality keys (small-file explosion).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return path
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Bucketed managed table: pre-shuffles data into ``num_buckets`` files
+    by hash of ``bucket_cols`` at WRITE time, so every later join/agg on
+    those keys skips its exchange entirely (plan shows a sort-merge join
+    with NO shuffle on the bucketed sides). The classic amortization for
+    fact tables joined repeatedly on the same key at scale; pair with
+    ``spark.sql.sources.bucketing.enabled`` (on by default).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+    return table_name
