@@ -308,3 +308,27 @@ def q30_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         asof.alias("asof_purchase_ts"),
         (F.unix_micros(F.col("ts")) - F.unix_micros(asof)).alias("micros_since_purchase"),
     )
+
+
+@register(
+    "q32_view_purchase_conversions",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q32_view_purchase_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/§2.3] Interval-bounded event join (view → purchase within 30
+    min): the batch twin of the stream-stream join in
+    ``streaming/joins.py`` — identical builder, oracle-checked here,
+    stream-vs-batch-equality-checked in tests."""
+    from smfg_datawarehouse_spark.streaming.joins import view_purchase_conversions
+
+    return view_purchase_conversions(t(spark, sf_dir, "events"))

@@ -1,0 +1,44 @@
+"""Stream-stream joins — watermark-bounded state on both sides.
+
+The interval-bounded equi-join is THE scalable stream-join shape: the time
+bound lets Spark evict both sides' state as watermarks advance, so state
+is O(rate × interval) instead of unbounded. Works identically over batch
+DataFrames (same builder, no state) — asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def view_purchase_conversions(events: DataFrame, within: str = "30 minutes") -> DataFrame:
+    """Per-user view → purchase conversions within ``within``: each view
+    pairs with every later purchase by the same user inside the window.
+    In streaming both inputs carry the events watermark, so join state is
+    bounded by (watermark delay + interval)."""
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )

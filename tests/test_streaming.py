@@ -144,3 +144,26 @@ def test_streaming_etl_foreachbatch_lake_audit(spark, events_dir, tmp_path):
     assert (
         ok.groupBy().sum("RowCount").first()[0] == src_n
     )  # audit rowcounts reconcile with landed data
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    """Interval-bounded stream-stream join (watermark-bounded state both
+    sides) must equal the same builder over the batch table."""
+    from smfg_datawarehouse_spark.queries import load_events
+    from smfg_datawarehouse_spark.streaming.joins import view_purchase_conversions
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    batch = load_events(spark, SF_DIR)
+    expected = _rowset(view_purchase_conversions(batch))
+
+    stream = events_stream(spark, events_dir, watermark="10 minutes")
+    out = view_purchase_conversions(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _rowset(spark.table("ss_join")) == expected
