@@ -731,3 +731,48 @@ def l01_runner_audit_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ProcessID") == pid)
         .select("TableName", "Status", F.col("RowCount").cast("long").alias("RowCount"))
     )
+
+
+@register(
+    "q33_intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q33_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U] INTERSECT (distinct set semantics): nations present on both the
+    customer and supplier side — completes the set-op family (union q14,
+    except q08, semi q15, anti q09)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q34_top_suppliers_by_revenue",
+    f"""
+    SELECT s.s_suppkey, s.s_name,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY revenue DESC, s_suppkey
+    LIMIT 10
+    """,
+)
+def q34_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/A4/O] Fact-dimension join + agg + top-k: supplier broadcast,
+    lineitem aggregated map-side first, TakeOrderedAndProject caps the
+    result driver-side — no full sort at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.col("revenue").desc(), "s_suppkey")
+        .limit(10)
+    )
