@@ -345,3 +345,61 @@ def x24_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[X] BPE-ish regex token counting per document (letters|digit|punct),
     the pre-tokenization pass of a BPE vocabulary pipeline."""
     return bpe_token_stats(t(spark, sf_dir, "documents"))
+
+
+def keyword_scores(docs: DataFrame, text_col: str = "text", top_k: int = 3) -> DataFrame:
+    """TF-IDF-style keyword extraction per document, transcendental-free:
+    score = tf × N / df (term frequency × inverse document-frequency
+    *ratio*). Rational arithmetic only — one double division — so scores
+    are bit-identical across engines (log-based idf would differ in the
+    last ulp between libm implementations). The document-frequency table is
+    vocabulary-sized (sublinear in corpus) and broadcast; the per-doc top-k
+    is a window over doc_id — two linear shuffles total.
+    """
+    n_docs = docs.count()  # deterministic scalar, computed once driver-side
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = F.broadcast(
+        toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    score = (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        tf.join(df_, "tok")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "tok", "score", "rank")
+    )
+
+
+_KEYWORD_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                w -> w <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfx AS (
+      SELECT tok, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, tok, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT t.doc_id, t.tok,
+             CAST(t.tf * n.n AS DOUBLE) / d.df AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY CAST(t.tf * n.n AS DOUBLE) / d.df DESC, t.tok) AS rank
+      FROM tf t JOIN dfx d USING (tok), n
+    ) WHERE rank <= 3
+"""
+
+
+@register("x25_keyword_extraction", _KEYWORD_ORACLE)
+def x25_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Top-3 keywords per document by tf·(N/df) rarity weighting."""
+    return keyword_scores(t(spark, sf_dir, "documents"), top_k=3)
