@@ -332,3 +332,49 @@ def q32_view_purchase_conversions(spark: SparkSession, sf_dir: str) -> DataFrame
     from smfg_datawarehouse_spark.streaming.joins import view_purchase_conversions
 
     return view_purchase_conversions(t(spark, sf_dir, "events"))
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Metadata-driven data profiling: (column, n_nulls, n_distinct) per
+    configured column, computed in ONE pass — the aggregates are generated
+    from the column list exactly like the extraction compiler generates
+    projections, then the single wide result row unpivots to long form via
+    an array-of-structs explode (no per-column jobs, no extra scans)."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    wide = df.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
+                    F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                )
+                for c in cols
+            ]
+        )
+    ).alias("s")
+    return wide.select(stacked).select("s.column_name", "s.n_nulls", "s.n_distinct")
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+_PROFILE_ORACLE = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) FILTER ({c} IS NULL) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("q35_data_profile", _PROFILE_ORACLE)
+def q35_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/S6] Single-pass column profiling over orders (null + distinct
+    counts per configured column) — the audit/data-quality companion to the
+    metadata compiler: column list in, generated aggregates out."""
+    return profile_columns(t(spark, sf_dir, "orders"), _PROFILE_COLS)
