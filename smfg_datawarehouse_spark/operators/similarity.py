@@ -470,3 +470,37 @@ def x05_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as literals) + exact cosine ≥ 0.45 verification."""
     e = t(spark, sf_dir, "embeddings")
     return cosine_near_dup(e, dim=64, threshold=0.45)
+
+
+_RECALL_ORACLE = f"""
+    WITH exact AS ({_TOPK_ORACLE}),
+    approx AS ({_IVF_ORACLE})
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / 10 AS recall_at_10
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
+@register("x12_ivf_recall_at_10", _RECALL_ORACLE)
+def x12_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] In-engine ANN quality evaluation: recall@10 of the IVF index vs
+    the exact brute-force ground truth, per query — the measurement loop an
+    embedding pipeline runs when tuning nprobe/centroids. Composes the two
+    oracle-checked operators; ratio of exact ints, so bit-stable."""
+    exact = x10_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = x11_ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg((F.count("a_nid").cast("double") / 10).alias("recall_at_10"))
+    )

@@ -403,3 +403,44 @@ _KEYWORD_ORACLE = r"""
 def x25_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[X] Top-3 keywords per document by tf·(N/df) rarity weighting."""
     return keyword_scores(t(spark, sf_dir, "documents"), top_k=3)
+
+
+VOCAB_STOPWORDS = sorted(set(w for ws in _LANG_SETS.values() for w in ws) | set(_STOPWORDS_EN))
+
+
+def build_vocabulary(docs: DataFrame, text_col: str = "text", top_n: int = 50) -> DataFrame:
+    """Corpus vocabulary: top-N tokens by total frequency, stopwords
+    removed — the seed step of a tokenizer/vocab-training pipeline. One
+    explode + one groupBy; the top-N is TakeOrderedAndProject (no full
+    sort). Deterministic tie-break on the token itself."""
+    toks = docs.select(F.explode(word_tokens(F.col(text_col))).alias("tok"))
+    return (
+        toks.where(~F.col("tok").isin(VOCAB_STOPWORDS))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(top_n)
+    )
+
+
+_VOCAB_STOP_SQL = ", ".join(f"'{w}'" for w in VOCAB_STOPWORDS)
+
+_VOCAB_ORACLE = rf"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                w -> w <> '')) AS tok
+      FROM documents
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks
+    WHERE tok NOT IN ({_VOCAB_STOP_SQL})
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 50
+"""
+
+
+@register("x26_vocabulary_top50", _VOCAB_ORACLE)
+def x26_vocabulary_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Stopword-filtered corpus vocabulary (top-50 tokens by frequency)."""
+    return build_vocabulary(t(spark, sf_dir, "documents"), top_n=50)

@@ -776,3 +776,62 @@ def q34_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "s_suppkey")
         .limit(10)
     )
+
+
+@register(
+    "q36_above_average_orders",
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT {_davg_sql('o_totalprice')} FROM orders
+    )
+    """,
+)
+def q36_above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/§2.10] Scalar-subquery predicate: orders above the global mean.
+    Catalyst plans the subquery as a separate tiny job whose result folds
+    into the main scan's filter — two passes total, no join. The mean uses
+    the exact-decimal convention so the comparison boundary is bit-stable."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("v_orders_q36")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders_q36
+        WHERE o_totalprice > (
+          SELECT {_davg_sql('o_totalprice')} FROM v_orders_q36
+        )
+        """
+    )
+
+
+@register(
+    "q37_part_brand_revenue",
+    f"""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           {_dsum_sql('l.l_quantity')} AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 20
+    GROUP BY p.p_brand
+    """,
+)
+def q37_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/P4/A4] Fact-dimension join with a dimension-side filter: the
+    p_size predicate prunes the broadcast side BEFORE the join (filter
+    pushdown into the dimension scan), shrinking the hash table every
+    executor holds."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") >= 20)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(rev).alias("revenue"),
+            dsum(F.col("l_quantity")).alias("total_qty"),
+        )
+    )
