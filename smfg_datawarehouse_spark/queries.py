@@ -835,3 +835,31 @@ def q37_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_quantity")).alias("total_qty"),
         )
     )
+
+
+@register(
+    "q38_customer_order_quartiles",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q38_customer_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5] Ranking windows over the whole relation: NTILE quartiles +
+    PERCENT_RANK ((rank-1)/(n-1) — rational, bit-stable). A single-partition
+    global window is the one shape that does NOT scale (all rows through
+    one task); at 100 TB you bucket by a partition key first or use
+    approx quantiles — flagged here deliberately as the contrast case to
+    q24's per-entity windows."""
+    o = t(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
