@@ -64,7 +64,14 @@ def all_oracles() -> dict[str, str]:
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table (column-pruned / filter-pushed by Catalyst)."""
+    """Load one testdata table (column-pruned / filter-pushed by Catalyst).
+
+    Pins the session timezone to UTC (runtime conf, safe on any session):
+    event timestamps surface as TIMESTAMP_LTZ, so date_trunc/window/year
+    results would otherwise depend on the caller session's zone — the
+    DuckDB oracle is zone-naive and expects UTC semantics.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
