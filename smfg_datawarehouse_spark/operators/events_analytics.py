@@ -378,3 +378,44 @@ def q35_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts per configured column) — the audit/data-quality companion to the
     metadata compiler: column list in, generated aggregates out."""
     return profile_columns(t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@register(
+    "q42_rolling_hour_user_value",
+    """
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           value,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+                  PARTITION BY user_id
+                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS rolling_1h_value
+    FROM events
+    """,
+)
+def q42_rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/T2] RANGE-framed window: per-user rolling 1-hour value sum.
+
+    Unlike q24's ROWS frames, a RANGE frame bounds the window by the ORDER
+    BY *value* (seconds of event time), so same-second peers always share a
+    frame — tie-order independent by construction, no tie-break key needed.
+    One shuffle on user_id; frame evaluation is a streaming pass per
+    partition. The per-row decimal cast keeps the sliding sum exact, so
+    results are bit-identical at any partition count."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        "value",
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_1h_value"),
+    )

@@ -4,6 +4,7 @@ from smfg_datawarehouse_spark.plans.inspect import (
     read_schemas,
     assert_no_cartesian,
     broadcast_join_count,
+    exchange_count,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "read_schemas",
     "assert_no_cartesian",
     "broadcast_join_count",
+    "exchange_count",
 ]

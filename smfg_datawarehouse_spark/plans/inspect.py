@@ -42,6 +42,11 @@ def broadcast_join_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) BroadcastHashJoin", formatted_plan(df), re.M))
 
 
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators — the scale-cost witness."""
+    return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.M))
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, "plan contains a cartesian product"

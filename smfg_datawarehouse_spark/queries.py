@@ -845,6 +845,118 @@ def q37_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q39_customer_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q39_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/A4] LEFT OUTER join + two-level aggregation (TPC-H-Q13 shape):
+    customers keep a row even with zero orders (COUNT over the null-extended
+    side counts matches only). The first groupBy key equals the join key, so
+    the sort-merge join's partitioning is reused — one shuffle for join+agg,
+    then a tiny shuffle on |distinct counts| rows."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q40_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q40_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/A4/§2.10] Correlated scalar subquery (TPC-H-Q17 shape), manually
+    decorrelated the way Catalyst would: the per-part average joins back as
+    an aggregate, computed ONLY for the brand's parts (p_partkey determines
+    p_brand, so pre-filtering lineitem by the brand's partkeys yields the
+    identical per-part mean). At 100 TB the brand filter keeps the avg table
+    ~|part|/1000 rows — broadcastable — so lineitem is scanned once and
+    never shuffled. The mean uses the exact-decimal convention so the 0.2×
+    comparison boundary is bit-stable."""
+    pk = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    avgs = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avgs), F.col("l_partkey") == F.col("avg_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q41_nation_presence_full_outer",
+    """
+    WITH cn AS (
+      SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    sn AS (
+      SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+           COALESCE(cn.n_cust, 0) AS n_cust,
+           COALESCE(sn.n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+)
+def q41_nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/U] FULL OUTER join of two aggregated sides: nations with customers
+    but no suppliers (and vice versa) survive null-extended. Aggregating
+    BEFORE the join shrinks both sides to |nation| rows — the outer join is
+    trivial at any scale, where outer-joining the raw tables then
+    aggregating would shuffle everything."""
+    cn = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, ["nationkey"], "full").select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+    )
+
+
+@register(
     "q38_customer_order_quartiles",
     """
     SELECT o_orderkey, o_custkey, o_totalprice,

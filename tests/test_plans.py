@@ -8,6 +8,7 @@ from smfg_datawarehouse_spark import queries as qmod
 from smfg_datawarehouse_spark.plans import (
     assert_no_cartesian,
     broadcast_join_count,
+    exchange_count,
     pushed_filters,
     read_schemas,
 )
@@ -37,6 +38,28 @@ def test_q17_compiled_plan_pushes_incremental_filter(spark):
     # column — not lineitem's full 16-column schema
     schemas = read_schemas(df)
     assert schemas and len(schemas[0]) == 7
+
+
+def test_q40_decorrelated_subquery_broadcasts_both_joins(spark):
+    # brand partkeys broadcast into both lineitem branches and the per-part
+    # averages broadcast back: lineitem is never shuffled — the only
+    # exchanges are the tiny avgs groupBy and the final global agg
+    df = qmod.all_queries()["q40_small_quantity_revenue"](spark, SF)
+    assert broadcast_join_count(df) == 3
+    assert exchange_count(df) == 2
+    assert_no_cartesian(df)
+
+
+def test_q39_first_agg_reuses_join_partitioning(spark):
+    # join shuffle (2 sides) + final distribution agg = 3 exchanges; a 4th
+    # would mean the custkey groupBy re-shuffled the join output
+    df = qmod.all_queries()["q39_customer_order_distribution"](spark, SF)
+    assert exchange_count(df) <= 3
+
+
+def test_q42_single_shuffle_window(spark):
+    df = qmod.all_queries()["q42_rolling_hour_user_value"](spark, SF)
+    assert exchange_count(df) == 1
 
 
 def test_no_cartesian_in_relational_queries(spark):
