@@ -504,3 +504,50 @@ def x12_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg((F.count("a_nid").cast("double") / 10).alias("recall_at_10"))
     )
+
+
+@register(
+    "x08_label_centroids",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(embedding) AS val,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000.0 / COUNT(*) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def x08_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Per-label embedding centroids (long form: one row per label ×
+    dimension) — the vector-aggregation primitive behind IVF training and
+    class-prototype similarity. posexplode fans each vector into (dim, val)
+    rows, but partial aggregation collapses them map-side to |labels|×dim
+    rows before the one small shuffle — at 100 TB the shuffle volume is the
+    centroid table, not the corpus. Per-dimension sums accumulate in exact
+    integer micro-units (``floor(x·1e6 + 0.5)`` — identical IEEE ops on any
+    engine, same convention as the stateful streaming accumulator), so
+    centroids are bit-identical at any partition count. Float→DECIMAL casts
+    are NOT used here: Spark and DuckDB resolve their decimal rounding ties
+    differently for float inputs."""
+    from smfg_datawarehouse_spark.queries import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    micro = F.floor(F.col("val").cast("double") * 1000000.0 + 0.5).cast("long")
+    return (
+        ex.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            (F.sum(micro).cast("double") / 1000000.0 / F.count(F.lit(1)))
+            .alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

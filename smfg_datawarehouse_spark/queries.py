@@ -957,6 +957,25 @@ def q41_nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "q43_except_all_open_vs_finished",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q43_except_all_open_vs_finished(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U] EXCEPT ALL (multiset difference): each customer key survives
+    max(open_count − finished_count, 0) times — bag semantics q08's
+    EXCEPT DISTINCT can't express. Spark plans this as a single
+    count-differencing aggregation on the key (one shuffle), not a join."""
+    o = t(spark, sf_dir, "orders")
+    open_ = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    finished = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.exceptAll(finished)
+
+
+@register(
     "q38_customer_order_quartiles",
     """
     SELECT o_orderkey, o_custkey, o_totalprice,

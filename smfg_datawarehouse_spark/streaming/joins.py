@@ -42,3 +42,16 @@ def view_purchase_conversions(events: DataFrame, within: str = "30 minutes") -> 
         "purchase_ts",
         "purchase_value",
     )
+
+
+def enrich_with_dimension(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to each
+    event. The static side broadcasts, so the stream is never shuffled and
+    no join state accumulates — each micro-batch joins against the (cached)
+    dimension snapshot. This is the scalable shape for dimension lookup at
+    any rate; the dimension refreshes per micro-batch if it's a lake table.
+    Left join so events with no dimension row survive null-extended (same
+    semantics over batch — asserted stream == batch in tests)."""
+    return events.join(F.broadcast(dim), [key], "left")

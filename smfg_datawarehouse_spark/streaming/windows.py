@@ -86,14 +86,18 @@ def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
 
 
 def run_stream_to_memory(
-    spark: SparkSession, streaming_df: DataFrame, query_name: str
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
 ) -> DataFrame:
-    """Drain a streaming aggregation with Trigger.AvailableNow into a memory
-    sink; returns the result table. Complete output mode (windowed aggs)."""
+    """Drain a streaming query with Trigger.AvailableNow into a memory
+    sink; returns the result table. Complete output mode for windowed aggs
+    (the default); append for stateless transforms/joins."""
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -167,3 +167,32 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
     )
     q.awaitTermination(180)
     assert _rowset(spark.table("ss_join")) == expected
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_dir):
+    """Stream-static broadcast join (dimension enrichment): the static side
+    joins each micro-batch with no stream shuffle and no join state; result
+    must equal the same builder over the batch table, including events
+    whose user has no dimension row (left, null-extended)."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.queries import load_events
+    from smfg_datawarehouse_spark.streaming.joins import enrich_with_dimension
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    batch = load_events(spark, SF_DIR)
+    # static dimension derived from half the users, so the left join's
+    # null-extension path is exercised
+    dim = (
+        batch.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 2 == 0)
+        .withColumn("segment", (F.col("user_id") % 10).cast("string"))
+    )
+    expected = _rowset(enrich_with_dimension(batch, dim))
+
+    stream = events_stream(spark, events_dir, watermark="10 minutes")
+    result = run_stream_to_memory(
+        spark, enrich_with_dimension(stream, dim), "enrich_test", output_mode="append"
+    )
+    assert _rowset(result) == expected
