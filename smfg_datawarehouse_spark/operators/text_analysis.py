@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from smfg_datawarehouse_spark.functions import word_tokens
-from smfg_datawarehouse_spark.queries import register, t
+from smfg_datawarehouse_spark.queries import davg, register, t
 
 _STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -444,3 +444,121 @@ _VOCAB_ORACLE = rf"""
 def x26_vocabulary_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[X] Stopword-filtered corpus vocabulary (top-50 tokens by frequency)."""
     return build_vocabulary(t(spark, sf_dir, "documents"), top_n=50)
+
+
+_CURATION_ORACLE = r"""
+    WITH feats AS (
+      SELECT doc_id, source, text,
+             CAST(length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     w -> w <> '')) AS BIGINT) AS n_tokens,
+             CAST(length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  w -> w IN ('the','a','of','and','to','in','is','it'))) AS BIGINT)
+               AS stop_hits,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+             CAST(LEAST(length(text), 500) AS DOUBLE) / 500.0 AS len_norm,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, text, n_tokens,
+             0.4 * alpha_ratio
+               + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens
+                             ELSE 0.0 END)
+               + 0.3 * len_norm AS quality_score,
+             CAST(length(list_filter(tk, w -> w IN ('the','and','of','to','is'))) AS BIGINT) AS hits_en,
+             CAST(length(list_filter(tk, w -> w IN ('le','la','et','les','des'))) AS BIGINT) AS hits_fr,
+             CAST(length(list_filter(tk, w -> w IN ('der','die','und','das','ist'))) AS BIGINT) AS hits_de,
+             CAST(length(list_filter(tk, w -> w IN ('el','la','los','que','es'))) AS BIGINT) AS hits_es
+      FROM feats
+    ),
+    kept AS (
+      SELECT source, n_tokens, quality_score
+      FROM scored
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+        AND quality_score >= 0.5
+        AND (hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es
+             AND hits_en > 0)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(quality_score AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             AS avg_quality
+    FROM kept
+    GROUP BY source
+"""
+
+
+@register("x40_corpus_curation", _CURATION_ORACLE)
+def x40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] The end-to-end training-data curation pipeline as ONE declarative
+    plan: exact dedup (lowest-id survivor per content hash) → quality
+    scoring → language ID → per-source corpus statistics.
+
+    Every stage is column arithmetic over a single documents scan — the
+    dedup window (one shuffle on the content hash) and the final
+    per-source aggregation (one tiny shuffle) are the only data movement.
+    No operator materializes an intermediate corpus: Catalyst fuses the
+    scoring/lang-ID expressions into the scan, so at 100 TB this runs as
+    two shuffle stages end-to-end. The composite proves the operator
+    library composes: the same building blocks registered individually as
+    x01/x21/x22."""
+    from smfg_datawarehouse_spark.operators.dedup import exact_dedup
+
+    d = t(spark, sf_dir, "documents")
+    curated = lang_id(quality_features(exact_dedup(d, ["text"], "doc_id")))
+    return (
+        curated.where((F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            davg(F.col("quality_score")).alias("avg_quality"),
+        )
+    )
+
+
+@register(
+    "x27_bigrams_top50",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS tk
+      FROM documents
+    ),
+    bi AS (
+      SELECT unnest([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))])
+               AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bi GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def x27_bigrams_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Corpus bigram frequencies, top-50 — the n-gram statistics pass
+    LM tokenizer/vocab builders run over a corpus (unigram twin: x26).
+    Bigrams generate inside the token array via a higher-order transform
+    (no self-join, no second explode); count partials combine map-side
+    and TakeOrderedAndProject caps the result — the shuffle carries
+    |distinct bigrams| partial counts, never corpus rows. Tie-break on
+    the bigram string keeps the cut deterministic."""
+    d = t(spark, sf_dir, "documents")
+    tk = word_tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.slice(tk, 1, F.size(tk) - 1),
+            lambda w, i: F.concat_ws(" ", w, F.element_at(tk, i + F.lit(2))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )

@@ -976,6 +976,41 @@ def q43_except_all_open_vs_finished(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "q44_salted_event_type_totals",
+    f"""
+    SELECT event_type,
+           {_dsum_sql('value')} AS total_value,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q44_salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/skew] Skew-safe two-stage aggregation, oracle-checked against
+    the plain GROUP BY: events has only 5 event types, so every key is hot
+    — the worst case for a single-stage shuffle at scale. Stage 1
+    aggregates on (key, salt) bounding any task to 1/16 of a hot key;
+    stage 2 merges partials. Decimal partials are associative, so the
+    two-stage result is bit-identical to the one-stage plan."""
+    from smfg_datawarehouse_spark.functions.skew import salted_two_stage_agg
+
+    e = t(spark, sf_dir, "events")
+    return salted_two_stage_agg(
+        e,
+        keys=["event_type"],
+        salt_from=F.col("event_id"),
+        partial_aggs=[
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        ],
+        final_aggs=[
+            F.sum("_s").cast("double").alias("total_value"),
+            F.sum("_c").cast("long").alias("cnt"),
+        ],
+    )
+
+
+@register(
     "q38_customer_order_quartiles",
     """
     SELECT o_orderkey, o_custkey, o_totalprice,

@@ -133,3 +133,55 @@ def write_bucketed_table(
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table_name)
     return table_name
+
+
+def read_source(
+    spark,
+    fmt: str,
+    path: str,
+    schema=None,
+    options: dict | None = None,
+):
+    """Format-agnostic source reader (parquet / csv / json / orc / text).
+
+    The reference's only sources are MySQL and parquet; Spark's DataSource
+    V2 stack gives the rest for free, but the engine exposes ONE entry
+    point so metadata-driven configs can name a format the way they name a
+    table. An explicit ``schema`` skips the inference pass — REQUIRED at
+    scale for csv/json (schema inference reads the data twice) and the
+    only way to get stable types out of schemaless formats.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    fmt: str,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+    options: dict | None = None,
+) -> str:
+    """Format-agnostic sink twin of :func:`read_source`."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.format(fmt).save(path)
+    return path
+
+
+def read_evolved_parquet(spark, path: str):
+    """Read a parquet directory whose batches were written with EVOLVING
+    schemas (columns added over time): ``mergeSchema`` unions all part
+    schemas; rows from older batches surface the new columns as NULL.
+    The lake-side answer to the reference's mutable column configs —
+    adding a column to ``DW_Column_Config`` must not invalidate
+    already-landed data."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

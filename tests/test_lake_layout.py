@@ -57,3 +57,48 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_csv_json_round_trip(spark, tmp_path):
+    """Format-agnostic source/sink: csv and json round-trip with explicit
+    schemas (no inference pass — the scale-safe path for schemaless
+    formats)."""
+    from pyspark.sql import types as T
+
+    from smfg_datawarehouse_spark.sources.lake import read_source, write_sink
+
+    src = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.25), (3, None, 0.0)],
+        "id BIGINT, name STRING, score DOUBLE",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    for fmt, opts in [("csv", {"header": "true"}), ("json", {})]:
+        p = str(tmp_path / f"rt_{fmt}")
+        write_sink(src, fmt, p, options=opts)
+        back = read_source(spark, fmt, p, schema=schema, options=opts)
+        assert back.schema == src.schema
+        assert sorted(map(str, back.collect())) == sorted(map(str, src.collect()))
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Batches written before a column existed surface it as NULL under
+    mergeSchema — catalog column additions can't invalidate landed data."""
+    from smfg_datawarehouse_spark.sources.lake import read_evolved_parquet
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id BIGINT, name STRING").write.mode(
+        "overwrite"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id BIGINT, name STRING, score DOUBLE"
+    ).write.mode("append").parquet(p)
+    merged = read_evolved_parquet(spark, p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
