@@ -419,3 +419,73 @@ def q42_rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_1h_value"),
     )
+
+
+@register(
+    "q45_hourly_gap_fill",
+    f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             {_dsum_sql('value')} AS hr_value,
+             CAST(COUNT(*) AS BIGINT) AS hr_cnt
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT s.user_id,
+           CAST(s.h AS TIMESTAMP) AS hour_ts,
+           COALESCE(hh.hr_cnt, 0) AS hr_cnt,
+           last_value(hh.hr_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM spine s LEFT JOIN hourly hh ON s.user_id = hh.user_id AND s.h = hh.h
+    """,
+)
+def q45_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/§2.5/T2] Time-series resampling with gap fill: a dense hourly
+    spine per user (sequence + explode between the user's first and last
+    active hour), left-joined to hourly aggregates; silent hours carry
+    count 0 and the last observed hourly value forward (``last`` with
+    ignoreNulls over an ordered window). The spine generates |users| ×
+    |span-hours| rows — bounded by the calendar, not the event volume, so
+    at 100 TB it stays tiny relative to the corpus. Two shuffles total:
+    the hourly pre-aggregation and the per-user window (the spine join is
+    co-partitioned with the window's own shuffle)."""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            dsum(F.col("value")).alias("hr_value"),
+            F.count(F.lit(1)).alias("hr_cnt"),
+        )
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour_ts"),
+            F.coalesce("hr_cnt", F.lit(0)).cast("long").alias("hr_cnt"),
+            F.last("hr_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
