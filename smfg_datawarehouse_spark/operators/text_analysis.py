@@ -547,7 +547,10 @@ def x27_bigrams_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     |distinct bigrams| partial counts, never corpus rows. Tie-break on
     the bigram string keeps the cut deterministic."""
     d = t(spark, sf_dir, "documents")
-    tk = word_tokens(F.col("text"))
+    # materialize the token array ONCE per row: referencing the raw
+    # tokenization expression inside the transform lambda would inline (and
+    # re-evaluate) the regexp split per element — O(tokens²) per doc
+    tk = F.col("_tk")
     bigrams = F.when(
         F.size(tk) >= 2,
         F.transform(
@@ -555,10 +558,50 @@ def x27_bigrams_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda w, i: F.concat_ws(" ", w, F.element_at(tk, i + F.lit(2))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # repartition before the row-multiplying explode: the corpus arrives as
+    # few scan splits, and without this the explode+count runs single-task
+    n_parts = spark.sparkContext.defaultParallelism
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.repartition(n_parts)
+        .withColumn("_tk", word_tokens(F.col("text")))
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
         .limit(50)
+    )
+
+
+@register(
+    "x29_train_val_split",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents
+    )
+    SELECT CASE WHEN hh < 'c' THEN 'train' ELSE 'val' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM h GROUP BY 1
+    """,
+)
+def x29_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Deterministic hash-based train/validation split (~75/25): a doc
+    lands in 'train' iff the md5 of its id is lexicographically below 'c'
+    (12 of 16 leading hex values). Hash splits are THE reproducible way to
+    partition a training corpus — stable under reruns, joins, and corpus
+    growth (a doc's split never changes when others are added), and free:
+    the split is a scan-side expression, no shuffle beyond the stats agg.
+    Emits per-split corpus statistics for split-balance verification."""
+    d = t(spark, sf_dir, "documents")
+    split = F.when(
+        F.md5(F.col("doc_id").cast("string")) < "c", "train"
+    ).otherwise("val")
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
     )

@@ -1011,6 +1011,39 @@ def q44_salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q46_stratified_systematic_sample",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn % 10 = 1
+    """,
+)
+def q46_stratified_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/X] Stratified systematic sampling: every 10th row per stratum
+    in key order — reproducible (unlike ``df.sample``, whose output depends
+    on partitioning) and exactly proportional per stratum. One shuffle on
+    the stratum key. At 100 TB prefer the shuffle-free hash variant
+    (``pmod(hash(key), 10) = 0``) when per-stratum exactness isn't
+    required; both are deterministic."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") % 10 == 1)
+        .drop("rn")
+    )
+
+
+@register(
     "q38_customer_order_quartiles",
     """
     SELECT o_orderkey, o_custkey, o_totalprice,
