@@ -81,6 +81,24 @@ def _translate_date_format_literals(sql: str) -> str:
     )
 
 
+def _translate_str_to_date_literals(sql: str) -> str:
+    """Rewrite STR_TO_DATE(x, '%-tokens') — DATE_FORMAT's parsing twin —
+    into ``to_timestamp(x, 'spark-tokens')`` with the same token map."""
+
+    def repl(m: re.Match) -> str:
+        fmt = m.group(2)
+        for tok, spark_tok in _DATE_FORMAT_TOKENS.items():
+            fmt = fmt.replace(tok, spark_tok)
+        return f"to_timestamp({m.group(1)},'{fmt}')"
+
+    return re.sub(
+        r"STR_TO_DATE\s*\(\s*(.+?)\s*,\s*'([^']*)'\s*\)",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def translate(expr_sql: str) -> str:
     """Translate one MySQL scalar expression to Spark SQL. Raises
     :class:`DialectError` on rejected constructs."""
@@ -90,6 +108,7 @@ def translate(expr_sql: str) -> str:
         )
     out = expr_sql.replace("`", "")
     out = _translate_date_format_literals(out)
+    out = _translate_str_to_date_literals(out)
     for mysql_fn, spark_fn in _SIMPLE_FN_RENAMES.items():
         out = re.sub(rf"\b{mysql_fn}\s*\(", f"{spark_fn}(", out, flags=re.IGNORECASE)
     return out

@@ -1044,6 +1044,35 @@ def q46_stratified_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "q47_ranking_variants",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CUME_DIST() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q47_ranking_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5] The remaining ranking-window family in one pass: RANK (gaps on
+    ties), DENSE_RANK (no gaps), CUME_DIST (rows ≤ current / total — a
+    ratio of exact ints, bit-stable). Per-customer partitions: one shuffle,
+    parallel across keys — the scalable window shape (contrast q38's
+    global window)."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
     "q38_customer_order_quartiles",
     """
     SELECT o_orderkey, o_custkey, o_totalprice,

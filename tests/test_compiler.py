@@ -151,6 +151,8 @@ def test_dialect_translated_expressions_evaluate(spark):
         ("CONCAT(s, '-', CAST(n AS STRING))", ["a-1", "-2"]),
         ("DATE_FORMAT(TIMESTAMP '2024-03-05 07:08:09', '%Y/%m/%d %H:%i')",
          ["2024/03/05 07:08", "2024/03/05 07:08"]),
+        ("CAST(STR_TO_DATE('05/03/2024', '%d/%m/%Y') AS DATE)",
+         [__import__("datetime").date(2024, 3, 5)] * 2),
     ]
     from smfg_datawarehouse_spark import dialect
 
