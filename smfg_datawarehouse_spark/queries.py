@@ -741,6 +741,51 @@ def l01_runner_audit_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l02_versioned_merge_lifecycle",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    updates AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate
+      FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+    )
+    SELECT * FROM updates
+    UNION ALL
+    SELECT * FROM target
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+)
+def l02_versioned_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3/S7] q19's MERGE scenario run through the durable path: the
+    target snapshot lands as ``VersionedTable`` v0, the update batch
+    merges into an atomic v1 snapshot (old version intact for time
+    travel), and the returned state is read back FROM STORAGE — the
+    declared DW-load upsert with Delta-style visibility semantics on
+    plain parquet. Same oracle as q19: durability must not change MERGE
+    semantics."""
+    import tempfile
+
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+
+    o = t(spark, sf_dir, "orders")
+    target = o.where("o_orderdate < DATE '1997-01-01'").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    updates = o.where("o_orderdate >= DATE '1996-01-01'").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate",
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="sgraft_vt_"))
+    vt.write(target)
+    vt.merge(updates, ["o_orderkey"])
+    return vt.read()
+
+
+@register(
     "q33_intersect_nations",
     """
     SELECT c_nationkey AS nationkey FROM customer

@@ -1,0 +1,101 @@
+"""Snapshot-versioned table: atomic visibility, time travel, MERGE, vacuum,
+and the streaming foreachBatch-MERGE path on top of it."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("k", "v").collect())
+
+
+def test_versioned_write_merge_time_travel_vacuum(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "tbl"))
+    assert vt.versions() == [] and vt.current_version() is None
+
+    v0 = vt.write(spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING"))
+    assert v0 == 0 and vt.versions() == [0]
+
+    # MERGE: key 2 updated, key 3 inserted, key 1 survives untouched
+    v1 = vt.merge(
+        spark.createDataFrame([(2, "B"), (3, "c")], "k INT, v STRING"), ["k"]
+    )
+    assert v1 == 1
+    assert _rows(vt.read()) == [(1, "a"), (2, "B"), (3, "c")]
+    # time travel: the old snapshot is intact
+    assert _rows(vt.read(version=0)) == [(1, "a"), (2, "b")]
+
+    v2 = vt.merge(spark.createDataFrame([(1, "A")], "k INT, v STRING"), ["k"])
+    assert vt.versions() == [0, 1, 2]
+    removed = vt.vacuum(keep_last=2)
+    assert removed == [0] and vt.versions() == [1, 2]
+    assert _rows(vt.read()) == [(1, "A"), (2, "B"), (3, "c")]
+    assert v2 == 2
+
+
+def test_versioned_uncommitted_snapshot_invisible(spark, tmp_path):
+    """A version directory without _SUCCESS (crashed write) is never
+    visible and is cleaned by vacuum."""
+    vt = VersionedTable(spark, str(tmp_path / "tbl"))
+    vt.write(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    # simulate a crash: v=1 exists but has no _SUCCESS marker
+    dead = tmp_path / "tbl" / "v=1"
+    dead.mkdir()
+    (dead / "part-junk.parquet").write_bytes(b"not parquet")
+    assert vt.versions() == [0]
+    assert _rows(vt.read()) == [(1, "a")]
+    vt.vacuum(keep_last=1)
+    assert not os.path.exists(str(dead))
+
+
+def test_versioned_streaming_merge(spark, tmp_path):
+    """foreachBatch MERGE into a VersionedTable: after N micro-batches the
+    table equals the batch latest-wins state, with one snapshot per batch
+    and full history retained until vacuum."""
+    from smfg_datawarehouse_spark.operators.dedup import latest_wins_dedup
+    from smfg_datawarehouse_spark.queries import load_events
+
+    SF_DIR = "/root/testdata/sf0.001"
+    src = load_events(spark, SF_DIR)
+    src_dir = str(tmp_path / "src")
+    src.repartition(3).write.parquet(src_dir)
+
+    vt = VersionedTable(spark, str(tmp_path / "curated"))
+
+    def latest(df):
+        return latest_wins_dedup(
+            df.withColumn("_ord", F.struct("ts", "event_id")), ["user_id"], "_ord"
+        ).drop("_ord")
+
+    def sink(batch_df, _bid):
+        # ts-aware upsert: union the previous snapshot with the batch and
+        # keep the latest row per user — plain updates-win MERGE would
+        # regress a user if a later batch carried an older event. Reading
+        # the old snapshot while writing the new one is safe: the write
+        # lands in a fresh v=N+1 directory.
+        merged = batch_df
+        if vt.current_version() is not None:
+            merged = vt.read().unionByName(batch_df)
+        vt.write(latest(merged))
+
+    q = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def rowset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    assert len(vt.versions()) == 3  # one snapshot per micro-batch
+    assert rowset(vt.read()) == rowset(latest(src))
