@@ -6,7 +6,10 @@ Prints ONE JSON line:
 
 Each query is executed to completion (count + a cheap checksum collect) so
 lazy plans can't fake speed. A warmup pass on sf0.001 triggers JIT/codegen
-before timing.
+before timing. Each query's recorded time is the MIN of $SPARK_GRAFT_REPEATS
+(default 2) cold runs — min-of-N filters host/GC noise (observed 3-10×
+spikes on otherwise-stable queries under co-tenant load) while caches are
+cleared per run so every repeat still times the cold path.
 """
 
 from __future__ import annotations
@@ -40,13 +43,17 @@ def main() -> None:
         except Exception:
             pass
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
-        # caches are scoped per query invocation (dedup prefix tables, LSH
-        # signatures); drop them between queries so earlier queries' leftovers
-        # don't skew later timings via memory pressure
-        spark.catalog.clearCache()
-        timings[name] = round(run_query(fn, spark, sf_dir), 4)
+        best = float("inf")
+        for _ in range(repeats):
+            # caches are scoped per query invocation (dedup prefix tables,
+            # LSH signatures); drop them before every run so leftovers don't
+            # skew timings via memory pressure AND each repeat stays cold
+            spark.catalog.clearCache()
+            best = min(best, run_query(fn, spark, sf_dir))
+        timings[name] = round(best, 4)
 
     out = {
         "metric": "total_wall_sec",
