@@ -605,3 +605,164 @@ def x29_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc_id"),
         F.max("doc_id").cast("long").alias("max_doc_id"),
     )
+
+
+@register(
+    "x32_repetition_stats",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tk, UNNEST(t) AS u(tok) GROUP BY doc_id, tok
+    ), r AS (
+      SELECT doc_id, tok, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+      FROM cnt
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS repetition_ratio,
+           MAX(CASE WHEN rn = 1 THEN tok END) AS top_token,
+           CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top_token_count
+    FROM r GROUP BY doc_id
+    """,
+)
+def x32_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Within-document repetition profiling — the Gopher/C4-style
+    quality rule that flags boilerplate and degenerate generations: token
+    repetition ratio (1 - distinct/total) plus the dominant token and its
+    count per document. One repartition by doc_id feeds the (doc, token)
+    count, the per-doc ranking window, AND the final per-doc rollup — the
+    explode never crosses the wire again (hash partitioning on doc_id
+    satisfies every downstream clustering). The ratio divides two exact
+    ints once in double: bit-stable at any parallelism."""
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("doc_id").orderBy(F.col("c").desc(), "tok")
+    return (
+        d.repartition(F.col("doc_id"))
+        .withColumn("_tk", word_tokens(F.col("text")))
+        .select("doc_id", F.explode("_tk").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (
+                F.lit(1.0)
+                - F.count(F.lit(1)).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("repetition_ratio"),
+            F.max(F.when(F.col("rn") == 1, F.col("tok"))).alias("top_token"),
+            F.max(F.when(F.col("rn") == 1, F.col("c")))
+            .cast("long")
+            .alias("top_token_count"),
+        )
+    )
+
+
+@register(
+    "x33_pii_masking",
+    r"""
+    SELECT event_type,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS masked_template,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+             AS n_redactions
+    FROM events
+    GROUP BY event_type, masked_template
+    """,
+)
+def x33_pii_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] PII-style redaction + payload templating: numeric identifiers in
+    the raw event payload are masked to a placeholder, and payloads are
+    rolled up by (event_type, masked template) with how many identifier
+    runs each template redacts — the redaction-audit shape of a training
+    -data scrubbing pass (real deployments swap in email/phone/SSN
+    patterns; the digit-run class keeps the oracle regex-dialect-safe).
+    Masking is a scan-side codegen expression; the single shuffle carries
+    |templates| partial counts, not events."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.regexp_replace(F.col("props"), "[0-9]+", "<NUM>").alias(
+                "masked_template"
+            ),
+            F.size(F.expr("regexp_extract_all(props, '[0-9]+', 0)")).alias("_nr"),
+        )
+        .groupBy("event_type", "masked_template")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_nr").cast("long").alias("n_redactions"),
+        )
+    )
+
+
+@register(
+    "x34_cross_source_contamination",
+    r"""
+    WITH tk AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT source, gram
+      FROM tk, UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS u(gram)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY source_a, source_b
+    """,
+)
+def x34_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Train/test-set decontamination signal: for every pair of corpus
+    sources, how many distinct word 3-gram shingles they share — the
+    standard overlap check before a source is admitted to training data
+    (high overlap with an eval source = contamination). NOT a self-join:
+    shingles group once by gram (collect_set dedups sources per gram) and
+    source pairs are generated inside the array, so the work is
+    Σ|sources-per-gram|² — bounded by the source count, never |docs|² —
+    and the big explode crosses the wire exactly once."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    tk = F.col("_tk")
+    grams = F.when(
+        F.size(tk) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    srcs = F.col("srcs")
+    pairs = F.flatten(
+        F.transform(
+            srcs,
+            lambda a, i: F.transform(
+                F.slice(srcs, i + F.lit(2), F.size(srcs)),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
+        )
+    )
+    return (
+        d.repartition(n_parts)
+        .withColumn("_tk", word_tokens(F.col("text")))
+        .select("source", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

@@ -1143,3 +1143,231 @@ def q38_customer_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
     )
+
+
+@register(
+    "q48_volume_shipping",
+    f"""
+    WITH rev AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    )
+    SELECT supp_nation, cust_nation, o_year,
+           {_dsum_sql('volume')} AS revenue
+    FROM rev GROUP BY supp_nation, cust_nation, o_year
+    """,
+)
+def q48_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/A4] TPC-H-Q7-shaped 6-way join: bilateral trade volume between two
+    nations by year. Catalyst plans the three dimension joins (supplier,
+    customer, nation x2) as broadcasts; only the lineitem<->orders join is a
+    big-big shuffle. The nation filter reaches the supplier/customer scans
+    as a semi-join reduction via the broadcast, so at 100 TB the post-join
+    stream is ~(2/|nation|)^2 of the raw join. Re-expresses the reference's
+    declared analytical surface (SURVEY.md 2.4 A4, dag placeholder
+    SMFG_DW_ETL_DAG.py:325-339)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ["NATION_3", "NATION_7"]
+    n1 = n.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q49_market_share",
+    """
+    WITH alln AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                              ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+    FROM alln GROUP BY o_year
+    """,
+)
+def q49_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/A4] TPC-H-Q8-shaped market share: one nation's fraction of a
+    region's PROMO-part revenue per year. 8-way join where every dimension
+    broadcasts; the conditional-sum / total-sum ratio is two exact-decimal
+    sums divided once in double (single IEEE op -- bit-stable). The region
+    and part-type filters are pushed below the joins, so the fact stream is
+    pre-reduced before the one big shuffle (lineitem x orders)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((dsum(target) / dsum(vol)).alias("mkt_share"))
+    )
+
+
+@register(
+    "q50_primary_supplier_parts",
+    """
+    WITH sp AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, qty,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY qty DESC, l_suppkey) AS rn,
+             SUM(qty) OVER (PARTITION BY l_partkey) AS total_qty
+      FROM sp
+    )
+    SELECT l_suppkey AS s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_primary_parts,
+           CAST(SUM(qty) AS DOUBLE) AS primary_qty,
+           CAST(SUM(total_qty) AS DOUBLE) AS covered_qty
+    FROM ranked WHERE rn = 1
+    GROUP BY l_suppkey
+    """,
+)
+def q50_primary_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/A4/2.5] TPC-H-Q20-shaped supply-dominance analysis via two
+    aggregation granularities: per-(part, supplier) shipped quantity ranked
+    against the per-part total; the rank-1 supplier is each part's primary
+    source, rolled up per supplier with its share of covered volume.
+    Repartitioning by l_partkey FIRST lets the (partkey, suppkey) groupBy
+    AND both per-part windows reuse that single shuffle (hash partitioning
+    on a key prefix satisfies the clustered distribution of the wider
+    key) -- one fact exchange total where the naive plan pays three.
+    Decimal sums keep ranking and totals bit-stable under any partitioning."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    sp = (
+        li.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("qty"))
+    )
+    wr = W.partitionBy("l_partkey").orderBy(F.col("qty").desc(), F.col("l_suppkey"))
+    wt = W.partitionBy("l_partkey")
+    return (
+        sp.withColumn("rn", F.row_number().over(wr))
+        .withColumn("total_qty", F.sum("qty").over(wt))
+        .where(F.col("rn") == 1)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_primary_parts"),
+            F.sum("qty").cast("double").alias("primary_qty"),
+            F.sum("total_qty").cast("double").alias("covered_qty"),
+        )
+    )
+
+
+@register(
+    "q51_idle_rich_customers",
+    f"""
+    WITH avg_bal AS (
+      SELECT {_davg_sql('c_acctbal')} AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           {_dsum_sql('c_acctbal')} AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+    """,
+)
+def q51_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/A4/2.10] TPC-H-Q22 shape: above-average-balance customers with no
+    finished orders, rolled up by market segment. Composes an uncorrelated
+    scalar subquery (global positive-balance mean, 1-row broadcast -- never
+    a driver-side collect) with a filtered NOT EXISTS anti-join. At scale
+    the anti join shuffles customer against the status-filtered order
+    custkeys; the balance filter runs FIRST so only above-threshold
+    customers shuffle at all."""
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    thresh = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(davg(F.col("c_acctbal")).alias("ab"))
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
