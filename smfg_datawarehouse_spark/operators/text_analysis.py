@@ -766,3 +766,136 @@ def x34_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+@register(
+    "x35_oov_rate",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, tokw FROM tk, UNNEST(t) AS u(tokw)
+    ), vocab AS (
+      SELECT tokw FROM tok GROUP BY tokw
+      ORDER BY COUNT(*) DESC, tokw LIMIT 100
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tokw IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.tokw IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.tokw = v.tokw
+    GROUP BY tok.doc_id
+    """,
+)
+def x35_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Out-of-vocabulary rate per document against the corpus top-100
+    vocabulary — the vocabulary-coverage quality filter (docs dominated by
+    rare/garbage tokens score high and get dropped before training). Two
+    passes over the tokenized corpus: the vocabulary aggregates to 100 rows
+    and BROADCASTS, so the per-doc scoring join adds no shuffle — at 100 TB
+    the only exchanges are the vocab count and the per-doc rollup. The
+    boundary tie at rank 100 breaks on the token string: deterministic cut.
+    OOV rate is a single int/int divide — bit-stable."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    tok = (
+        d.repartition(n_parts)
+        .withColumn("_tk", word_tokens(F.col("text")))
+        .select("doc_id", F.explode("_tk").alias("tokw"))
+    )
+    vocab = (
+        tok.groupBy("tokw")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tokw")
+        .limit(100)
+        .select("tokw", F.lit(1).alias("iv"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tokw", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            (
+                F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "x36_source_divergence",
+    r"""
+    WITH tk AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), tok AS (
+      SELECT source, tokw FROM tk, UNNEST(t) AS u(tokw)
+    ), cst AS (
+      SELECT source, tokw, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, tokw
+    ), ns AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY source
+    ), ct AS (
+      SELECT tokw, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY tokw
+    ), tot AS (
+      SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM cst
+    )
+    SELECT cst.source,
+           CAST(MAX(ns.n_s) AS BIGINT) AS n_tokens,
+           1.0 + CAST(SUM(CAST(
+                   abs(CAST(c_st AS DOUBLE) / ns.n_s
+                       - CAST(c_t AS DOUBLE) / tot.n)
+                   - CAST(c_t AS DOUBLE) / tot.n
+                 AS DECIMAL(30,6))) AS DOUBLE) AS l1_divergence
+    FROM cst JOIN ns USING (source) JOIN ct USING (tokw) CROSS JOIN tot
+    GROUP BY cst.source
+    """,
+)
+def x36_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Per-source unigram-distribution L1 divergence from the corpus
+    distribution — the domain-mixing / distribution-shift signal used to
+    set source sampling weights (and to flag drifted or junk sources)
+    before training. Absent tokens are handled WITHOUT densifying the
+    source x vocab cross product: sum_absent p_t telescopes to
+    1 - sum_present p_t, so L1 = 1 + sum_present(|p_st - p_t| - p_t) and
+    only observed (source, token) pairs are ever materialized. The big
+    shuffle is the (source, token) count; token totals (vocab-sized) and
+    per-source totals broadcast back onto it. Each |.|-term is one fixed
+    IEEE expression; the sum accumulates in exact decimal — bit-stable at
+    any partition count."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    tok = (
+        d.repartition(n_parts)
+        .withColumn("_tk", word_tokens(F.col("text")))
+        .select("source", F.explode("_tk").alias("tokw"))
+    )
+    cst = tok.groupBy("source", "tokw").agg(F.count(F.lit(1)).alias("c_st"))
+    ns = cst.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    ct = cst.groupBy("tokw").agg(F.sum("c_st").cast("long").alias("c_t"))
+    tot = cst.agg(F.sum("c_st").cast("long").alias("n"))
+    p_t = F.col("c_t").cast("double") / F.col("n")
+    term = F.abs(F.col("c_st").cast("double") / F.col("n_s") - p_t) - p_t
+    from smfg_datawarehouse_spark.queries import dsum
+
+    return (
+        cst.join(F.broadcast(ns), "source")
+        .join(F.broadcast(ct), "tokw")
+        .join(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            (F.lit(1.0) + dsum(term)).alias("l1_divergence"),
+        )
+    )

@@ -1371,3 +1371,41 @@ def q51_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q52_unpivot_measures",
+    f"""
+    SELECT measure,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_dsum_sql('val')} AS total,
+           {_davg_sql('val')} AS mean_val
+    FROM (
+      UNPIVOT lineitem
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE val
+    )
+    GROUP BY measure
+    """,
+)
+def q52_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/P] UNPIVOT (wide -> long melt) of the fact table's measure
+    columns with per-measure profiling — the reshape the reference's
+    metadata-driven transform stage would need to audit a 74-column wide
+    table column-by-column (SURVEY 1.2: guarantee_accounts,
+    2. SampleConfigInsert.sql:30-101). Spark's native ``unpivot`` expands
+    rows scan-side (no shuffle for the melt itself); the aggregate then
+    collapses map-side to 4 groups. Decimal-exact sums keep the profile
+    bit-stable."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("val")).alias("total"),
+        davg(F.col("val")).alias("mean_val"),
+    )

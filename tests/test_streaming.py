@@ -8,6 +8,7 @@ from smfg_datawarehouse_spark.streaming.windows import (
     events_stream,
     run_stream_to_memory,
     session_agg,
+    sliding_agg,
     tumbling_agg,
 )
 
@@ -39,6 +40,22 @@ def test_tumbling_stream_equals_batch(spark, events_dir):
 
     stream = events_stream(spark, events_dir, watermark="10 minutes")
     result = run_stream_to_memory(spark, tumbling_agg(stream, "1 hour"), "tumbling_test")
+    assert _rowset(result) == expected
+
+
+def test_sliding_stream_equals_batch(spark, events_dir):
+    """Overlapping windows: each event must land in width/slide windows in
+    the stream exactly as in batch (watermark only bounds state, never
+    drops rows in a one-pass AvailableNow replay)."""
+    from smfg_datawarehouse_spark.queries import load_events
+
+    batch = load_events(spark, SF_DIR)
+    expected = _rowset(sliding_agg(batch, "1 hour", "30 minutes"))
+
+    stream = events_stream(spark, events_dir, watermark="10 minutes")
+    result = run_stream_to_memory(
+        spark, sliding_agg(stream, "1 hour", "30 minutes"), "sliding_test"
+    )
     assert _rowset(result) == expected
 
 
