@@ -899,3 +899,113 @@ def x36_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) + dsum(term)).alias("l1_divergence"),
         )
     )
+
+
+@register(
+    "x37_mean_token_prob",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, tokw FROM tk, UNNEST(t) AS u(tokw)
+    ), ct AS (
+      SELECT tokw, CAST(COUNT(*) AS BIGINT) AS c_t FROM tok GROUP BY tokw
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(floor(CAST(ct.c_t AS DOUBLE) / tot.n * 1e15 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1e15 / COUNT(*)
+             AS mean_token_prob
+    FROM tok JOIN ct USING (tokw) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+)
+def x37_mean_token_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Per-document mean unigram probability under the corpus unigram
+    LM — the transcendental-free stand-in for perplexity-based quality
+    scoring (low mean probability = rare/garbage-token text; the same
+    ranking as unigram perplexity without log(), which would not be
+    bit-reproducible across engines). Two passes over the tokenized
+    corpus: token counts aggregate vocab-sized and BROADCAST back onto the
+    token stream (vocabulary << corpus at any scale), so the only big
+    exchanges are the vocab count and the per-doc rollup. Each p(t) is one
+    int/int divide quantized to integer femto-units (floor(p*1e15 + 0.5) —
+    double→DECIMAL rounds ties differently across engines, exact BIGINT
+    sums don't); the per-doc sum is exact integer, associative,
+    partition-order-proof; the mean is two fixed-order divides."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    tok = (
+        d.repartition(n_parts)
+        .withColumn("_tk", word_tokens(F.col("text")))
+        .select("doc_id", F.explode("_tk").alias("tokw"))
+    )
+    ct = tok.groupBy("tokw").agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    p_units = F.floor(
+        F.col("c_t").cast("double") / F.col("n") * 1e15 + 0.5
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(ct), "tokw")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (
+                F.sum(p_units).cast("double") / 1e15 / F.count(F.lit(1))
+            ).alias("mean_token_prob"),
+        )
+    )
+
+
+@register(
+    "x38_length_deciles",
+    r"""
+    WITH lens AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), buckets AS (
+      SELECT doc_id, n_tokens,
+             CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+               AS decile
+      FROM lens
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM buckets GROUP BY decile
+    """,
+)
+def x38_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Token-length decile profile of the corpus — the
+    length-distribution audit run before choosing packing/truncation
+    lengths for training (which deciles carry the token mass, where the
+    tail starts). ntile(10) over (n_tokens, doc_id) — the doc_id tie-break
+    makes bucket edges deterministic. The window is a global sort, the one
+    genuinely unavoidable total-order shuffle in this file; at 100 TB the
+    same statistic would switch to approx_percentile bounds, so this query
+    is the exact small-N twin the approximation gets checked against. All
+    outputs are integer aggregates — nothing to drift."""
+    d = t(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", F.size(word_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    buckets = lens.withColumn(
+        "decile",
+        F.ntile(10).over(W.orderBy("n_tokens", "doc_id")).cast("long"),
+    )
+    return buckets.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
