@@ -1960,3 +1960,223 @@ def q63_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "q64_event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS stage_ord, 'view' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    )
+    """,
+)
+def q64_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/T2] Ordered event funnel (view -> click -> purchase): users who
+    completed each stage IN TIME ORDER (a click before the first view
+    doesn't count), the product-analytics staple the reference's REALTIME
+    cadence declares but never builds (1. Metadata Creation.sql:66). Each
+    stage is a per-user MIN over a type-sliced scan, and every stage's
+    user set is ≤ |users| rows, so stages 2 and 3 join their predecessor
+    as BROADCASTS onto the event stream — three type-pruned passes, no
+    user-keyed big shuffle beyond the per-user aggs, which AQE coalesces.
+    Timestamps compare exactly (micros); counts are BIGINT — nothing to
+    drift."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(F.broadcast(v.select("user_id", "t_view")), "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c.select("user_id", "t_click")), "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    cnt = lambda df, name: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).select(F.lit(name).alias("stage"), "n_users")
+    return (
+        cnt(v, "view")
+        .unionByName(cnt(c, "view>click"))
+        .unionByName(cnt(p, "view>click>purchase"))
+    )
+
+
+@register(
+    "q65_cohort_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id
+    )
+    SELECT c.cohort_wk,
+           CAST(date_diff('day', c.cohort_wk, a.wk) / 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM act a JOIN cohort c ON c.user_id = a.user_id
+    GROUP BY c.cohort_wk, week_offset
+    """,
+)
+def q65_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/T2] Weekly cohort-retention matrix: users grouped by first-seen
+    week, counted in each subsequent active week — the warehouse rollup
+    behind every retention dashboard. One pass builds the distinct
+    (user, week) activity set; the per-user MIN reduces it to a
+    |users|-row cohort table that BROADCASTS back onto the activity set,
+    so the only big exchanges are the activity distinct and the final
+    (cohort, offset) rollup. date_trunc('week') is ISO-Monday in both
+    engines; the offset is integer day-arithmetic — bit-stable. (The
+    distinct-(user,week) set is already user-partitioned after its
+    shuffle, so the cohort agg reuses that partitioning.)"""
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    act = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+    )
+
+
+@register(
+    "q66_user_sessions",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, user_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_dsum_sql('value')} AS total_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def q66_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/2.5] Batch sessionization with explicit session IDs: a session
+    break is a >30-min silence; the break flags' running sum numbers each
+    user's sessions — lag + cumulative-sum, the standard gaps-and-islands
+    rewrite that needs NO self-join. Both windows and the final rollup
+    share one user_id partitioning, so the whole query is a single
+    shuffle; per-user state is a sort within a partition, exactly how it
+    scales on a 1000-executor cluster. Complements q22's session_window
+    agg (which fuses the numbering away) by materializing the session
+    identity a downstream join would need. event_id tie-breaks equal
+    timestamps; the micro-precision interval compare and BIGINT counts are
+    engine-exact; total_value uses the decimal-sum convention."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    sess = (
+        e.withColumn("is_start", is_start)
+        .withColumn(
+            "session_no",
+            F.sum("is_start")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@register(
+    "q67_rolling_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), covered AS (
+      SELECT user_id, CAST(d + INTERVAL (i) DAY AS DATE) AS cover_d
+      FROM ud, UNNEST(range(7)) AS u(i)
+    )
+    SELECT c.cover_d AS d,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM covered c
+    WHERE c.cover_d IN (SELECT d FROM ud)
+    GROUP BY c.cover_d
+    """,
+)
+def q67_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/2.5] Trailing-7-day active users per day (WAU) — the rolling
+    DISTINCT that a RANGE window cannot express (count distinct over a
+    sliding frame). Rewritten as coverage-explode: each (user, day) row
+    covers the 7 days it keeps the user 'active', then one distinct-count
+    per day — a LINEAR x7 row blowup and a single keyed shuffle, versus
+    the quadratic day-range self-join a naive rewrite does (and versus
+    recomputing 7 daily distincts). The observed-day semi filter keeps
+    only real days (broadcast, day-cardinality). Date arithmetic and
+    BIGINT counts only — engine-exact."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("cover_d"),
+    )
+    return (
+        covered.join(
+            F.broadcast(days), F.col("cover_d") == F.col("d"), "left_semi"
+        )
+        .groupBy(F.col("cover_d").alias("d"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
