@@ -1009,3 +1009,113 @@ def x38_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").cast("long").alias("max_tokens"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
     )
+
+
+@register(
+    "x39_temperature_weights",
+    r"""
+    WITH tk AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n
+      FROM documents
+    ), s AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_s,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM tk GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s
+    )
+    SELECT source, n_docs, n_s, p_raw,
+           CAST(u AS DOUBLE) / CAST(SUM(u) OVER () AS DOUBLE) AS p_alpha
+    FROM (
+      SELECT s.source, s.n_docs, s.n_s,
+             CAST(s.n_s AS DOUBLE) / tot.n AS p_raw,
+             CAST(floor(sqrt(CAST(s.n_s AS DOUBLE) / tot.n) * 1e12 + 0.5)
+                  AS BIGINT) AS u
+      FROM s CROSS JOIN tot
+    )
+    """,
+)
+def x39_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Temperature-scaled source sampling weights (alpha = 0.5):
+    p_alpha(s) = p(s)^0.5 / sum_s p(s)^0.5 — the up-weighting of small
+    sources used when mixing domains for training (alpha=1 keeps natural
+    proportions, alpha->0 approaches uniform). Token mass per source is
+    one rollup; the source table is tiny, so the normalizing SUM runs as
+    an unpartitioned window over a handful of rows — the corpus is
+    touched exactly once. sqrt (alpha=0.5) is IEEE-exact (unlike general
+    pow/exp), but the normalizer would sum doubles in engine-dependent
+    order, so each sqrt is quantized to pico-units (floor(x*1e12 + 0.5))
+    and the normalizer is an EXACT integer sum (order-free); p_alpha is
+    one divide of two ints that fit a double exactly — bit-stable."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "source", F.size(word_tokens(F.col("text"))).cast("long").alias("n")
+    )
+    s = tk.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tot = s.agg(F.sum("n_s").cast("long").alias("n"))
+    p_raw = F.col("n_s").cast("double") / F.col("n")
+    u = F.floor(F.sqrt(p_raw) * 1e12 + 0.5).cast("long")
+    w = W.partitionBy()
+    return (
+        s.join(F.broadcast(tot))
+        .select("source", "n_docs", "n_s", p_raw.alias("p_raw"), u.alias("u"))
+        .select(
+            "source", "n_docs", "n_s", "p_raw",
+            (
+                F.col("u").cast("double")
+                / F.sum("u").over(w).cast("double")
+            ).alias("p_alpha"),
+        )
+    )
+
+
+@register(
+    "x41_token_budget",
+    r"""
+    WITH tk AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(ceil(CAST(n AS DOUBLE) / 128.0) AS BIGINT)) AS BIGINT)
+             AS n_seqs_128,
+           CAST(SUM(CAST(ceil(CAST(n AS DOUBLE) / 128.0) AS BIGINT)) * 128
+                - SUM(n) AS BIGINT) AS pad_waste_128,
+           CAST(SUM(CASE WHEN n > 128 THEN n - 128 ELSE 0 END) AS BIGINT)
+             AS truncation_loss_128
+    FROM tk GROUP BY source
+    """,
+)
+def x41_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Token-budget planning per source for a max_seq_len=128 packing
+    pass: how many sequences the corpus yields, how much padding a
+    naive one-doc-per-sequence layout wastes, and how many tokens a
+    truncate-to-one-sequence policy would drop. These three numbers decide
+    between packing strategies before an expensive tokenization run at
+    100 TB — and they come from ONE scan-side expression per doc plus a
+    per-source rollup (zero joins, one shuffle of |sources| x partial
+    rows). ceil on an exact small-int ratio and pure integer sums —
+    nothing to drift."""
+    d = t(spark, sf_dir, "documents")
+    n = F.size(word_tokens(F.col("text"))).cast("long")
+    seqs = F.ceil(n.cast("double") / 128.0).cast("long")
+    tk = d.select(
+        "source", n.alias("n"), seqs.alias("n_seqs"),
+        F.when(n > 128, n - 128).otherwise(F.lit(0)).alias("trunc_loss"),
+    )
+    return tk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum("n_seqs").cast("long").alias("n_seqs_128"),
+        (F.sum("n_seqs") * 128 - F.sum("n")).cast("long").alias("pad_waste_128"),
+        F.sum("trunc_loss").cast("long").alias("truncation_loss_128"),
+    )

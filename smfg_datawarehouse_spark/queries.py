@@ -2180,3 +2180,102 @@ def q67_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cover_d").alias("d"))
         .agg(F.countDistinct("user_id").cast("long").alias("wau"))
     )
+
+
+@register(
+    "q68_important_parts",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey, {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS part_value
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_value
+      FROM lineitem
+    )
+    SELECT p.p_partkey, p.p_name, pv.part_value
+    FROM pv
+    JOIN part p ON p.p_partkey = pv.l_partkey
+    CROSS JOIN tot
+    WHERE pv.part_value > 0.0005 * tot.total_value
+    """,
+)
+def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/2.10] TPC-H-Q11-shaped 'important stock': parts whose revenue
+    exceeds a fixed fraction of TOTAL corpus revenue — the
+    aggregate-vs-global-scalar pattern (HAVING > SUM(...) * k). Both the
+    per-part rollup and the 1-row total come from the SAME single scan
+    pass shape; the scalar broadcasts, so the filter costs nothing extra.
+    The comparison is between two decimal-exact sums scaled by one IEEE
+    multiply — deterministic on both engines; ties are impossible to
+    round differently. Part attributes broadcast on after the filter cuts
+    the key set. (SURVEY.md 2.10 scalar subquery, 2.4 A4)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pv = li.groupBy("l_partkey").agg(dsum(rev).alias("part_value"))
+    tot = li.agg(dsum(rev).alias("total_value"))
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        pv.join(F.broadcast(tot))
+        .where(F.col("part_value") > 0.0005 * F.col("total_value"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "part_value")
+    )
+
+
+@register(
+    "q69_monthly_revenue_growth",
+    f"""
+    WITH m AS (
+      SELECT n.n_name,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, month
+    )
+    SELECT n_name, month, revenue,
+           revenue - LAG(revenue) OVER (PARTITION BY n_name ORDER BY month)
+             AS revenue_delta
+    FROM m
+    """,
+)
+def q69_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/2.5] Month-over-month revenue delta per nation — the trend
+    panel behind every warehouse dashboard: aggregate to (nation, month),
+    then a lag window along each nation's month series. The fact stream
+    pays ONE shuffle (the fine-grained (nation, month) agg, with map-side
+    partials); the window's own exchange re-keys only the ~|nation x
+    month| aggregate rows — deliberately NOT pre-partitioned by nation,
+    which would shuffle the full fact on 25 keys. Month keys are exact
+    (date_trunc to DATE); deltas subtract two decimal-summed doubles, a
+    single IEEE op — bit-stable. The first month's delta is NULL on both
+    engines."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("month")
+    return m.select(
+        "n_name", "month", "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
+    )
