@@ -2279,3 +2279,117 @@ def q69_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name", "month", "revenue",
         (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
     )
+
+
+@register(
+    "q70_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey,
+             s.s_acctbal, s.s_name, s.s_nationkey
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ), ranked AS (
+      SELECT c.l_partkey, c.l_suppkey, c.s_acctbal, c.s_name, c.s_nationkey,
+             ROW_NUMBER() OVER (PARTITION BY c.l_partkey
+                                ORDER BY c.s_acctbal, c.l_suppkey) AS rn
+      FROM costs c
+    )
+    SELECT p.p_partkey, p.p_name, p.p_size,
+           r.l_suppkey AS s_suppkey, r.s_name, n.n_name, r.s_acctbal
+    FROM ranked r
+    JOIN part p   ON p.p_partkey = r.l_partkey
+    JOIN nation n ON n.n_nationkey = r.s_nationkey
+    WHERE r.rn = 1 AND p.p_size <= 10
+    """,
+)
+def q70_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/2.5/2.10] TPC-H-Q2-shaped min-cost supplier per part (the
+    fixture has no partsupp, so the supplier relation is derived from
+    observed lineitems and account balance stands in for supply cost).
+    The canonical correlated MIN-subquery is rewritten as the argmin
+    window — ROW_NUMBER over (partkey; cost, suppkey) with a unique
+    tie-break — one shuffle on partkey over a DISTINCT-reduced
+    (part, supplier) relation, instead of re-scanning for the min and
+    joining back. Part (filtered p_size <= 10) and nation broadcast onto
+    the |parts|-row argmin output. (SURVEY.md 2.10 correlated subquery
+    -> window rewrite, 2.5 ranking window)."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal", "s_name", "s_nationkey"
+    )
+    costs = (
+        li.distinct()
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "l_suppkey", "s_acctbal", "s_name", "s_nationkey")
+    )
+    w = W.partitionBy("l_partkey").orderBy("s_acctbal", "l_suppkey")
+    ranked = costs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    p = t(spark, sf_dir, "part").where(F.col("p_size") <= 10).select(
+        "p_partkey", "p_name", "p_size"
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ranked.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name", "p_size",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name", "n_name", "s_acctbal",
+        )
+    )
+
+
+@register(
+    "q71_profit_by_nation_year",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {_dsum_sql(
+               'l.l_extendedprice * (1 - l.l_discount)'
+               ' - 0.1 * p.p_retailprice * l.l_quantity'
+           )} AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY nation, o_year
+    """,
+)
+def q71_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/A4] TPC-H-Q9-shaped product-type profit: revenue minus a supply
+    cost modeled as 10% of part retail price x quantity (the fixture has
+    no partsupp.ps_supplycost), for one part type, by supplier nation and
+    order year. Part (type-filtered), supplier, and nation broadcast; the
+    single big-big shuffle is lineitem<->orders. The per-row profit
+    expression is fixed-shape IEEE arithmetic; the rollup is
+    decimal-exact. The p_type filter semi-reduces the fact stream through
+    the part broadcast before the shuffle — the plan scales as
+    |lineitem|/|p_type-selectivity|. (SURVEY.md 2.3 J1, 2.4 A4)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select(
+        "p_partkey", "p_retailprice"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+    )

@@ -102,3 +102,114 @@ def test_merge_upsert_idempotent_and_updates_win(spark, target_rows, update_rows
     assert got == expected
     twice = merge_upsert(once, updates, ["k"])
     assert {r["k"]: r["v"] for r in twice.collect()} == expected
+
+
+_EVENT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # few users → multi-session users
+        st.integers(min_value=0, max_value=60 * 60 * 24 * 3),  # ts offset (s)
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda r: (r[0], r[1]),  # unique (user, ts): tie-break not under test
+)
+
+
+@given(rows=_EVENT_ROWS)
+@_SETTINGS
+def test_sessionization_invariants(spark, rows):
+    """Gaps-and-islands sessionization invariants for any event stream:
+    (1) session event counts sum to the input count, (2) no session spans
+    a silence: consecutive same-user sessions are separated by >30 min
+    (else they'd be one session), and (3) every session's span is
+    consistent (start <= end, and a 1-event session has start == end)."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, u, base + dt.timedelta(seconds=off), v)
+            for i, (u, off, v) in enumerate(rows)
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    sess = (
+        df.withColumn(
+            "is_start",
+            F.when(
+                prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("start"),
+            F.max("ts").alias("end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert sum(r["n"] for r in sess) == len(rows)
+    by_user: dict = {}
+    for r in sess:
+        assert r["start"] <= r["end"]
+        by_user.setdefault(r["user_id"], []).append(r)
+    for spans in by_user.values():
+        spans.sort(key=lambda r: r["session_no"])
+        for a, b in zip(spans, spans[1:]):
+            assert (b["start"] - a["end"]).total_seconds() > 30 * 60
+
+
+_SOURCE_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3", "s4"]),
+        st.integers(min_value=1, max_value=10_000),  # token mass per doc
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_SOURCE_ROWS)
+@_SETTINGS
+def test_temperature_weights_distribution(spark, rows):
+    """Temperature-scaled source weights (alpha=0.5, exact pico-unit
+    normalization) must form a distribution: sum ~= 1 within one unit of
+    quantization per source, every weight positive, and the ordering of
+    weights must follow the ordering of raw token mass (monotone map)."""
+    df = spark.createDataFrame(
+        [(s, n) for s, n in rows], "source STRING, n LONG"
+    )
+    s = df.groupBy("source").agg(F.sum("n").cast("long").alias("n_s"))
+    tot = s.agg(F.sum("n_s").cast("long").alias("n"))
+    from pyspark.sql import Window as W
+
+    p_raw = F.col("n_s").cast("double") / F.col("n")
+    u = F.floor(F.sqrt(p_raw) * 1e12 + 0.5).cast("long")
+    out = (
+        s.join(F.broadcast(tot))
+        .select("source", "n_s", u.alias("u"))
+        .select(
+            "source",
+            "n_s",
+            (F.col("u").cast("double") / F.sum("u").over(W.partitionBy()).cast("double")).alias(
+                "p_alpha"
+            ),
+        )
+        .collect()
+    )
+    total = sum(r["p_alpha"] for r in out)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r["p_alpha"] > 0 for r in out)
+    by_mass = sorted(out, key=lambda r: r["n_s"])
+    for a, b in zip(by_mass, by_mass[1:]):
+        assert a["p_alpha"] <= b["p_alpha"] + 1e-15
