@@ -623,3 +623,131 @@ def x13_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scaled.select("vec_id", "dim", "max_abs", "scale", sq_err.alias("sq_err"))
+
+
+@register(
+    "x42_embedding_dim_stats",
+    """
+    WITH ex AS (
+      SELECT unnest(embedding) AS val,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings
+    ), u AS (
+      SELECT dim,
+             CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS uv
+      FROM ex
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(uv) AS DOUBLE) / 1000000.0 AS min_val,
+           CAST(MAX(uv) AS DOUBLE) / 1000000.0 AS max_val,
+           CAST(SUM(uv) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_val,
+           sqrt(greatest(
+             (CAST(SUM(uv * uv) AS DOUBLE)
+              - CAST(SUM(uv) AS DOUBLE) * CAST(SUM(uv) AS DOUBLE) / COUNT(*))
+             / COUNT(*), 0.0)) / 1000000.0 AS std_val
+    FROM u GROUP BY dim
+    """,
+)
+def x42_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Per-dimension embedding statistics (min/max/mean/std) across the
+    corpus — the feature-drift monitor run before/after an embedding-model
+    swap (a dimension whose distribution shifts flags a model or pipeline
+    change; a zero-std dimension flags dead capacity). One posexplode +
+    one (dim)-keyed rollup: |vectors| x dim rows shuffle-reduced map-side
+    to |dim| partials — at 100 TB this is a single pass at scan speed.
+    Values quantize to exact micro-unit BIGINTs (floats re-round
+    differently in decimal across engines; ints don't), so SUM and
+    SUM(sq) are exact integers; mean/variance/sqrt are then a fixed
+    chain of IEEE ops on exactly-representable operands — bit-stable at
+    any parallelism. greatest(.., 0) clamps the catastrophic-cancellation
+    negative-zero case."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim", "val")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("val").cast("double") * 1e6 + 0.5)
+        .cast("long")
+        .alias("uv"),
+    )
+    s = F.sum("uv").cast("double")
+    ssq = F.sum(F.col("uv") * F.col("uv")).cast("double")
+    n = F.count(F.lit(1))
+    var = F.greatest((ssq - s * s / n) / n, F.lit(0.0))
+    return ex.groupBy("dim").agg(
+        n.cast("long").alias("n"),
+        (F.min("uv").cast("double") / 1e6).alias("min_val"),
+        (F.max("uv").cast("double") / 1e6).alias("max_val"),
+        (s / 1e6 / n).alias("mean_val"),
+        (F.sqrt(var) / 1e6).alias("std_val"),
+    )
+
+
+@register(
+    "x43_centroid_distances",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(embedding) AS val,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings
+    ), cen AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS c
+      FROM ex GROUP BY label, dim
+    )
+    SELECT CAST(a.label AS BIGINT) AS label_a,
+           CAST(b.label AS BIGINT) AS label_b,
+           sqrt(CAST(SUM(CAST(floor(
+                  (a.c - b.c) * (a.c - b.c) * 1e15 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e15) AS l2_dist
+    FROM cen a JOIN cen b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def x43_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Pairwise L2 distance between label centroids — the class-
+    separation / confusion-structure probe run on embedding spaces (labels
+    whose centroids collapse together predict classifier confusion and
+    mislabeled data). Builds on x08's exact micro-unit centroids; the
+    pair join keys on DIM (each dim's 10 label values self-join to 45
+    pairs in-partition), so the shuffled relation is |labels| x |dims| —
+    centroid-sized, NEVER vector-count-sized, and the per-pair sum
+    reduces map-side. Each centroid is exactly derived (micro-int / 1e6 /
+    count) and each squared gap is a fixed IEEE chain; the cross-dim sum
+    would be order-dependent in double, so gaps quantize to femto-unit
+    BIGINTs (floor(g2*1e15 + 0.5); 64 dims x <=4e15 fits long) and the
+    sum is EXACT integer — sqrt of one exactly-summed value, bit-stable
+    at any parallelism."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("val").cast("double") * 1e6 + 0.5)
+        .cast("long")
+        .alias("uv"),
+    )
+    cen = ex.groupBy("label", "dim").agg(
+        (F.sum("uv").cast("double") / 1e6 / F.count(F.lit(1))).alias("c")
+    )
+    a = cen.select(
+        F.col("label").cast("long").alias("label_a"),
+        F.col("dim").alias("dim_a"),
+        F.col("c").alias("ca"),
+    )
+    b = cen.select(
+        F.col("label").cast("long").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("c").alias("cb"),
+    )
+    gap2 = (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+    g2u = F.floor(gap2 * 1e15 + 0.5).cast("long")
+    return (
+        a.join(b, (F.col("dim_a") == F.col("dim_b")) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(F.sqrt(F.sum(g2u).cast("double") / 1e15).alias("l2_dist"))
+    )
