@@ -483,8 +483,8 @@ _CURATION_ORACLE = r"""
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(SUM(CAST(quality_score AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
-             AS avg_quality
+           CAST(SUM(CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_quality
     FROM kept
     GROUP BY source
 """
@@ -514,7 +514,17 @@ def x40_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
-            davg(F.col("quality_score")).alias("avg_quality"),
+            # micro-unit average, not davg: a computed double can land
+            # exactly on a DECIMAL(30,6) rounding tie, which Spark (HALF_UP)
+            # and DuckDB resolve differently; floor(x*1e6 + 0.5) is one
+            # identical IEEE chain in both engines
+            (
+                F.sum(
+                    F.floor(F.col("quality_score") * 1e6 + 0.5).cast("long")
+                ).cast("double")
+                / 1e6
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
         )
     )
 
