@@ -489,3 +489,310 @@ def q45_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("hr_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@register(
+    "q73_time_weighted_value",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), iv AS (
+      SELECT user_id,
+             (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS dt_sec,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_sec) AS BIGINT) AS observed_sec,
+           CAST(SUM(v_micro * dt_sec) AS DOUBLE) / 1000000.0 / SUM(dt_sec)
+             AS tw_avg_value
+    FROM iv
+    WHERE dt_sec > 0
+    GROUP BY user_id
+    """,
+)
+def q73_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/X] Time-weighted average metric value per user — the monitoring
+    statistic for irregularly-sampled series (a value that held for an hour
+    must outweigh one that held a second; a plain AVG can't). Each reading
+    is weighted by how long it remained current (`lead(ts)` gap, whole
+    seconds); the last reading per user has no duration and drops out, as
+    do sub-second holds. One shuffle on user_id feeds both the lead window
+    and the rollup. Determinism: weights are exact integer seconds, values
+    quantize to integer micro-units (floor(v*1e6 + 0.5) — one IEEE chain,
+    identical in any engine), so the weighted sum is an exact BIGINT
+    (bounded: 5.6e8 micro-units x 2.6e6 s span < 2^53) and the final
+    average is one fixed-order divide chain."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_id", "ts", "value", F.lead("ts").over(w).alias("nxt")
+    )
+    iv = (
+        seq.where(F.col("nxt").isNotNull())
+        .select(
+            "user_id",
+            F.expr("(unix_micros(nxt) - unix_micros(ts)) DIV 1000000").alias(
+                "dt_sec"
+            ),
+            F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("v_micro"),
+        )
+        .where(F.col("dt_sec") > 0)
+    )
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dt_sec").cast("long").alias("observed_sec"),
+        (
+            F.sum(F.col("v_micro") * F.col("dt_sec")).cast("double")
+            / 1e6
+            / F.sum("dt_sec")
+        ).alias("tw_avg_value"),
+    )
+
+
+@register(
+    "q74_moving_median",
+    """
+    SELECT user_id, event_id, ts, value,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS smoothed
+    FROM events
+    """,
+)
+def q74_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5] Centered moving-median smoothing (7-event window) per user —
+    the robust denoiser for metric streams (a median window shrugs off the
+    spikes that wreck a moving mean). One shuffle on user_id, then an
+    exact `percentile` aggregate over a rows-frame window; Spark's
+    linear-interpolation percentile is bit-identical to DuckDB's
+    `quantile_cont` on the same frame (same `lo + (hi-lo)*frac` chain on
+    raw doubles), and the (ts, event_id) ordering key makes every frame's
+    membership deterministic. At 100 TB this is the shape that replaces
+    collect-and-smooth driver loops: the window state is 7 rows per
+    partition cursor, streaming-friendly."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.expr("percentile(value, 0.5)").over(w).alias("smoothed"),
+    )
+
+
+@register(
+    "q75_running_distinct_types",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(len(list_distinct(list(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS BIGINT)
+             AS n_types_seen
+    FROM events
+    """,
+)
+def q75_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5] Running count of DISTINCT event types seen per user — the
+    engagement-breadth curve (when did each user first touch their 2nd,
+    3rd, ... feature). COUNT(DISTINCT) isn't a window aggregate in any
+    engine, so the set itself accumulates (`collect_set` over an ordered
+    frame) and its size is the running distinct count — with a bounded
+    type alphabet the per-row state is tiny at any scale. One shuffle on
+    user_id; (ts, event_id) ordering makes every frame deterministic."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias(
+            "n_types_seen"
+        ),
+    )
+
+
+@register(
+    "q76_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(d.med) AS med,
+           MAX(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q76_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.4/X] Robust outlier screening per event type: median / MAD
+    (median absolute deviation) with a 3-MAD fence — the monitoring rule
+    that, unlike z-scores, isn't dragged by the outliers it hunts (and
+    needs no variance accumulation, which would demand order-dependent
+    float sums). Two sequential exact-percentile aggregations (MAD is
+    defined over deviations from the median, irreducibly two passes);
+    both per-type tables are tiny and BROADCAST back onto the scan, so
+    the only shuffles are the two |event types|-sized rollups. Every
+    per-row value is one fixed IEEE chain (abs/sub/mul) and Spark's
+    `percentile` interpolates exactly like DuckDB's `quantile_cont` —
+    bit-stable at any partition count."""
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q77_forward_asof_conversion",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_us
+      FROM events
+    ), v AS (
+      SELECT user_id,
+             next_purchase_us - epoch_us(ts) AS lat_us
+      FROM seq WHERE event_type = 'view'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(CASE WHEN lat_us <= 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           CASE WHEN SUM(CASE WHEN lat_us <= 3600000000 THEN 1 ELSE 0 END) > 0
+                THEN CAST(SUM(CASE WHEN lat_us <= 3600000000
+                               THEN lat_us ELSE 0 END) AS DOUBLE)
+                     / 1000000.0
+                     / SUM(CASE WHEN lat_us <= 3600000000 THEN 1 ELSE 0 END)
+                END AS avg_latency_sec
+    FROM v GROUP BY user_id
+    """,
+)
+def q77_forward_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.3/§2.5] FORWARD as-of with tolerance (the mirror of q30's
+    backward as-of): for every view, the next purchase by the same user,
+    counted as a conversion when it lands within 1 hour; rolled up to
+    per-user view→purchase conversion and mean latency. Implemented as an
+    ordered forward-min window (`rows 1 following → unbounded`), NOT a
+    range self-join — one shuffle on user_id serves the window and the
+    rollup, and there is no candidate-pair blowup at any scale. Latencies
+    are exact integer microseconds; the mean is one fixed divide chain
+    (NULL when a user never converts — identical in both engines)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.expr("unix_micros(ts)"))
+        )
+        .over(w)
+        .alias("next_purchase_us"),
+    )
+    v = seq.where(F.col("event_type") == "view").select(
+        "user_id",
+        (F.col("next_purchase_us") - F.expr("unix_micros(ts)")).alias("lat_us"),
+    )
+    conv = F.when(F.col("lat_us") <= 3600000000, 1).otherwise(0)
+    n_conv = F.sum(conv)
+    return v.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        n_conv.cast("long").alias("n_converted"),
+        F.when(
+            n_conv > 0,
+            F.sum(F.when(F.col("lat_us") <= 3600000000, F.col("lat_us")).otherwise(0))
+            .cast("double")
+            / 1e6
+            / n_conv,
+        ).alias("avg_latency_sec"),
+    )
+
+
+@register(
+    "x47_hll_distinct_accuracy",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def x47_hll_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Sketch-accuracy evaluation for HyperLogLog distinct counting:
+    per event type, the exact distinct-user count next to whether Spark's
+    `approx_count_distinct` (rsd=0.02) lands within 5% of it. HLL++ is
+    partition-order deterministic (register merge = elementwise max, a
+    commutative/associative op), so the estimate — and therefore this
+    flag — is reproducible; the oracle independently recomputes the exact
+    count and asserts the bound holds (the estimate itself is
+    engine-specific and intentionally not emitted). This is the sketch
+    the engine swaps in where q27's exact COUNT(DISTINCT) can't hold its
+    shuffle at 100 TB: HLL state is ~KB per group at any cardinality, and
+    this query is the accuracy gate for that swap (same eval pattern as
+    x12's IVF recall and x14's MinHash error)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_exact"),
+            F.expr("approx_count_distinct(user_id, 0.02)").alias("_est"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("_est").cast("double") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("within_5pct"),
+        )
+    )

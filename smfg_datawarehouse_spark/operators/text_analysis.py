@@ -1129,3 +1129,135 @@ def x41_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_seqs") * 128 - F.sum("n")).cast("long").alias("pad_waste_128"),
         F.sum("trunc_loss").cast("long").alias("truncation_loss_128"),
     )
+
+
+@register(
+    "x44_sequence_packing",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n
+      FROM documents
+    ), pre AS (
+      SELECT source, n,
+             COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM tk
+    ), b AS (
+      SELECT source, n, prefix // 128 AS bin,
+             CASE WHEN (prefix % 128) + n > 128 THEN 1 ELSE 0 END AS straddle
+      FROM pre
+    ), per_bin AS (
+      SELECT source, bin,
+             CAST(COUNT(*) AS BIGINT) AS docs_in_bin,
+             CAST(SUM(n) AS BIGINT) AS bin_n,
+             CAST(SUM(straddle) AS BIGINT) AS bin_straddle
+      FROM b GROUP BY source, bin
+    )
+    SELECT source,
+           CAST(SUM(docs_in_bin) AS BIGINT) AS n_docs,
+           CAST(SUM(bin_n) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN SUM(bin_n) = 0 THEN 0
+                     ELSE (SUM(bin_n) - 1) // 128 + 1 END AS BIGINT) AS n_bins,
+           CAST(SUM(bin_straddle) AS BIGINT) AS n_straddlers,
+           CAST(MAX(docs_in_bin) AS BIGINT) AS max_docs_started_per_bin
+    FROM per_bin GROUP BY source
+    """,
+)
+def x44_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Deterministic sequential sequence-packing audit (context = 128
+    tokens): docs concatenate per source in doc_id order, and each doc's
+    start offset is the running token prefix — bin = prefix // 128. Emits
+    per source how many context windows the packed stream fills, how many
+    docs straddle a window boundary (candidates for attention-mask
+    cross-contamination), and the worst per-window document pileup.
+    This is the planning pass before an actual packing job: the same
+    running-prefix window would ASSIGN bins at 100 TB. One shuffle on
+    source feeds the prefix window, the per-bin rollup, AND the final
+    per-source rollup (hash clustering on source satisfies all three) —
+    the corpus crosses the wire once. Pure integer arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    n = F.size(word_tokens(F.col("text"))).cast("long")
+    wp = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    pre = (
+        d.select("doc_id", "source", n.alias("n"))
+        .withColumn("prefix", F.coalesce(F.sum("n").over(wp), F.lit(0)))
+    )
+    b = pre.select(
+        "source",
+        "n",
+        F.expr("prefix DIV 128").alias("bin"),
+        F.when((F.col("prefix") % 128) + F.col("n") > 128, 1)
+        .otherwise(0)
+        .alias("straddle"),
+    )
+    per_bin = b.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_in_bin"),
+        F.sum("n").cast("long").alias("bin_n"),
+        F.sum("straddle").cast("long").alias("bin_straddle"),
+    )
+    return per_bin.groupBy("source").agg(
+        F.sum("docs_in_bin").cast("long").alias("n_docs"),
+        F.sum("bin_n").cast("long").alias("n_tokens"),
+        F.when(F.sum("bin_n") == 0, F.lit(0))
+        .otherwise(F.expr("(sum(bin_n) - 1) DIV 128") + 1)
+        .cast("long")
+        .alias("n_bins"),
+        F.sum("bin_straddle").cast("long").alias("n_straddlers"),
+        F.max("docs_in_bin").cast("long").alias("max_docs_started_per_bin"),
+    )
+
+
+@register(
+    "x46_doc_chunks",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS tke
+      FROM documents
+    ), st AS (
+      SELECT doc_id, tke, unnest(range(1, len(tke) + 1, 48)) AS s
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 + 1 AS BIGINT) AS chunk_id,
+           CAST(LEAST(64, len(tke) - s + 1) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(tke[s : LEAST(s + 63, len(tke))], ' '))
+             AS chunk_hash
+    FROM st
+    """,
+)
+def x46_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Sliding-window document chunking (chunk = 64 tokens, stride = 48,
+    16-token overlap) — the RAG/embedding-prep pass that splits long
+    documents into model-window pieces. Chunk starts generate INSIDE the
+    token array (`sequence` + explode — linear, no self-join); each chunk
+    carries its token count and an md5 content hash so downstream dedup
+    can drop repeated chunks without re-reading text. Token arrays
+    materialize once per row (`withColumn`) so the per-chunk slice never
+    re-tokenizes; the explode multiplies rows AFTER a repartition, so the
+    expansion parallelizes instead of riding a few scan splits. Scan-side
+    only — zero joins, zero shuffles beyond the repartition."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    tk = F.col("_tk")
+    starts = F.when(
+        F.size(tk) >= 1, F.sequence(F.lit(1), F.size(tk), F.lit(48))
+    ).otherwise(F.array().cast("array<int>"))
+    st = (
+        d.repartition(n_parts)
+        .withColumn("_tk", word_tokens(F.col("text")))
+        .select("doc_id", "_tk", F.explode(starts).alias("s"))
+    )
+    return st.select(
+        "doc_id",
+        (F.expr("(s - 1) DIV 48") + 1).cast("long").alias("chunk_id"),
+        F.least(F.lit(64), F.size(tk) - F.col("s") + 1)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.slice(tk, F.col("s"), 64))).alias("chunk_hash"),
+    )

@@ -2393,3 +2393,52 @@ def q71_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(profit).alias("sum_profit"))
     )
+
+
+@register(
+    "q72_price_histogram",
+    f"""
+    WITH b AS (
+      SELECT LEAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
+             o_totalprice
+      FROM orders
+    ), h AS (
+      SELECT bin,
+             CAST(bin * 50000 AS BIGINT) AS lo_edge,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {_dsum_sql('o_totalprice')} AS total_price
+      FROM b GROUP BY bin
+    )
+    SELECT bin, lo_edge, n_orders, total_price,
+           CAST(SUM(n_orders) OVER (ORDER BY bin) AS BIGINT) AS cum_orders
+    FROM h
+    """,
+)
+def q72_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] Fixed-width histogram + cumulative distribution of order value
+    (10 x 50k buckets, top bucket open) — the `width_bucket` profiling
+    shape used for skew diagnosis and bin-boundary planning. Bucketing is
+    a scan-side expression (map-side combine shrinks the shuffle to
+    |bins| partials); the CDF is a window cumsum over the 10-row
+    aggregate, so the second "pass" is free. At 100 TB the same plan
+    holds: the only data movement is |bins| rows."""
+    o = t(spark, sf_dir, "orders")
+    b = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        "o_totalprice",
+    )
+    h = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    ).select(
+        "bin",
+        (F.col("bin") * 50000).cast("long").alias("lo_edge"),
+        "n_orders",
+        "total_price",
+    )
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    return h.withColumn(
+        "cum_orders", F.sum("n_orders").over(wcum).cast("long")
+    )
