@@ -78,14 +78,29 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores ts as parquet INT64 TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos
-    as long (legacy flag, set dynamically so it works on any session) and
-    truncate to microsecond timestamps — the same truncation DuckDB applies
-    when casting TIMESTAMP_NS, keeping oracle comparisons exact."""
+    """Schema-defensive events loader: normalize ``ts`` to TIMESTAMP however
+    the fixture encodes it.
+
+    Fixture generations have stored ``ts`` as either parquet INT64
+    TIMESTAMP(NANOS) (which Spark's vectorized reader rejects with
+    [PARQUET_TYPE_ILLEGAL] unless read as raw long) or plain
+    ``timestamp[us]``. Branch on the *observed* dtype rather than assuming
+    an encoding, so a fixture regeneration can never invalidate every
+    events query again:
+
+    - LongType  → treat as epoch nanos, truncate to micros (matches DuckDB's
+      TIMESTAMP_NS cast truncation, keeping oracle comparisons exact).
+    - Timestamp(_NTZ) → pass through (cast unifies NTZ vs LTZ; session TZ is
+      pinned to UTC in ``t()`` so semantics are identical).
+    """
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def dsum(col: F.Column) -> F.Column:

@@ -12,32 +12,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        # ts: INT64 TIMESTAMP(NANOS) in the source parquet — read as long
-        # under the nanosAsLong flag, converted below (see queries.load_events)
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
 
 
 def events_stream(
     spark: SparkSession, events_dir: str, watermark: str = "10 minutes"
 ) -> DataFrame:
-    """File-source stream over an events parquet directory (schema fixed —
-    streaming sources cannot infer)."""
+    """File-source stream over an events parquet directory.
+
+    Streaming sources cannot infer schema, and fixture generations have
+    stored ``ts`` as either INT64 TIMESTAMP(NANOS) or ``timestamp[us]`` —
+    so peek at the batch-read schema (footer only, no data scan) and declare
+    the stream schema to match, normalizing ``ts`` to TIMESTAMP either way
+    (same branch as queries.load_events)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .withWatermark("ts", watermark)
-    )
+    observed = spark.read.parquet(events_dir).schema["ts"].dataType
+    if isinstance(observed, T.LongType):
+        stream = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .parquet(events_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+    else:
+        stream = (
+            spark.readStream.schema(_events_schema(observed))
+            .parquet(events_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+    return stream.withWatermark("ts", watermark)
 
 
 def _dsum(col):  # deterministic float sum (see queries.py convention)
