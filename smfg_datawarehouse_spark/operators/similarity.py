@@ -90,10 +90,30 @@ def _topk_rows(
     )
 
 
+#: Hard ceiling on driver-collected vector sets (ANN query batches and IVF
+#: centroid tables). The brute-force/IVF contract broadcasts the *query*
+#: side as a numpy matrix — fine for eval-sized batches, a driver OOM for
+#: corpus-sized ones. Above this, route the large side through the IVF /
+#: LSH paths (or swap roles: score the big set as the corpus).
+MAX_COLLECTED_VECTORS = 100_000
+
+
 def _collect_matrix(
-    df: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, id_col: str, vec_col: str, max_rows: int = MAX_COLLECTED_VECTORS
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Collect a small vector table to (ids, matrix), sorted by id."""
+    """Collect a small vector table to (ids, matrix), sorted by id.
+
+    Enforces the small-side contract: raises ``ValueError`` when the table
+    exceeds ``max_rows`` (checked with a ``limit(max+1).count()`` probe —
+    never collects the oversized set)."""
+    probe = df.limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"refusing to collect >{max_rows} vectors to the driver "
+            f"({id_col}/{vec_col}); ANN query batches must be driver-sized — "
+            "for large query sets use ivf_topk with the big side as corpus, "
+            "or cosine_near_dup's LSH banding"
+        )
     rows = df.select(
         F.col(id_col).cast("long").alias("i"),
         F.col(vec_col).cast("array<double>").alias("v"),

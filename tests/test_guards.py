@@ -1,0 +1,64 @@
+"""Scale-contract guards: jaccard_pairs df-cap skew guard, ANN collect cap."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from smfg_datawarehouse_spark.operators.dedup import jaccard_pairs
+from smfg_datawarehouse_spark.operators.similarity import _collect_matrix
+
+
+def _boilerplate_corpus(spark, n_docs: int):
+    """Adversarial near-identical corpus: every doc shares the same long
+    boilerplate, so even each doc's *rarest* shingles are globally common
+    (df ≈ n_docs) — the shape that detonates an unguarded prefix join."""
+    boiler = " ".join(f"tok{i}" for i in range(30))
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " tail"), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_jaccard_df_cap_bounds_candidates(spark):
+    """Property: candidate pairs ≤ df_cap × prefix rows under the guard,
+    and orders of magnitude below the unguarded quadratic count."""
+    n = 120
+    docs = _boilerplate_corpus(spark, n)
+    capped = jaccard_pairs(
+        docs, k=3, threshold=0.6, df_cap=8, _return_candidates=True
+    ).count()
+    uncapped = jaccard_pairs(
+        docs, k=3, threshold=0.6, df_cap=n + 1, _return_candidates=True
+    ).count()
+    # every pair shares every boilerplate shingle → unguarded candidates go
+    # fully quadratic; the guard drops df>8 shingles so only the per-doc
+    # unique tail shingles (df=1) can generate candidates → zero pairs
+    assert uncapped == n * (n - 1) // 2
+    assert capped == 0
+
+
+def test_jaccard_default_cap_lossless_on_natural_corpus(spark):
+    """On a natural corpus (distinct texts, rare prefixes) the default
+    √n-derived cap must not drop anything: guarded == unguarded pairs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    default = jaccard_pairs(docs, k=3, threshold=0.6)
+    unguarded = jaccard_pairs(docs, k=3, threshold=0.6, df_cap=10**9)
+    assert sorted(map(tuple, default.collect())) == sorted(
+        map(tuple, unguarded.collect())
+    )
+
+
+def test_collect_matrix_rejects_oversized_query_set(spark):
+    big = spark.range(501).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="refusing to collect"):
+        _collect_matrix(big, "vec_id", "embedding", max_rows=500)
+    # at the bound it still works
+    ids, mat = _collect_matrix(
+        big.limit(500), "vec_id", "embedding", max_rows=500
+    )
+    assert len(ids) == 500 and mat.shape == (500, 2)
