@@ -102,3 +102,119 @@ def run_staging_extraction(
 
     audit.finalize_run(process_id)
     return process_id, results
+
+
+def realtime_plans(catalog: ConfigCatalog) -> list[ExtractionPlan]:
+    """Metadata→stream dispatch: the compiled plans whose table_config row
+    declares ``RefreshFrequency='REALTIME'`` (reference:
+    ``1. Metadata Creation.sql:66`` ENUM('EOD','HOURLY','REALTIME'); the
+    DAG stubs the realtime branch at ``SMFG_DW_ETL_DAG.py:322-359``)."""
+    from pyspark.sql import functions as F
+
+    rt_ids = {
+        r["TableID"]
+        for r in catalog.active_tables()
+        .where(F.col("RefreshFrequency") == "REALTIME")
+        .select("TableID")
+        .collect()
+    }
+    return [p for p in compile_extraction_plans(catalog) if p.table_id in rt_ids]
+
+
+def run_realtime_staging(
+    spark: SparkSession,
+    catalog: ConfigCatalog,
+    zones: LakeZones,
+    audit: AuditLedger,
+    process_type: str = "REALTIME",
+    checkpoint_root: str | None = None,
+) -> tuple[int, list[TableResult]]:
+    """REALTIME staging load, end-to-end: for every active table whose
+    metadata says ``RefreshFrequency='REALTIME'``, run a Structured
+    Streaming query over its raw-zone directory through the SAME compiled
+    ``ExtractionPlan`` as the batch path (projection/rename/transform/
+    filter are stateless, hence streaming-valid), landing micro-batches in
+    the staging zone via ``foreachBatch`` with per-batch audit rows.
+
+    Trigger is ``AvailableNow`` — drain the current backlog exactly-once
+    and stop — which is the testable cadence of the always-on production
+    query (same checkpointed source offsets; a long-running deployment
+    simply omits the trigger). Checkpoints persist under the lake's logs
+    zone, so a re-run after new raw files arrive processes ONLY the new
+    files (streaming-incremental, the realtime analogue of T1's watermark).
+
+    Returns (process_id, per-table results) exactly like the batch runner;
+    failure isolation and SUCCESS/PARTIAL/FAILED rollup are shared (L6).
+    """
+    import os
+
+    errors = catalog.validate()
+    if errors:
+        raise ValueError(f"catalog validation failed: {errors}")
+
+    plans = realtime_plans(catalog)
+    process_id = audit.create_process_master(
+        process_type=process_type, current_stage="REALTIME_STAGING"
+    )
+    audit.update_process_master(
+        process_id, status="RUNNING", current_stage="REALTIME_STAGING"
+    )
+    ckpt_root = checkpoint_root or os.path.join(zones.logs, "checkpoints")
+
+    results: list[TableResult] = []
+    for plan in plans:
+        sid = audit.log_stage_detail(
+            process_id,
+            "REALTIME_STAGING",
+            table_id=plan.table_id,
+            table_name=plan.full_table_name,
+        )
+        src_dir = os.path.join(zones.raw, plan.schema_name, plan.table_name)
+        out_path = zones.staging_table_dir(plan.schema_name, plan.table_name)
+        totals = {"rows": 0, "batches": 0}
+
+        def land_batch(batch_df: DataFrame, batch_id: int, _plan=plan, _totals=totals):
+            # inside foreachBatch the micro-batch is an ordinary DataFrame:
+            # reuse the batch staging writer (all-NA drop included), append
+            n = batch_df.count()
+            write_staging(
+                batch_df, zones, _plan.schema_name, _plan.table_name, mode="append"
+            )
+            _totals["rows"] += n
+            _totals["batches"] += 1
+            audit.log_stage_detail(
+                process_id,
+                "REALTIME_MICROBATCH",
+                table_id=_plan.table_id,
+                table_name=_plan.full_table_name,
+                row_count=n,
+                status="SUCCESS",
+                output_path=out_path,
+            )
+
+        try:
+            # streaming sources can't infer schema — peek the batch footer
+            schema = spark.read.parquet(src_dir).schema
+            stream = spark.readStream.schema(schema).parquet(src_dir)
+            q = (
+                plan.apply(stream)
+                .writeStream.foreachBatch(land_batch)
+                .option(
+                    "checkpointLocation", os.path.join(ckpt_root, plan.table_name)
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            audit.update_stage_detail(
+                sid, status="SUCCESS", row_count=totals["rows"], output_path=out_path
+            )
+            results.append(
+                TableResult(plan.full_table_name, "SUCCESS", totals["rows"], out_path)
+            )
+        except Exception as exc:  # per-table isolation, same as batch (L6)
+            audit.update_stage_detail(sid, status="FAILED", error_msg=str(exc)[:2000])
+            results.append(TableResult(plan.full_table_name, "FAILED", error=str(exc)))
+
+    audit.finalize_run(process_id)
+    return process_id, results
