@@ -317,9 +317,15 @@ def cosine_near_dup(
         )
         .mapInPandas(bucketize, sig_schema)
     )
+    # every row carries ALL table buckets (b0..bN): the verifier uses them
+    # to emit each pair only in its FIRST colliding table, so the output is
+    # globally duplicate-free WITHOUT a distinct() — one whole shuffle round
+    # on the verified pairs removed vs the emit-everywhere-then-dedup shape
+    bcols = [f"b{t_}" for t_ in range(n_tables)]
     stacked = sig.select(
         "vec_id",
         "v",
+        *bcols,
         F.explode(
             F.array(
                 *[
@@ -328,28 +334,37 @@ def cosine_near_dup(
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "v", "tb.tbl", "tb.bucket")
+    ).select("vec_id", "v", *bcols, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+        )
         if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
-            )
+            return empty
         pdf = pdf.sort_values("vec_id")
+        tbl = int(pdf["tbl"].iloc[0])
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # first-collision ownership: skip pairs that already co-bucket in an
+        # earlier table (that table's group verifies them)
+        keep = np.ones(len(iu), dtype=bool)
+        for t_ in range(tbl):
+            bt = pdf[f"b{t_}"].to_numpy(dtype=np.int64)
+            keep &= bt[iu] != bt[ju]
+        if not keep.any():
+            return empty
+        iu, ju = iu[keep], ju[keep]
         vm = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
         cos = _lr_cosine(vm, vm)
-        iu, ju = np.triu_indices(len(ids), k=1)
         with np.errstate(invalid="ignore"):
             m = cos[iu, ju] >= threshold
         return pd.DataFrame(
             {"vec_a": ids[iu[m]], "vec_b": ids[ju[m]], "cos_sim": cos[iu[m], ju[m]]}
         )
 
-    return (
-        stacked.groupBy("tbl", "bucket")
-        .applyInPandas(verify, "vec_a long, vec_b long, cos_sim double")
-        .distinct()
+    return stacked.groupBy("tbl", "bucket").applyInPandas(
+        verify, "vec_a long, vec_b long, cos_sim double"
     )
 
 

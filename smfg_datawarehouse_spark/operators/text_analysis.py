@@ -42,45 +42,53 @@ def winnowing_fingerprints(
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03).
 
-    Rolling char k-grams are hashed (md5 prefix — portable); each length-w
-    window of consecutive gram hashes keeps its minimum, rightmost-position
-    tie-break. Tie-break is encoded *inside* the value — ``hash ||
-    zero-padded (9999999 - pos)`` — so a plain window ``min`` is exact and
-    identical in any engine. Distinct selected hashes per doc are the
-    fingerprint set. One explode (linear in chars) + one per-doc window:
-    a single shuffle on doc_id, no quadratic stage.
+    Rolling char k-grams are hashed (md5 32-bit prefix — portable); each
+    length-w window of consecutive gram hashes keeps its minimum,
+    rightmost-position tie-break. Hash and tie-break are packed into ONE
+    BIGINT — ``hash32 · 10^7 + (9999999 − pos)`` — so a plain window
+    ``min`` over longs is exact, engine-identical, and far cheaper than the
+    equivalent 15-char string min (docs are < 10M chars by the 7-digit
+    tie-break field, same bound the reference string encoding had).
+
+    Plan shape: explode bare gram *positions* (an int sequence — never a
+    materialized per-doc array of gram strings), compute hash+pack inline
+    in the same codegen stage, and project ``text`` away BEFORE the per-doc
+    window's shuffle. Gram count ``ng`` is derived from ``length(text)``
+    up front rather than a second unbounded window pass. One linear explode
+    + one doc_id shuffle, no quadratic stage.
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     txt = F.lower(F.col(text_col))
-    n = F.length(txt)
-    grams = F.when(
-        n < k, F.expr("CAST(array() AS array<struct<pos:int,gram:string>>)")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.struct(i.alias("pos"), txt.substr(i, F.lit(k)).alias("gram")),
-        )
-    )
+    ng = (F.length(txt) - (k - 1)).alias("ng")
+    # CASE-guarded: sequence(1, ng) would generate a DESCENDING range for
+    # ng < 1; the null branch explodes to zero rows for short docs
+    positions = F.when(F.length(txt) >= k, F.sequence(F.lit(1), F.length(txt) - (k - 1)))
+    h32 = F.conv(
+        F.substring(F.md5(F.col("_txt").substr(F.col("pos"), F.lit(k))), 1, 8), 16, 10
+    ).cast("bigint")
     g = (
         docs.repartition(n_parts)
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            txt.alias("_txt"),
+            ng,
+            F.explode(positions).alias("pos"),
+        )
         .select(
             "doc_id",
-            F.col("g.pos").alias("pos"),
-            F.concat(
-                F.substring(F.md5(F.col("g.gram")), 1, 8),
-                F.lpad((F.lit(9999999) - F.col("g.pos")).cast("string"), 7, "0"),
-            ).alias("enc"),
+            "ng",
+            "pos",
+            (h32 * F.lit(10_000_000) + (F.lit(9_999_999) - F.col("pos"))).alias("enc"),
         )
     )
     win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     sel = g.select(
         "doc_id",
         "pos",
+        "ng",
         F.min("enc").over(win).alias("menc"),
-        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("ng"),
     ).where(F.col("pos") <= F.col("ng") - (w - 1))
-    return sel.select("doc_id", F.substring("menc", 1, 8).alias("fp_hash")).distinct()
+    return sel.select("doc_id", F.expr("menc DIV 10000000").alias("fp_hash")).distinct()
 
 
 def winnowing_dup_pairs(
@@ -272,25 +280,21 @@ def x22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_ORACLE = f"""
     WITH g AS (
-      SELECT doc_id, u.pos, substring(lower(text), u.pos, {WINNOW_K}) AS gram
+      SELECT doc_id, strlen(text) - {WINNOW_K - 1} AS ng, u.pos,
+             ('0x' || substring(
+                md5(substring(lower(text), u.pos, {WINNOW_K})), 1, 8))::BIGINT
+               * 10000000 + (9999999 - u.pos) AS enc
       FROM documents,
            LATERAL unnest(generate_series(1, strlen(text) - {WINNOW_K} + 1)) AS u(pos)
     ),
-    encs AS (
-      SELECT doc_id, pos,
-             substring(md5(gram), 1, 8)
-               || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0') AS enc
+    sel AS (
+      SELECT doc_id, pos, ng,
+             min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS menc
       FROM g
     ),
-    sel AS (
-      SELECT doc_id, pos,
-             min(enc) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS menc,
-             count(*) OVER (PARTITION BY doc_id) AS ng
-      FROM encs
-    ),
     fps AS (
-      SELECT DISTINCT doc_id, substring(menc, 1, 8) AS fp_hash
+      SELECT DISTINCT doc_id, menc // 10000000 AS fp_hash
       FROM sel WHERE pos <= ng - {WINNOW_W - 1}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
