@@ -261,12 +261,25 @@ class AuditLedger:
     def finalize_run(self, process_id: int) -> str:
         """Derive SUCCESS/PARTIAL/FAILED from stage statuses and close the
         master row (the reference's commented finalizer,
-        ``dag/SMFG_DW_ETL_DAG.py:294-308``)."""
+        ``dag/SMFG_DW_ETL_DAG.py:294-308``).
+
+        Only each unit's FINAL attempt counts: with the runner's retry hook
+        a table may leave FAILED rows for earlier attempts and then
+        succeed — the highest StageDetailID per (StageName, table) decides.
+        Rows without table identity (NULL TableName) are their own units,
+        never collapsed."""
+        w = W.partitionBy(
+            "StageName", F.coalesce(F.col("TableName"), F.col("StageDetailID").cast("string"))
+        ).orderBy(F.col("StageDetailID").desc())
+        final_attempts = (
+            self.stage_detail()
+            .where(F.col("ProcessID") == process_id)
+            .withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+        )
         counts = {
             r["Status"]: r["cnt"]
-            for r in self.stage_detail()
-            .where(F.col("ProcessID") == process_id)
-            .groupBy("Status")
+            for r in final_attempts.groupBy("Status")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         }

@@ -40,11 +40,21 @@ def run_staging_extraction(
     source_reader=None,
     process_type: str = "EOD",
     max_workers: int = 5,
+    retries: int = 0,
+    retry_delay_sec: float = 0.0,
 ) -> tuple[int, list[TableResult]]:
     """Full staging-extraction run. ``source_reader(spark, plan) ->
     DataFrame`` resolves a plan's source table (defaults to reading
     ``{zones.raw}/{schema}/{table}`` parquet); swap in a JDBC reader for
     database sources.
+
+    ``retries``/``retry_delay_sec`` mirror the reference DAG's
+    ``default_args`` (``dag/SMFG_DW_ETL_DAG.py:41-42``: retries=0,
+    retry_delay=5 min — 0 is parity, the hook is the capability): each
+    failed table is re-attempted up to ``retries`` times, every failed
+    attempt leaving its own FAILED stage-detail row so the ledger shows
+    the full attempt history; only the final attempt decides the table's
+    status.
 
     Returns (process_id, per-table results); run status derivable from the
     ledger (SUCCESS/PARTIAL/FAILED, L6).
@@ -72,27 +82,38 @@ def run_staging_extraction(
     plans = compile_extraction_plans(catalog)
 
     def extract_one(plan: ExtractionPlan) -> TableResult:
+        import time
+
         # each worker thread tags its jobs into a per-table FAIR pool so
         # concurrent extractions share executors instead of queueing FIFO
         spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", f"extract-{plan.table_id}"
         )
-        sid = audit.log_stage_detail(
-            process_id,
-            "STAGING_EXTRACT",
-            table_id=plan.table_id,
-            table_name=plan.full_table_name,
-        )
-        try:
-            src = source_reader(spark, plan)
-            out = plan.apply(src)
-            path = write_staging(out, zones, plan.schema_name, plan.table_name)
-            n = spark.read.parquet(path).count()
-            audit.update_stage_detail(sid, status="SUCCESS", row_count=n, output_path=path)
-            return TableResult(plan.full_table_name, "SUCCESS", n, path)
-        except Exception as exc:  # per-table isolation (L6)
-            audit.update_stage_detail(sid, status="FAILED", error_msg=str(exc)[:2000])
-            return TableResult(plan.full_table_name, "FAILED", error=str(exc))
+        last_err = ""
+        for attempt in range(retries + 1):
+            if attempt and retry_delay_sec:
+                time.sleep(retry_delay_sec)
+            sid = audit.log_stage_detail(
+                process_id,
+                "STAGING_EXTRACT",
+                table_id=plan.table_id,
+                table_name=plan.full_table_name,
+            )
+            try:
+                src = source_reader(spark, plan)
+                out = plan.apply(src)
+                path = write_staging(out, zones, plan.schema_name, plan.table_name)
+                n = spark.read.parquet(path).count()
+                audit.update_stage_detail(
+                    sid, status="SUCCESS", row_count=n, output_path=path
+                )
+                return TableResult(plan.full_table_name, "SUCCESS", n, path)
+            except Exception as exc:  # per-table isolation (L6)
+                last_err = str(exc)
+                audit.update_stage_detail(
+                    sid, status="FAILED", error_msg=last_err[:2000]
+                )
+        return TableResult(plan.full_table_name, "FAILED", error=last_err)
 
     results: list[TableResult] = []
     with ThreadPoolExecutor(max_workers=max_workers) as pool:

@@ -119,3 +119,76 @@ def test_writer_injected_timestamps(spark):
     # CreatedAt preserved on re-stamp (ON UPDATE semantics touch only UpdatedAt)
     restamped = with_audit_timestamps(stamped)
     assert restamped.columns.count("CreatedAt") == 1
+
+
+def test_retry_hook_recovers_and_ledger_keeps_attempt_history(spark, tmp_path):
+    """Reference DAG declares retries/retry_delay (default_args, retries=0);
+    the runner's retry hook re-attempts failed tables. A source that fails
+    once then succeeds must yield a SUCCESS table + SUCCESS run, with the
+    failed attempt's FAILED row preserved in the ledger (attempt history),
+    and finalize_run counting only final attempts."""
+    zones = LakeZones(str(tmp_path / "lake"))
+    _setup_raw(spark, zones)
+    audit = AuditLedger(spark, str(tmp_path / "audit"))
+    cat = seed_fixture_catalog(spark)
+
+    flaky_calls = {}
+
+    def flaky_reader(s, plan):
+        import os as _os
+
+        n = flaky_calls.get(plan.full_table_name, 0)
+        flaky_calls[plan.full_table_name] = n + 1
+        if plan.table_name == "orders" and n == 0:
+            raise RuntimeError("transient source outage")
+        return s.read.parquet(
+            _os.path.join(zones.raw, plan.schema_name, plan.table_name)
+        )
+
+    pid, results = run_staging_extraction(
+        spark, cat, zones, audit, source_reader=flaky_reader, retries=1
+    )
+    assert {r.table: r.status for r in results} == {
+        "tpch.lineitem": "SUCCESS",
+        "tpch.orders": "SUCCESS",
+    }
+    master = audit.process_master().where(F.col("ProcessID") == pid).collect()[0]
+    assert master["Status"] == "SUCCESS"  # not PARTIAL: retried attempt won
+    orders_rows = (
+        audit.stage_detail()
+        .where((F.col("ProcessID") == pid) & (F.col("TableName") == "tpch.orders"))
+        .orderBy("StageDetailID")
+        .collect()
+    )
+    assert [r["Status"] for r in orders_rows] == ["FAILED", "SUCCESS"]
+    assert "transient source outage" in orders_rows[0]["ErrorMessage"]
+
+
+def test_retries_exhausted_still_partial(spark, tmp_path):
+    zones = LakeZones(str(tmp_path / "lake"))
+    _setup_raw(spark, zones)
+    audit = AuditLedger(spark, str(tmp_path / "audit"))
+    cat = seed_fixture_catalog(spark)
+
+    def always_fail_orders(s, plan):
+        import os as _os
+
+        if plan.table_name == "orders":
+            raise RuntimeError("hard outage")
+        return s.read.parquet(
+            _os.path.join(zones.raw, plan.schema_name, plan.table_name)
+        )
+
+    pid, results = run_staging_extraction(
+        spark, cat, zones, audit, source_reader=always_fail_orders, retries=2
+    )
+    statuses = {r.table: r.status for r in results}
+    assert statuses["tpch.orders"] == "FAILED"
+    master = audit.process_master().where(F.col("ProcessID") == pid).collect()[0]
+    assert master["Status"] == "PARTIAL"
+    n_attempts = (
+        audit.stage_detail()
+        .where((F.col("ProcessID") == pid) & (F.col("TableName") == "tpch.orders"))
+        .count()
+    )
+    assert n_attempts == 3  # 1 + 2 retries, all preserved
