@@ -1265,3 +1265,239 @@ def x46_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", F.slice(tk, F.col("s"), 64))).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch frequency estimation (portable md5 hash rows)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # buckets per row
+
+
+def _cms_buckets(tok: Column, d_rows: int = CMS_D, width: int = CMS_W) -> Column:
+    """Array of the token's bucket per CMS hash row — portable
+    ``md5('cms{d}:' || tok)`` 32-bit prefix mod width, identical in any
+    engine (same family as the MinHash signatures in dedup.py)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), tok)), 1, 8), 16, 10
+            ).cast("bigint")
+            % width
+            for d in range(d_rows)
+        ]
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    d_rows: int = CMS_D,
+    width: int = CMS_W,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-min sketch token-frequency estimation, evaluated against the
+    exact counts for the corpus's top-k tokens (Cormode/Muthukrishnan '05).
+
+    The sketch is the 100 TB path for frequency queries: counter state is
+    a FIXED d×w grid (here 4×256 longs) regardless of vocabulary size —
+    one groupBy over (row, bucket) whose output always fits in a broadcast,
+    where the exact per-token count's shuffle grows with the vocabulary.
+    Estimates only ever over-count (min over rows bounds the collision
+    error), so ``overcount`` ≥ 0 is a structural invariant the oracle
+    re-checks. The exact side here is the *evaluation harness* (same
+    pattern as x12 IVF recall / x14 MinHash error / x47 HLL gate).
+    """
+    toks = docs.select(F.explode(word_tokens(F.col(text_col))).alias("tok"))
+    # counters: one pass, posexplode the D bucket ids per token occurrence
+    counters = (
+        toks.select(F.posexplode(_cms_buckets(F.col("tok"), d_rows, width)).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    w = W.orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+    top = (
+        exact.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= top_k).drop("rn")
+    )
+    est = (
+        top.select(
+            "tok",
+            "exact_cnt",
+            F.posexplode(_cms_buckets(F.col("tok"), d_rows, width)).alias("d", "bucket"),
+        )
+        .join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").cast("long").alias("est_cnt"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    w -> w <> '')) AS tok
+      FROM documents
+    ),
+    ds AS (SELECT unnest(range({CMS_D})) AS d),
+    buck AS (
+      SELECT tok, d,
+             ('0x' || substring(md5('cms' || d || ':' || tok), 1, 8))::BIGINT
+               % {CMS_W} AS bucket
+      FROM toks CROSS JOIN ds
+    ),
+    counters AS (SELECT d, bucket, count(*) AS cnt FROM buck GROUP BY 1, 2),
+    exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok),
+    top AS (
+      SELECT tok, exact_cnt FROM (
+        SELECT tok, exact_cnt,
+               ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, tok) AS rn
+        FROM exact
+      ) WHERE rn <= 20
+    ),
+    est AS (
+      SELECT t.tok, t.exact_cnt, CAST(min(c.cnt) AS BIGINT) AS est_cnt
+      FROM top t CROSS JOIN ds
+      JOIN counters c
+        ON c.d = ds.d
+       AND c.bucket = ('0x' || substring(md5('cms' || ds.d || ':' || t.tok), 1, 8))::BIGINT
+                      % {CMS_W}
+      GROUP BY 1, 2
+    )
+    SELECT tok, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount FROM est
+"""
+
+
+@register("x49_cms_heavy_hitters", _CMS_ORACLE)
+def x49_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Count-min sketch frequency estimates vs exact counts for the
+    corpus's top-20 tokens — the fixed-memory frequency sketch for 100 TB
+    vocabularies, with its accuracy gate."""
+    return cms_heavy_hitters(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF sparse cosine near-duplicates (embedding-free)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Document pairs with TF-IDF cosine ≥ threshold — near-dup detection
+    with NO embedding column, pure sparse algebra on the token inverted
+    index.
+
+    weight(doc, tok) = tf · (N/df) — rational idf (no transcendental log),
+    so weights are bit-identical across engines. Tokens with document
+    frequency above ``df_cap`` (default ``max(64, ⌈√N⌉)``, the same skew
+    guard as jaccard_pairs) are pruned from the vocabulary BEFORE
+    weighting: this is simultaneously classic stopword pruning (high-df
+    tokens carry ~zero idf weight) and the bound that keeps the
+    inverted-index self-join's Σ df² candidate cost from detonating on
+    boilerplate corpora. Dot products and norms accumulate via exact
+    DECIMAL sums (the repo's dsum convention) so the cosine — and the
+    threshold cut — hash-match the oracle.
+    """
+    from smfg_datawarehouse_spark.queries import dsum
+
+    n_docs = docs.count()
+    if df_cap is None:
+        import math
+
+        df_cap = max(64, math.isqrt(n_docs) + 1)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= df_cap
+    )
+    wgt = tf.join(F.broadcast(dft), "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("wgt"),
+    )
+    nrm = wgt.groupBy("doc_id").agg(
+        F.sqrt(dsum(F.col("wgt") * F.col("wgt"))).alias("nrm")
+    )
+    dots = (
+        wgt.alias("a")
+        .join(wgt.alias("b"), "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(dsum(F.col("a.wgt") * F.col("b.wgt")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+_TFIDF_ORACLE = r"""
+    WITH n_t AS (SELECT count(*) AS n FROM documents),
+    cap_t AS (
+      -- floor(sqrt(n)) + 1 == Python math.isqrt(n) + 1 (exact for n < 2^52)
+      SELECT greatest(64, CAST(floor(sqrt(n)) AS BIGINT) + 1) AS cap FROM n_t
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    w -> w <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dft AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1
+      HAVING count(*) <= (SELECT cap FROM cap_t)
+    ),
+    w AS (
+      SELECT doc_id, tok,
+             tf * (CAST((SELECT n FROM n_t) AS DOUBLE) / df) AS wgt
+      FROM tf JOIN dft USING (tok)
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(wgt * wgt AS DECIMAL(30,6))) AS DOUBLE)) AS nrm
+      FROM w GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(a.wgt * b.wgt AS DECIMAL(30,6))) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, dot / (x.nrm * y.nrm) AS cos_sim
+    FROM dots
+    JOIN nrm x ON x.doc_id = doc_a
+    JOIN nrm y ON y.doc_id = doc_b
+    WHERE dot / (x.nrm * y.nrm) >= 0.3
+"""
+
+
+@register("x50_tfidf_cosine_pairs", _TFIDF_ORACLE)
+def x50_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Embedding-free near-dup detection: TF-IDF sparse cosine over the
+    df-capped inverted index (rational idf, exact-decimal accumulation)."""
+    return tfidf_cosine_pairs(t(spark, sf_dir, "documents"))

@@ -857,6 +857,73 @@ def l02_versioned_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
     return vt.read()
 
 
+_L03_FMT_SQL = """
+    SELECT '{fmt}' AS fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+"""
+
+
+@register(
+    "l03_multiformat_roundtrip",
+    " UNION ALL ".join(_L03_FMT_SQL.format(fmt=f) for f in ["csv", "json", "orc"]),
+)
+def l03_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2/§2.2] Format-agnostic source/sink certification: a lineitem
+    slice is written through ``write_sink`` to csv, json, and orc, read
+    back through ``read_source`` with an explicit schema (no inference
+    pass — the only scale-safe way to read schemaless formats), and each
+    round-trip is summarized (count + exact-decimal quantity sum + key
+    range). The oracle computes the same summaries straight from parquet:
+    a value drift in ANY format's writer/reader/schema handling
+    hash-fails. Covers the reference's format surface (MySQL+parquet,
+    ``staging_data_extraction.py:30-80``) extended to Spark's DataSource
+    formats."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from smfg_datawarehouse_spark.sources.lake import read_source, write_sink
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where("l_shipdate >= DATE '1997-01-01'")
+        .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_shipdate", T.DateType()),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="sgraft_l03_")
+    opts = {"csv": {"header": "true"}, "json": {}, "orc": {}}
+    parts = []
+    for fmt in ["csv", "json", "orc"]:
+        path = os.path.join(base, fmt)
+        write_sink(li, fmt, path, options=opts[fmt])
+        back = read_source(spark, fmt, path, schema=schema, options=opts[fmt])
+        parts.append(
+            back.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                dsum(F.col("l_quantity")).alias("sum_qty"),
+                F.min("l_orderkey").cast("long").alias("min_key"),
+                F.max("l_orderkey").cast("long").alias("max_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register(
     "q33_intersect_nations",
     """
