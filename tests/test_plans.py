@@ -67,3 +67,33 @@ def test_no_cartesian_in_relational_queries(spark):
     for name in ["q03_join_customer_orders", "q06_window_top_order_per_customer",
                  "q15_semi_join_active_parts", "q19_merge_upsert"]:
         assert_no_cartesian(qs[name](spark, SF))
+
+
+def test_x49_cms_counters_broadcast(spark):
+    # the fixed 4x256 counter grid must broadcast into the top-k probe join
+    # (a shuffled counters join would defeat the sketch's whole point)
+    df = qmod.all_queries()["x49_cms_heavy_hitters"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert_no_cartesian(df)
+
+
+def test_x50_tfidf_df_table_broadcast(spark):
+    # the df-capped vocabulary table joins broadcast (vocab is sublinear in
+    # corpus); the only big shuffles are tf groupBy and the pair dot groupBy
+    df = qmod.all_queries()["x50_tfidf_cosine_pairs"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert_no_cartesian(df)
+
+
+def test_x23_winnowing_single_doc_shuffle_numeric_key(spark):
+    # one exchange for the per-doc window; min-key is a BIGINT (numeric
+    # pack), never the 15-char string encoding
+    from smfg_datawarehouse_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fp = winnowing_fingerprints(docs)
+    assert dict(fp.dtypes)["fp_hash"] == "bigint"
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # repartition + doc_id window
