@@ -1501,3 +1501,170 @@ def x50_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[X] Embedding-free near-dup detection: TF-IDF sparse cosine over the
     df-capped inverted index (rational idf, exact-decimal accumulation)."""
     return tfidf_cosine_pairs(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership / decontamination sketch (portable md5 bits)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 2048  # bits
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_bits(tok: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
+    """The token's DISTINCT Bloom bit positions (portable
+    ``md5('bf{j}:' || tok)`` 32-bit prefix mod m) as ``array<bigint>``.
+    Distinct matters: two hash rows may collide on a bit, and membership
+    means *every distinct position* is set."""
+    return F.array_distinct(
+        F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"bf{j}:"), tok)), 1, 8), 16, 10
+                ).cast("bigint")
+                % m
+                for j in range(k)
+            ]
+        )
+    )
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    train_source: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Benchmark-decontamination membership sketch (Bloom '70): build a
+    Bloom filter over the training source's token vocabulary, probe every
+    OTHER source's tokens through it, and report Bloom hits next to exact
+    membership per source.
+
+    At 100 TB the filter — at most ``m`` set-bit rows regardless of
+    vocabulary size — broadcasts to every probe task, replacing the
+    vocabulary-sized shuffle an exact semi-join needs; the exact side here
+    is the evaluation harness (x12/x14/x47/x49 pattern). Structural
+    invariant the oracle re-checks: Bloom filters have NO false negatives,
+    so ``bloom_hits ≥ exact_hits`` for every source and ``false_pos =
+    bloom_hits − exact_hits ≥ 0`` measures the m/k operating point.
+
+    Membership unit is the word BIGRAM (decontamination granularity —
+    unigram vocabularies are near-fully shared across any same-language
+    sources, bigrams discriminate); at ~715 train bigrams × k=4 into
+    m=2048 bits the filter runs at ~0.75 load, a real false-positive
+    regime the eval actually exercises.
+    """
+    from smfg_datawarehouse_spark.functions import word_shingles
+
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(word_shingles(F.col(text_col), 2)).alias("tok"),
+    ).distinct()
+    train = toks.where(F.col("source") == train_source).select("tok").distinct()
+    bits = (
+        train.select(F.explode(_bloom_bits(F.col("tok"), k, m)).alias("bit"))
+        .distinct()
+    )
+    probe = toks.where(F.col("source") != train_source)
+    matched = (
+        probe.select(
+            "source",
+            "tok",
+            F.size(_bloom_bits(F.col("tok"), k, m)).alias("n_bits"),
+            F.explode(_bloom_bits(F.col("tok"), k, m)).alias("bit"),
+        )
+        .join(F.broadcast(bits), "bit")
+        .groupBy("source", "tok", "n_bits")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .where(F.col("n_matched") == F.col("n_bits"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("bloom_hits"))
+    )
+    exact = (
+        probe.join(train.withColumnRenamed("tok", "tok"), "tok", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_hits"))
+    )
+    totals = probe.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(matched, "source", "left")
+        .join(exact, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("bloom_hits"), F.lit(0)).cast("long").alias("bloom_hits"),
+            F.coalesce(F.col("exact_hits"), F.lit(0)).cast("long").alias("exact_hits"),
+            (
+                F.coalesce(F.col("bloom_hits"), F.lit(0))
+                - F.coalesce(F.col("exact_hits"), F.lit(0))
+            )
+            .cast("long")
+            .alias("false_pos"),
+        )
+    )
+
+
+_BLOOM_BIT = (
+    "('0x' || substring(md5('bf' || j || ':' || tok), 1, 8))::BIGINT % " + str(BLOOM_M)
+)
+
+_BLOOM_ORACLE = f"""
+    WITH tkl AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT source, tk[i] || ' ' || tk[i + 1] AS tok
+      FROM tkl, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+    ),
+    train AS (SELECT DISTINCT tok FROM toks WHERE source = 'src0'),
+    js AS (SELECT unnest(range({BLOOM_K})) AS j),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_BIT} AS bit FROM train CROSS JOIN js
+    ),
+    probe AS (SELECT source, tok FROM toks WHERE source <> 'src0'),
+    probe_bits AS (
+      SELECT DISTINCT source, tok, {_BLOOM_BIT} AS bit FROM probe CROSS JOIN js
+    ),
+    nb AS (SELECT source, tok, count(*) AS n_bits FROM probe_bits GROUP BY 1, 2),
+    hit AS (
+      SELECT pb.source, pb.tok, count(*) AS n_matched
+      FROM probe_bits pb JOIN bits b ON pb.bit = b.bit
+      GROUP BY 1, 2
+    ),
+    bloom AS (
+      SELECT h.source, CAST(count(*) AS BIGINT) AS bloom_hits
+      FROM hit h JOIN nb ON nb.source = h.source AND nb.tok = h.tok
+      WHERE h.n_matched = nb.n_bits
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS exact_hits
+      FROM probe WHERE tok IN (SELECT tok FROM train)
+      GROUP BY 1
+    ),
+    totals AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM probe GROUP BY 1
+    )
+    SELECT t.source, t.n_tokens,
+           COALESCE(b.bloom_hits, 0) AS bloom_hits,
+           COALESCE(e.exact_hits, 0) AS exact_hits,
+           COALESCE(b.bloom_hits, 0) - COALESCE(e.exact_hits, 0) AS false_pos
+    FROM totals t
+    LEFT JOIN bloom b USING (source)
+    LEFT JOIN exact e USING (source)
+"""
+
+
+@register("x51_bloom_contamination", _BLOOM_ORACLE)
+def x51_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Bloom-filter decontamination probe: per non-train source, token
+    vocabulary hits against a Bloom filter built on src0's vocabulary,
+    next to exact membership — no-false-negative invariant oracle-checked."""
+    return bloom_contamination(t(spark, sf_dir, "documents"), "src0")

@@ -95,5 +95,5 @@ def test_x23_winnowing_single_doc_shuffle_numeric_key(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     fp = winnowing_fingerprints(docs)
     assert dict(fp.dtypes)["fp_hash"] == "bigint"
-    plan = fp._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 2  # repartition + doc_id window
+    # repartition + doc_id window + distinct (static plan, AQE-independent)
+    assert exchange_count(fp) <= 3
