@@ -1558,10 +1558,17 @@ def bloom_contamination(
     """
     from smfg_datawarehouse_spark.functions import word_shingles
 
-    toks = docs.select(
-        F.col(source_col).alias("source"),
-        F.explode(word_shingles(F.col(text_col), 2)).alias("tok"),
-    ).distinct()
+    # cached: the distinct (source, bigram) set feeds FOUR consumers
+    # (filter build, probe, exact membership, totals) — without the cache
+    # each replays the corpus explode+distinct
+    toks = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(word_shingles(F.col(text_col), 2)).alias("tok"),
+        )
+        .distinct()
+        .cache()
+    )
     train = toks.where(F.col("source") == train_source).select("tok").distinct()
     bits = (
         train.select(F.explode(_bloom_bits(F.col("tok"), k, m)).alias("bit"))
@@ -1569,11 +1576,14 @@ def bloom_contamination(
     )
     probe = toks.where(F.col("source") != train_source)
     matched = (
-        probe.select(
+        # bit array materialized ONCE per probe token (withColumn), then
+        # sized + exploded from the column — not recomputed per consumer
+        probe.withColumn("_bits", _bloom_bits(F.col("tok"), k, m))
+        .select(
             "source",
             "tok",
-            F.size(_bloom_bits(F.col("tok"), k, m)).alias("n_bits"),
-            F.explode(_bloom_bits(F.col("tok"), k, m)).alias("bit"),
+            F.size("_bits").alias("n_bits"),
+            F.explode("_bits").alias("bit"),
         )
         .join(F.broadcast(bits), "bit")
         .groupBy("source", "tok", "n_bits")

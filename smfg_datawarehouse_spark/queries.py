@@ -154,6 +154,29 @@ def davg(col: F.Column) -> F.Column:
     return F.sum(col.cast("decimal(30,6)")).cast("double") / F.count(F.lit(1))
 
 
+#: Per-session memo of the seeded fixture catalog's compiled artifacts.
+#: Config compilation is once-per-engine-run by contract (the reference
+#: compiles its extraction SQL once per DAG run, not per task) — queries
+#: sharing the fixture catalog should share the compiled plans instead of
+#: re-running the metadata joins + dialect parse on every invocation.
+_FIXTURE_COMPILE_CACHE: dict[str, tuple] = {}
+
+
+def fixture_plans(spark: SparkSession):
+    """(catalog, {full_table_name: ExtractionPlan}, output_mapping_plan(1))
+    for the seeded fixture catalog, compiled once per Spark application."""
+    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
+    from smfg_datawarehouse_spark.compiler import compile_extraction_plans
+    from smfg_datawarehouse_spark.transform import output_mapping_plan
+
+    key = spark.sparkContext.applicationId
+    if key not in _FIXTURE_COMPILE_CACHE:
+        cat = seed_fixture_catalog(spark)
+        plans = {p.full_table_name: p for p in compile_extraction_plans(cat)}
+        _FIXTURE_COMPILE_CACHE[key] = (cat, plans, output_mapping_plan(cat, 1))
+    return _FIXTURE_COMPILE_CACHE[key]
+
+
 # SQL fragment helpers for the DuckDB oracle side
 def _dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
@@ -646,10 +669,9 @@ def q16_metadata_compiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline config rows. Exercises ActiveFlag/IncludeFlag filtering,
     NULL-alias and whitespace-only-logic fallbacks, and ColumnID-ordered
     deterministic concat."""
-    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
     from smfg_datawarehouse_spark.compiler import compile_extraction_queries
 
-    cat = seed_fixture_catalog(spark)
+    cat = fixture_plans(spark)[0]
     return compile_extraction_queries(cat).select(
         F.col("TableID").cast("long").alias("TableID"),
         "FullTableName",
@@ -674,11 +696,7 @@ def q17_config_driven_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem source — the engine's config-driven projection/rename/transform/
     incremental-filter path (the reference's extract_table_data consuming a
     generated query, ``staging_data_extraction.py:220-272``)."""
-    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
-    from smfg_datawarehouse_spark.compiler import compile_extraction_plans
-
-    cat = seed_fixture_catalog(spark)
-    plans = {p.full_table_name: p for p in compile_extraction_plans(cat)}
+    _cat, plans, _omp = fixture_plans(spark)
     return plans["tpch.lineitem"].apply(t(spark, sf_dir, "lineitem"))
 
 
@@ -705,17 +723,10 @@ def q18_output_mapping_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64 — values identical, repr not; the repo's dsum convention)."""
     from pyspark.sql.types import DecimalType
 
-    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
-    from smfg_datawarehouse_spark.compiler import compile_extraction_plans
-    from smfg_datawarehouse_spark.transform import (
-        apply_output_mapping,
-        output_mapping_plan,
-    )
+    from smfg_datawarehouse_spark.transform import apply_output_mapping
 
-    cat = seed_fixture_catalog(spark)
-    plans = {p.full_table_name: p for p in compile_extraction_plans(cat)}
+    _cat, plans, (_target, mapping, _keys) = fixture_plans(spark)
     staged = plans["tpch.lineitem"].apply(t(spark, sf_dir, "lineitem"))
-    _target, mapping, _keys = output_mapping_plan(cat, 1)
     mapped = apply_output_mapping(staged, mapping)
     return mapped.select(
         *[
