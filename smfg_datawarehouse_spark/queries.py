@@ -111,6 +111,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     event timestamps surface as TIMESTAMP_LTZ, so date_trunc/window/year
     results would otherwise depend on the caller session's zone — the
     DuckDB oracle is zone-naive and expects UTC semantics.
+
+    Schema-defensiveness note: for every table except ``events`` the
+    DuckDB oracle reads the SAME parquet files, so Spark and the oracle
+    cannot drift apart on a fixture re-encoding — no normalization is
+    needed (and casting here would *break* parity by changing only
+    Spark's side). ``events`` is the exception because one historical
+    encoding (INT64 nanos) is unreadable by Spark's vectorized reader;
+    ``load_events`` branches on the observed dtype.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
