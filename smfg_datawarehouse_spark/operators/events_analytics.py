@@ -796,3 +796,39 @@ def x47_hll_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+@register(
+    "q78_unconverted_views",
+    """
+    SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = v.user_id
+          AND p.ts >= v.ts
+          AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def q78_unconverted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/§2.3/T2] The anti-join side of the conversion funnel: views with
+    NO purchase by the same user within 30 minutes — the rows funnel
+    reporting actually acts on. Implemented through the SAME left-outer
+    interval-join builder the streaming path uses
+    (``streaming/joins.view_purchase_conversions_outer``; stream == batch
+    asserted in test_streaming), filtered to the null-extended rows: one
+    user_id-keyed shuffle, watermark-evictable state in streaming, and a
+    NOT EXISTS replay in the oracle."""
+    from smfg_datawarehouse_spark.streaming.joins import (
+        view_purchase_conversions_outer,
+    )
+
+    e = t(spark, sf_dir, "events")
+    return (
+        view_purchase_conversions_outer(e)
+        .where(F.col("purchase_id").isNull())
+        .select("view_id", "user_id", "view_ts")
+    )

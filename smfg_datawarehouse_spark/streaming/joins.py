@@ -44,6 +44,47 @@ def view_purchase_conversions(events: DataFrame, within: str = "30 minutes") -> 
     )
 
 
+def view_purchase_conversions_outer(
+    events: DataFrame, within: str = "30 minutes"
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`view_purchase_conversions`: every view
+    emits, converted or not — the shape conversion-funnel reporting needs
+    (unconverted views are the interesting rows).
+
+    In streaming, outer results for unmatched views can only emit once the
+    watermark proves no matching purchase can still arrive (view_ts +
+    interval + watermark delay), so the null-extended rows surface late by
+    design; a one-pass AvailableNow replay emits them at stream end. State
+    stays bounded exactly like the inner join — the time bound plus both
+    sides' watermarks is what makes outer stream-stream joins legal at
+    all (Spark rejects an unbounded outer stream join outright)."""
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def enrich_with_dimension(
     events: DataFrame, dim: DataFrame, key: str = "user_id"
 ) -> DataFrame:

@@ -335,3 +335,38 @@ def test_metadata_realtime_dispatch_end_to_end(spark, tmp_path):
         spark.read.parquet(zones.staging_table_dir("tpch", "orders")).count()
         == landed.count() + 7
     )
+
+
+def test_stream_stream_outer_join_equals_batch(spark, events_dir):
+    """LEFT OUTER stream-stream join: unmatched views must emit
+    null-extended once the watermark closes their interval — over an
+    AvailableNow replay the full result must equal the batch left join,
+    including every unconverted view."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.queries import load_events
+    from smfg_datawarehouse_spark.streaming.joins import (
+        view_purchase_conversions_outer,
+    )
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    batch = load_events(spark, SF_DIR)
+    expected = _rowset(view_purchase_conversions_outer(batch))
+    n_unmatched = (
+        view_purchase_conversions_outer(batch)
+        .where(F.col("purchase_id").isNull())
+        .count()
+    )
+    assert n_unmatched > 0  # the outer semantics are actually exercised
+
+    stream = events_stream(spark, events_dir, watermark="10 minutes")
+    out = view_purchase_conversions_outer(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_outer_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _rowset(spark.table("ss_outer_join")) == expected
