@@ -832,3 +832,40 @@ def q78_unconverted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("purchase_id").isNull())
         .select("view_id", "user_id", "view_ts")
     )
+
+
+@register(
+    "x52_approx_percentile_gate",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50_exact,
+           TRUE AS within_band
+    FROM events GROUP BY event_type
+    """,
+)
+def x52_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Sketch-accuracy gate for approx_percentile (the KLL/GK-family
+    one-pass mergeable quantile sketch — the 100 TB replacement for q29's
+    exact sort-based percentile): per event type, the exact median next to
+    whether the sketch's median lands inside the exact [p45, p55] rank
+    band. accuracy=1000 bounds rank error at n/1000, far inside the ±5pp
+    band, and the sketch merge is deterministic — so the flag is
+    reproducible and the oracle re-asserts it (same eval pattern as x12
+    IVF recall, x14 MinHash error, x47 HLL, x49 CMS, x51 Bloom)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50_exact"),
+            F.expr("percentile(value, 0.45)").alias("_lo"),
+            F.expr("percentile(value, 0.55)").alias("_hi"),
+            F.expr("approx_percentile(value, 0.5, 1000)").alias("_ap"),
+        )
+        .select(
+            "event_type",
+            "p50_exact",
+            ((F.col("_ap") >= F.col("_lo")) & (F.col("_ap") <= F.col("_hi"))).alias(
+                "within_band"
+            ),
+        )
+    )
