@@ -1686,3 +1686,68 @@ def x51_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary hits against a Bloom filter built on src0's vocabulary,
     next to exact membership — no-false-negative invariant oracle-checked."""
     return bloom_contamination(t(spark, sf_dir, "documents"), "src0")
+
+
+_CHUNK_SQL = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS tke
+      FROM documents
+    ), st AS (
+      SELECT doc_id, tke, unnest(range(1, len(tke) + 1, 48)) AS s
+      FROM tk
+    ), ch AS (
+      SELECT doc_id,
+             CAST((s - 1) // 48 + 1 AS BIGINT) AS chunk_id,
+             md5(array_to_string(tke[s : LEAST(s + 63, len(tke))], ' ')) AS chunk_hash
+      FROM st
+    )
+"""
+
+
+@register(
+    "x53_chunk_dedup",
+    _CHUNK_SQL
+    + """
+    SELECT chunk_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM ch
+    GROUP BY chunk_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def x53_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Chunk-level exact dedup: 64-token sliding chunks (x46's
+    chunking) whose content hash repeats across the corpus, with the
+    lowest-doc_id survivor — the granularity RAG indexing and pretraining
+    dedup actually operate at (boilerplate repeats as chunks inside
+    otherwise-unique documents, which doc-level dedup can never see).
+    One groupBy on the chunk hash — the same single-shuffle shape as x01
+    exact doc dedup, corpus-linear at any scale."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    tk = F.col("_tk")
+    starts = F.when(
+        F.size(tk) >= 1, F.sequence(F.lit(1), F.size(tk), F.lit(48))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = (
+        d.repartition(n_parts)
+        .withColumn("_tk", word_tokens(F.col("text")))
+        .select("doc_id", "_tk", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice(tk, F.col("s"), 64))).alias("chunk_hash"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
