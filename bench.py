@@ -4,8 +4,11 @@ Prints ONE JSON line:
   {"metric": "total_wall_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
-Each query is executed to completion (count + a cheap checksum collect) so
-lazy plans can't fake speed. A warmup pass on sf0.001 triggers JIT/codegen
+Each query is materialized through a full-width xxhash64 checksum
+aggregation, so every projection expression is forced — under a bare
+count() Catalyst prunes unreferenced columns and map-only queries would
+be timed without evaluating their transforms. A warmup pass on sf0.001
+triggers JIT/codegen
 before timing. Each query's recorded time is the MIN of $SPARK_GRAFT_REPEATS
 (default 2) cold runs — min-of-N filters host/GC noise (observed 3-10×
 spikes on otherwise-stable queries under co-tenant load) while caches are
@@ -18,14 +21,32 @@ import json
 import os
 import time
 
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
+
 from smfg_datawarehouse_spark import queries as qmod
 from smfg_datawarehouse_spark.session import get_spark
 
 
+def materialize(df) -> None:
+    """Force FULL evaluation of every output column.
+
+    bit_xor(xxhash64(*cols)) references every column, so Catalyst cannot
+    prune any projection expression (a bare count() lets it drop them all);
+    XOR can't overflow under ANSI mode the way sum(long) does.
+    MapType isn't hashable in Spark — cast those columns to string first.
+    """
+    cols = [
+        F.col(f.name).cast("string") if isinstance(f.dataType, MapType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    df.select(F.bit_xor(F.xxhash64(*cols)).alias("chk")).collect()
+
+
 def run_query(fn, spark, sf_dir) -> float:
     t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    df.foreach(lambda _: None) if False else df.count()
+    materialize(fn(spark, sf_dir))
     return time.perf_counter() - t0
 
 
@@ -39,7 +60,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     for name, fn in queries.items():
         try:
-            fn(spark, warm_dir).count()
+            materialize(fn(spark, warm_dir))
         except Exception:
             pass
 

@@ -258,6 +258,13 @@ class AuditLedger:
 
     # -- L6: run-status rollup (PARTIAL semantics, DAG finalizer shape) ------
 
+    #: Stage names that are per-event progress records, not work units: a
+    #: realtime table already has a table-level REALTIME_STAGING row whose
+    #: status decides the table; counting each micro-batch row too would
+    #: double-count the table (and a table that failed after one good
+    #: micro-batch would roll up PARTIAL instead of FAILED).
+    INFORMATIONAL_STAGES = ("REALTIME_MICROBATCH",)
+
     def finalize_run(self, process_id: int) -> str:
         """Derive SUCCESS/PARTIAL/FAILED from stage statuses and close the
         master row (the reference's commented finalizer,
@@ -267,13 +274,15 @@ class AuditLedger:
         a table may leave FAILED rows for earlier attempts and then
         succeed — the highest StageDetailID per (StageName, table) decides.
         Rows without table identity (NULL TableName) are their own units,
-        never collapsed."""
+        never collapsed. Informational stages (per-micro-batch progress
+        rows) are excluded from the unit count entirely."""
         w = W.partitionBy(
             "StageName", F.coalesce(F.col("TableName"), F.col("StageDetailID").cast("string"))
         ).orderBy(F.col("StageDetailID").desc())
         final_attempts = (
             self.stage_detail()
             .where(F.col("ProcessID") == process_id)
+            .where(~F.col("StageName").isin(*self.INFORMATIONAL_STAGES))
             .withColumn("_rn", F.row_number().over(w))
             .where("_rn = 1")
         )

@@ -55,18 +55,41 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image_stub(payload: bytes, fake: bool = True) -> dict:
-    """Placeholder for a real media decode (PIL.Image.open / librosa.load).
+    """Media decode slot (PIL.Image.open; librosa.load for audio).
 
     ``fake=True`` → deterministic metadata-only features (no media lib
-    needed). ``fake=False`` → the real implementation slot: raises until a
-    decode library is available in the runtime.
+    needed — the driver-certified path in this runtime). ``fake=False`` →
+    the REAL decode: attempts PIL and verifies the payload actually
+    decodes; raises ``NotImplementedError`` only when no decode library
+    exists, so the real path lights up automatically on a cluster with
+    the image stack installed (see tests/test_integration_gates.py).
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires an image/audio library not present in "
-            "this runtime; wire PIL/librosa here on a real cluster"
-        )
     import hashlib
+
+    if not fake:
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "media decode requires an image library (PIL) not present "
+                "in this runtime; install pillow to enable the real path"
+            ) from exc
+        import io
+
+        ok = payload is not None and len(payload) > 0
+        if ok:
+            try:
+                img = Image.open(io.BytesIO(payload))
+                img.load()
+            except Exception:
+                ok = False
+        return {
+            "n_bytes": len(payload) if payload is not None else None,
+            "content_hash": (
+                hashlib.md5(payload).hexdigest() if payload is not None else None
+            ),
+            "feature_ok": ok,
+        }
 
     return {
         "n_bytes": len(payload) if payload is not None else None,
@@ -151,15 +174,25 @@ TRANSFORM_SCHEMA = T.StructType(
 
 
 def decode_dims_stub(payload: bytes, fake: bool = True) -> tuple[int, int, int]:
-    """Placeholder for the real header parse (PIL.Image.open(...).size /
-    av container probe). Fake mode derives deterministic dimensions and a
-    frame count from the content hash, so the full resize / frame-sample
-    plumbing is exercised — and oracle-checkable — without a media lib."""
+    """Header-parse slot (PIL.Image.open(...).size / av container probe).
+    Fake mode derives deterministic dimensions and a frame count from the
+    content hash, so the full resize / frame-sample plumbing is exercised
+    — and oracle-checkable — without a media lib. ``fake=False`` attempts
+    the real PIL header parse (``n_frames`` for multi-frame containers)
+    and raises ``NotImplementedError`` only when PIL is absent."""
     if not fake:
-        raise NotImplementedError(
-            "media header parse requires an image/video library not present "
-            "in this runtime; wire PIL / pyav here on a real cluster"
-        )
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "media header parse requires an image library (PIL) not "
+                "present in this runtime; install pillow to enable it"
+            ) from exc
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        w, ht = img.size
+        return w, ht, int(getattr(img, "n_frames", 1))
     import hashlib
 
     h = hashlib.md5(payload).hexdigest()

@@ -884,10 +884,13 @@ def x36_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     source x vocab cross product: sum_absent p_t telescopes to
     1 - sum_present p_t, so L1 = 1 + sum_present(|p_st - p_t| - p_t) and
     only observed (source, token) pairs are ever materialized. The big
-    shuffle is the (source, token) count; token totals (vocab-sized) and
-    per-source totals broadcast back onto it. Each |.|-term is one fixed
-    IEEE expression; the sum accumulates in exact decimal — bit-stable at
-    any partition count."""
+    shuffle is the (source, token) count — CACHED, because all four
+    downstream tables (per-source totals, per-token totals, corpus total,
+    and the final join) derive from it: one tokenize+shuffle pass instead
+    of four replays. Token totals (vocab-sized) and per-source totals
+    broadcast back onto it. Each |.|-term is one fixed IEEE expression;
+    the sum accumulates in exact decimal — bit-stable at any partition
+    count."""
     d = t(spark, sf_dir, "documents")
     n_parts = spark.sparkContext.defaultParallelism
     tok = (
@@ -895,7 +898,7 @@ def x36_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_tk", word_tokens(F.col("text")))
         .select("source", F.explode("_tk").alias("tokw"))
     )
-    cst = tok.groupBy("source", "tokw").agg(F.count(F.lit(1)).alias("c_st"))
+    cst = tok.groupBy("source", "tokw").agg(F.count(F.lit(1)).alias("c_st")).cache()
     ns = cst.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
     ct = cst.groupBy("tokw").agg(F.sum("c_st").cast("long").alias("c_t"))
     tot = cst.agg(F.sum("c_st").cast("long").alias("n"))
@@ -1393,6 +1396,8 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.3,
     df_cap: int | None = None,
+    prefix_filter: bool = True,
+    _return_candidates: bool = False,
 ) -> DataFrame:
     """Document pairs with TF-IDF cosine ≥ threshold — near-dup detection
     with NO embedding column, pure sparse algebra on the token inverted
@@ -1405,9 +1410,28 @@ def tfidf_cosine_pairs(
     weighting: this is simultaneously classic stopword pruning (high-df
     tokens carry ~zero idf weight) and the bound that keeps the
     inverted-index self-join's Σ df² candidate cost from detonating on
-    boilerplate corpora. Dot products and norms accumulate via exact
-    DECIMAL sums (the repo's dsum convention) so the cosine — and the
-    threshold cut — hash-match the oracle.
+    boilerplate corpora.
+
+    **Prefix filtering** (``prefix_filter=True``, All-Pairs — Bayardo,
+    Ma & Srikant, WWW'07): beyond the df cap, mid-frequency tokens still
+    drive Σ df². Process each doc's tokens in a fixed global order
+    (df DESC, tok — frequent first) accumulating
+    ``b = Σ ŵ(d,t)·maxw(t)`` over the unit-normalized weights, where
+    ``maxw(t)`` is the corpus-wide max normalized weight of ``t``. A
+    token is INDEXED only once ``b ≥ threshold``; for any pair with
+    cos ≥ threshold the LATEST shared token in the global order is
+    provably indexed on BOTH sides (if it sat in either doc's unindexed
+    prefix, every earlier shared token would too, bounding the dot by
+    ``b < threshold``) — so joining indexed×indexed rows is lossless
+    while the frequent-token prefix never enters the candidate join.
+    The indexing decision deflates the threshold by 1e-9 to absorb
+    float rounding in ``b``/``maxw`` (the exactness of the RESULT never
+    depends on the bound — candidates are re-verified in full).
+
+    Verification recomputes each candidate pair's dot over the COMPLETE
+    weight rows; dots and norms accumulate via exact DECIMAL sums (the
+    repo's dsum convention) so the cosine — and the threshold cut —
+    hash-match the uncapped-arithmetic oracle.
     """
     from smfg_datawarehouse_spark.queries import dsum
 
@@ -1424,23 +1448,89 @@ def tfidf_cosine_pairs(
     dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= df_cap
     )
-    wgt = tf.join(F.broadcast(dft), "tok").select(
-        "doc_id",
-        "tok",
-        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("wgt"),
+    # (doc, tok, wgt, df) — cached: norms, maxw, the prefix window, and
+    # verification all re-read this instead of replaying tokenize+tf
+    wgt = (
+        tf.join(F.broadcast(dft), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("wgt"),
+            "df",
+        )
+        .cache()
     )
     nrm = wgt.groupBy("doc_id").agg(
         F.sqrt(dsum(F.col("wgt") * F.col("wgt"))).alias("nrm")
     )
-    dots = (
-        wgt.alias("a")
-        .join(wgt.alias("b"), "tok")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+
+    if prefix_filter:
+        # unit-normalized weights (cosine space, where the bound lives)
+        wn = wgt.join(F.broadcast(nrm), "doc_id").select(
+            "doc_id", "tok", "df", (F.col("wgt") / F.col("nrm")).alias("wn")
         )
-        .agg(dsum(F.col("a.wgt") * F.col("b.wgt")).alias("dot"))
-    )
+        maxw = wn.groupBy("tok").agg(F.max("wn").alias("maxw"))
+        win = W.partitionBy("doc_id").orderBy(F.col("df").desc(), "tok")
+        indexed = (
+            wn.join(F.broadcast(maxw), "tok")
+            .withColumn("b", F.sum(F.col("wn") * F.col("maxw")).over(win))
+            .where(F.col("b") >= threshold * (1.0 - 1e-9))
+            .select("doc_id", "tok")
+        )
+        cand = (
+            indexed.alias("a")
+            .join(
+                indexed.alias("b"),
+                (F.col("a.tok") == F.col("b.tok"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        if _return_candidates:
+            return cand
+        wa = wgt.select(
+            F.col("doc_id").alias("doc_a"), "tok", F.col("wgt").alias("wgt_a")
+        )
+        wb = wgt.select(
+            F.col("doc_id").alias("_wb_doc"),
+            F.col("tok").alias("tok_b"),
+            F.col("wgt").alias("wgt_b"),
+        )
+        dots = (
+            cand.join(wa, "doc_a")
+            .join(
+                wb,
+                (F.col("doc_b") == F.col("_wb_doc"))
+                & (F.col("tok") == F.col("tok_b")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(dsum(F.col("wgt_a") * F.col("wgt_b")).alias("dot"))
+        )
+    else:
+        if _return_candidates:
+            return (
+                wgt.alias("a")
+                .join(wgt.alias("b"), "tok")
+                .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+        dots = (
+            wgt.alias("a")
+            .join(wgt.alias("b"), "tok")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(dsum(F.col("a.wgt") * F.col("b.wgt")).alias("dot"))
+        )
     na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     return (

@@ -157,12 +157,22 @@ def run_realtime_staging(
     filter are stateless, hence streaming-valid), landing micro-batches in
     the staging zone via ``foreachBatch`` with per-batch audit rows.
 
-    Trigger is ``AvailableNow`` — drain the current backlog exactly-once
-    and stop — which is the testable cadence of the always-on production
-    query (same checkpointed source offsets; a long-running deployment
-    simply omits the trigger). Checkpoints persist under the lake's logs
-    zone, so a re-run after new raw files arrive processes ONLY the new
-    files (streaming-incremental, the realtime analogue of T1's watermark).
+    Trigger is ``AvailableNow`` — drain the current backlog and stop —
+    which is the testable cadence of the always-on production query (same
+    checkpointed source offsets; a long-running deployment simply omits
+    the trigger). Checkpoints persist under the lake's logs zone keyed by
+    the SCHEMA-QUALIFIED table name (two same-named tables in different
+    schemas must not share source offsets), so a re-run after new raw
+    files arrive processes ONLY the new files (streaming-incremental, the
+    realtime analogue of T1's watermark).
+
+    Delivery is at-least-once with idempotent replay in the common case:
+    each landed micro-batch records its ``batch_id`` in a marker file next
+    to the checkpoint, and a replayed batch (crash after checkpoint-ahead
+    restart) whose id is already marked is skipped instead of re-appended.
+    A crash in the narrow window between the append and the marker write
+    can still duplicate one batch — true exactly-once appends need a
+    transactional sink (Delta MERGE), out of scope in this sandbox.
 
     Returns (process_id, per-table results) exactly like the batch runner;
     failure isolation and SUCCESS/PARTIAL/FAILED rollup are shared (L6).
@@ -192,15 +202,40 @@ def run_realtime_staging(
         )
         src_dir = os.path.join(zones.raw, plan.schema_name, plan.table_name)
         out_path = zones.staging_table_dir(plan.schema_name, plan.table_name)
+        ckpt_dir = os.path.join(ckpt_root, plan.schema_name, plan.table_name)
+        marker = os.path.join(ckpt_dir, "_landed_batches")
         totals = {"rows": 0, "batches": 0}
 
+        def _landed(batch_id: int) -> bool:
+            try:
+                with open(marker) as fh:
+                    return str(batch_id) in fh.read().split()
+            except FileNotFoundError:
+                return False
+
+        def _mark_landed(batch_id: int) -> None:
+            os.makedirs(ckpt_dir, exist_ok=True)
+            with open(marker, "a") as fh:
+                fh.write(f"{batch_id}\n")
+
         def land_batch(batch_df: DataFrame, batch_id: int, _plan=plan, _totals=totals):
+            # Replay guard: after a crash-restart Structured Streaming
+            # re-delivers the last uncommitted batch_id; if we already
+            # appended it, skip (idempotent at-least-once, see docstring).
+            if _landed(batch_id):
+                return
             # inside foreachBatch the micro-batch is an ordinary DataFrame:
-            # reuse the batch staging writer (all-NA drop included), append
-            n = batch_df.count()
-            write_staging(
-                batch_df, zones, _plan.schema_name, _plan.table_name, mode="append"
-            )
+            # persist so count + write compute the batch ONCE, then reuse
+            # the batch staging writer (all-NA drop included), append
+            batch_df.persist()
+            try:
+                n = batch_df.count()
+                write_staging(
+                    batch_df, zones, _plan.schema_name, _plan.table_name, mode="append"
+                )
+            finally:
+                batch_df.unpersist()
+            _mark_landed(batch_id)
             _totals["rows"] += n
             _totals["batches"] += 1
             audit.log_stage_detail(
@@ -220,9 +255,7 @@ def run_realtime_staging(
             q = (
                 plan.apply(stream)
                 .writeStream.foreachBatch(land_batch)
-                .option(
-                    "checkpointLocation", os.path.join(ckpt_root, plan.table_name)
-                )
+                .option("checkpointLocation", ckpt_dir)
                 .trigger(availableNow=True)
                 .start()
             )

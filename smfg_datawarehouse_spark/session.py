@@ -31,6 +31,10 @@ _DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # one historical events.parquet encoding stores ts as INT64
+    # TIMESTAMP(NANOS), unreadable by the vectorized reader unless
+    # surfaced as long (queries.load_events then truncates to micros)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "snappy",
     # Auto-broadcast threshold: dims at our scale (region/nation/customer/

@@ -50,6 +50,31 @@ def test_jaccard_default_cap_lossless_on_natural_corpus(spark):
     )
 
 
+def test_jaccard_on_drop_raise_fails_loudly(spark):
+    """Oracle-certified contexts: a cap that would drop prefix rows must
+    raise, not warn — a silent drop surfaces as an inexplicable oracle
+    hash mismatch."""
+    docs = _boilerplate_corpus(spark, 40)
+    with pytest.raises(RuntimeError, match="skew guard"):
+        jaccard_pairs(docs, k=3, threshold=0.6, df_cap=8, on_drop="raise")
+    with pytest.raises(ValueError, match="on_drop"):
+        jaccard_pairs(docs, k=3, threshold=0.6, on_drop="explode")
+
+
+def test_jaccard_default_is_lazy(spark):
+    """Default (on_drop='warn', df_cap=None) construction must trigger ZERO
+    Spark jobs — plan-only inspection stays free; the cap is applied via a
+    broadcast one-row aggregate inside the plan."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = jaccard_pairs(docs, k=3, threshold=0.6)
+    df.explain(mode="cost")  # plan-only inspection is fine too
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    assert df.count() >= 0  # and it still executes
+
+
 def test_collect_matrix_rejects_oversized_query_set(spark):
     big = spark.range(501).select(
         F.col("id").alias("vec_id"),
@@ -62,3 +87,47 @@ def test_collect_matrix_rejects_oversized_query_set(spark):
         big.limit(500), "vec_id", "embedding", max_rows=500
     )
     assert len(ids) == 500 and mat.shape == (500, 2)
+
+
+def test_tfidf_prefix_filter_bounds_candidates(spark):
+    """All-Pairs prefix filtering (Bayardo WWW'07): on a corpus where doc
+    groups share one mid-frequency token (df below the skew cap) but are
+    otherwise unrelated, the inverted-index self-join without the prefix
+    bound generates C(group,2)×groups candidates that all verify < t; the
+    prefix filter proves the shared token can't reach the threshold
+    (b = Σ ŵ·maxw « t) and never indexes it — zero candidates. Results
+    must be identical either way (lossless)."""
+    from smfg_datawarehouse_spark.operators.text_analysis import (
+        tfidf_cosine_pairs,
+    )
+
+    n_groups, group = 4, 50
+    docs = spark.range(n_groups * group).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.concat(F.lit("g"), (F.col("id") % n_groups).cast("string")),
+            F.lit(" "),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"u{k}_"), F.col("id").cast("string"))
+                    for k in range(8)
+                ],
+            ),
+        ).alias("text"),
+    )
+    full = tfidf_cosine_pairs(
+        docs, prefix_filter=False, _return_candidates=True
+    ).count()
+    pref = tfidf_cosine_pairs(
+        docs, prefix_filter=True, _return_candidates=True
+    ).count()
+    assert full == n_groups * group * (group - 1) // 2
+    assert pref == 0
+    pairs_full = sorted(
+        map(tuple, tfidf_cosine_pairs(docs, prefix_filter=False).collect())
+    )
+    pairs_pref = sorted(
+        map(tuple, tfidf_cosine_pairs(docs, prefix_filter=True).collect())
+    )
+    assert pairs_pref == pairs_full == []

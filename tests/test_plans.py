@@ -100,3 +100,22 @@ def test_x23_winnowing_single_doc_shuffle_numeric_key(spark):
     # shuffle-partition conf; what must never appear is a join/cartesian)
     assert exchange_count(fp) <= 4
     assert_no_cartesian(fp)
+
+
+def test_q64_funnel_single_user_shuffle(spark):
+    # one window pass over events: the three staged MINs share a single
+    # user_id hash exchange, the per-user rollup reuses that partitioning
+    # (no second exchange), and only the final 1-row agg adds one more —
+    # the former staged shape re-scanned events 3x with 9 exchanges
+    df = qmod.all_queries()["q64_event_funnel"](spark, SF)
+    assert exchange_count(df) <= 3
+    assert_no_cartesian(df)
+
+
+def test_x36_divergence_reuses_token_count_shuffle(spark):
+    # the (source, token) count is cached: per-source totals, per-token
+    # totals, corpus total, and the final join all read the cache instead
+    # of replaying tokenize+shuffle (12 exchanges before the reuse pass)
+    df = qmod.all_queries()["x36_source_divergence"](spark, SF)
+    assert exchange_count(df) <= 6
+    assert_no_cartesian(df)
