@@ -786,3 +786,120 @@ def x43_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label_a", "label_b")
         .agg(F.sqrt(F.sum(g2u).cast("double") / 1e15).alias("l2_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication by embedding clusters
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): drop semantically
+    redundant items by clustering embeddings and removing, within each
+    cluster, every vector that has a higher-priority (lower-id) neighbor
+    with cosine ≥ ``threshold``.
+
+    Scale shape — the whole point of clustering first: pairwise cosine is
+    confined to cells, so the compute is Σ|cell|² instead of N² and no
+    pair-shaped data crosses cells. One corpus scan assigns cells against
+    a broadcast centroid matrix (``mapInPandas``, argmax cosine, ties →
+    lowest centroid id — identical to the IVF quantizer so the oracle can
+    replay it); one cell-keyed shuffle then runs the vectorized intra-cell
+    dedup (``applyInPandas``). At 100 TB, raise the centroid count so
+    cells stay executor-sized — recall degrades gracefully (only
+    cross-cell near-dups are missed), exactly the trade the paper makes.
+
+    Greedy lowest-id-wins matches the common SemDeDup deployment (no
+    transitive closure inside a cell: B≈A and C≈B but C≉A keeps C —
+    survivors are pairwise-checked against lower ids only). Cosines use
+    the left-to-right fold, bit-exact with the DuckDB oracle.
+
+    Returns (vec_id, cid, keep) for every corpus vector.
+    """
+    cids, cmat = _collect_matrix(centroids, id_col, vec_col)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((cids, cmat))
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def assign_partition(it):
+        cs, cm = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            acos = _lr_cosine(vm, cm)
+            cell = np.argmax(np.where(np.isfinite(acos), acos, -np.inf), axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cid": cs[cell], "v": pdf["v"]}
+            )
+
+    assigned = (
+        corpus.repartition(n_parts)
+        .select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .mapInPandas(assign_partition, "vec_id long, cid long, v array<double>")
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        vm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        cos = _lr_cosine(vm, vm)
+        with np.errstate(invalid="ignore"):
+            dup = np.triu(cos >= threshold, k=1)  # [i, j]: i (lower id) ≥ τ j
+        removed = dup.any(axis=0)
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "cid": pdf["cid"], "keep": ~removed}
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        dedup_cell, "vec_id long, cid long, keep boolean"
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id % 29 = 7),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT t.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {_dcos('t.v', 'c.cv')} DESC, c.cid) AS rn
+        FROM vecs t CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    av AS (
+      SELECT a.vec_id, a.cid, v.v FROM assign a JOIN vecs v USING (vec_id)
+    ),
+    removed AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_dcos('a.v', 'b.v')} >= 0.3
+    )
+    SELECT CAST(av.vec_id AS BIGINT) AS vec_id,
+           CAST(av.cid AS BIGINT) AS cid,
+           r.vec_id IS NULL AS keep
+    FROM av LEFT JOIN removed r ON r.vec_id = av.vec_id
+"""
+
+
+@register("x54_semantic_dedup", _SEMDEDUP_ORACLE)
+def x54_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] SemDeDup over the embeddings table: IVF-style deterministic
+    cells (centroids = every 29th vector, same quantizer as x11), then
+    greedy lowest-id-wins removal of intra-cell cosine-0.3 neighbors.
+    Both the clustering AND the dedup decision are replayed exactly by
+    the oracle — the approximation itself is hash-checked."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") % 29 == 7)
+    return semantic_dedup(e, cents, threshold=0.3)

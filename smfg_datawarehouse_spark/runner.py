@@ -101,9 +101,22 @@ def run_staging_extraction(
             )
             try:
                 src = source_reader(spark, plan)
-                out = plan.apply(src)
-                path = write_staging(out, zones, plan.schema_name, plan.table_name)
-                n = spark.read.parquet(path).count()
+                # all-NA drop applied HERE (not inside write_staging) so the
+                # audited row count and the written rows come from one
+                # persisted computation — the former write-then-re-read-
+                # parquet count cost a full extra scan per table
+                staged = plan.apply(src).na.drop("all").persist()
+                try:
+                    n = staged.count()
+                    path = write_staging(
+                        staged,
+                        zones,
+                        plan.schema_name,
+                        plan.table_name,
+                        drop_all_na=False,
+                    )
+                finally:
+                    staged.unpersist()
                 audit.update_stage_detail(
                     sid, status="SUCCESS", row_count=n, output_path=path
                 )

@@ -8,9 +8,12 @@ connections each scanning a bounded slice — same bounded-memory property,
 N× the throughput, and pushdown of the compiled projection/predicate into
 the remote query.
 
-No database exists in the test environment; this module builds and
-validates the option dict (unit-testable) and `read_jdbc` wires it to
-``spark.read.format("jdbc")`` for real deployments.
+Tested end-to-end against a REAL JDBC database: Spark bundles Apache
+Derby (embedded, pure-Java), so ``tests/test_jdbc_derby_roundtrip.py``
+exercises partitioned reads, query-mode pushdown, and the write→extract
+round trip through an actual ``java.sql.DriverManager`` connection — the
+same code path a MySQL/Postgres URL takes on a production cluster
+(plus `tests/test_integration_gates.py` for a user-supplied external URL).
 """
 
 from __future__ import annotations

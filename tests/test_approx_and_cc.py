@@ -40,3 +40,23 @@ def test_connected_components_known_graph(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (7, 5)}
+
+
+def test_cc_driver_and_iterative_tiers_agree(spark):
+    """The union-find fast path (edges ≤ cap) and the distributed
+    min-label path must produce identical (doc_id, group_id) labels."""
+    import random
+
+    from smfg_datawarehouse_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    fast = sorted(
+        map(tuple, connected_components(edges).collect())
+    )
+    dist = sorted(
+        map(tuple, connected_components(edges, driver_edge_cap=-1).collect())
+    )
+    assert fast == dist and len(fast) > 0

@@ -115,7 +115,11 @@ def test_q64_funnel_single_user_shuffle(spark):
 def test_x36_divergence_reuses_token_count_shuffle(spark):
     # the (source, token) count is cached: per-source totals, per-token
     # totals, corpus total, and the final join all read the cache instead
-    # of replaying tokenize+shuffle (12 exchanges before the reuse pass)
+    # of replaying tokenize+shuffle (12 exchanges before the reuse pass).
+    # clearCache first: an earlier test materializing the same logical
+    # plan would otherwise swap in InMemoryTableScan blocks and change
+    # the formatted plan's exchange census (order-dependence)
+    spark.catalog.clearCache()
     df = qmod.all_queries()["x36_source_divergence"](spark, SF)
     assert exchange_count(df) <= 6
     assert_no_cartesian(df)
