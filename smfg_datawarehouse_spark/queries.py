@@ -230,6 +230,26 @@ def fixture_plans(spark: SparkSession):
     return _FIXTURE_COMPILE_CACHE[key]
 
 
+def _scratch_dir(spark: SparkSession, tag: str) -> str:
+    """Per-(application, tag) scratch directory for the lifecycle queries
+    (l01/l02/l03): the PREVIOUS invocation's output is removed before the
+    new one starts, so repeated runs (bench repeats, driver passes) can't
+    accumulate orphaned lake/audit dirs in /tmp. Consequence, documented:
+    re-invoking a lifecycle query invalidates DataFrames still lazily
+    reading the prior invocation's files — materialize before re-running.
+    """
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sgraft_{tag}_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
 # SQL fragment helpers for the DuckDB oracle side
 def _dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
@@ -851,14 +871,13 @@ def l01_runner_audit_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     both SUCCESS — reconciling audit metadata against source truth exactly
     like the reference's RowCount columns (`1. Metadata Creation.sql:35-39`)."""
     import os
-    import tempfile
 
     from smfg_datawarehouse_spark.audit import AuditLedger
     from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
     from smfg_datawarehouse_spark.runner import run_staging_extraction
     from smfg_datawarehouse_spark.sources.lake import LakeZones
 
-    tmp = tempfile.mkdtemp(prefix="sgraft_run_")
+    tmp = _scratch_dir(spark, "run")
     zones = LakeZones(os.path.join(tmp, "lake"))
     audit = AuditLedger(spark, os.path.join(tmp, "audit"))
     cat = seed_fixture_catalog(spark)
@@ -901,8 +920,6 @@ def l02_versioned_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
     declared DW-load upsert with Delta-style visibility semantics on
     plain parquet. Same oracle as q19: durability must not change MERGE
     semantics."""
-    import tempfile
-
     from smfg_datawarehouse_spark.sources.versioned import VersionedTable
 
     o = t(spark, sf_dir, "orders")
@@ -915,7 +932,7 @@ def l02_versioned_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("o_totalprice") * 2).alias("o_totalprice"),
         "o_orderdate",
     )
-    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="sgraft_vt_"))
+    vt = VersionedTable(spark, _scratch_dir(spark, "vt"))
     vt.write(target)
     vt.merge(updates, ["o_orderkey"])
     return vt.read()
@@ -966,7 +983,7 @@ def l03_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("l_shipdate", T.DateType()),
         ]
     )
-    base = tempfile.mkdtemp(prefix="sgraft_l03_")
+    base = _scratch_dir(spark, "l03")
     opts = {"csv": {"header": "true"}, "json": {}, "orc": {}}
     parts = []
     for fmt in ["csv", "json", "orc"]:

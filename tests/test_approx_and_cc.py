@@ -60,3 +60,27 @@ def test_cc_driver_and_iterative_tiers_agree(spark):
         map(tuple, connected_components(edges, driver_edge_cap=-1).collect())
     )
     assert fast == dist and len(fast) > 0
+
+
+def test_semantic_dedup_greedy_lowest_id_wins(spark):
+    """Synthetic: vectors 0/1/2 near-identical (same cell, cos ≈ 1), 3
+    orthogonal-ish. Greedy lowest-id-wins keeps 0, removes 1 and 2, keeps
+    3 — and the centroid (vec 0's cell) assignment is deterministic."""
+    from smfg_datawarehouse_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.1]),
+        (1, [1.0, 0.01, 0.1]),
+        (2, [0.99, 0.0, 0.11]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.where("vec_id IN (0, 3)")
+    out = {
+        r["vec_id"]: (r["cid"], r["keep"])
+        for r in semantic_dedup(df, cents, threshold=0.9).collect()
+    }
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)
+    assert out[3] == (3, True)
