@@ -282,7 +282,12 @@ class AuditLedger:
         final_attempts = (
             self.stage_detail()
             .where(F.col("ProcessID") == process_id)
-            .where(~F.col("StageName").isin(*self.INFORMATIONAL_STAGES))
+            # NULL StageName is still a unit: bare ~isin() would evaluate
+            # to NULL under three-valued logic and silently drop the row
+            .where(
+                F.col("StageName").isNull()
+                | ~F.col("StageName").isin(*self.INFORMATIONAL_STAGES)
+            )
             .withColumn("_rn", F.row_number().over(w))
             .where("_rn = 1")
         )

@@ -179,7 +179,10 @@ def decode_dims_stub(payload: bytes, fake: bool = True) -> tuple[int, int, int]:
     content hash, so the full resize / frame-sample plumbing is exercised
     — and oracle-checkable — without a media lib. ``fake=False`` attempts
     the real PIL header parse (``n_frames`` for multi-frame containers)
-    and raises ``NotImplementedError`` only when PIL is absent."""
+    and raises ``NotImplementedError`` only when PIL is absent. A NULL /
+    corrupt / unparseable payload degrades to ``(0, 0, 0)`` — one bad
+    row must flag, not fail, the whole resize/frame-sample job (same
+    policy as ``decode_image_stub``'s feature_ok=False)."""
     if not fake:
         try:
             from PIL import Image
@@ -190,9 +193,14 @@ def decode_dims_stub(payload: bytes, fake: bool = True) -> tuple[int, int, int]:
             ) from exc
         import io
 
-        img = Image.open(io.BytesIO(payload))
-        w, ht = img.size
-        return w, ht, int(getattr(img, "n_frames", 1))
+        if not payload:
+            return 0, 0, 0
+        try:
+            img = Image.open(io.BytesIO(payload))
+            w, ht = img.size
+            return w, ht, int(getattr(img, "n_frames", 1))
+        except Exception:
+            return 0, 0, 0
     import hashlib
 
     h = hashlib.md5(payload).hexdigest()

@@ -815,10 +815,13 @@ def semantic_dedup(
     cells stay executor-sized — recall degrades gracefully (only
     cross-cell near-dups are missed), exactly the trade the paper makes.
 
-    Greedy lowest-id-wins matches the common SemDeDup deployment (no
-    transitive closure inside a cell: B≈A and C≈B but C≉A keeps C —
-    survivors are pairwise-checked against lower ids only). Cosines use
-    the left-to-right fold, bit-exact with the DuckDB oracle.
+    Greedy lowest-id-wins: a vector is removed when ANY lower-id vector
+    in its cell (removed or not) is cosine-≥ τ. Chains therefore collapse
+    entirely — with A(0)≈B(1) and B(1)≈C(2) but C≉A, both B and C are
+    removed (C's trigger B is itself removed). This is deliberately NOT
+    check-against-survivors: it needs no iteration, and the oracle
+    replays the same rule. Cosines use the left-to-right fold, bit-exact
+    with the DuckDB oracle.
 
     Returns (vec_id, cid, keep) for every corpus vector.
     """

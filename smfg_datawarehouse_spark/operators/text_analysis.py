@@ -822,25 +822,25 @@ def x35_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_tk", word_tokens(F.col("text")))
         .select("doc_id", F.explode("_tk").alias("tokw"))
     )
+    # (doc, token) occurrence counts — CACHED (same reuse as x36/x37):
+    # vocab ranking and per-doc scoring both derive from it, so
+    # tokenize+explode runs once instead of twice
+    cst = tok.groupBy("doc_id", "tokw").agg(F.count(F.lit(1)).alias("c")).cache()
     vocab = (
-        tok.groupBy("tokw")
-        .agg(F.count(F.lit(1)).alias("n"))
+        cst.groupBy("tokw")
+        .agg(F.sum("c").alias("n"))
         .orderBy(F.col("n").desc(), "tokw")
         .limit(100)
         .select("tokw", F.lit(1).alias("iv"))
     )
+    oov_c = F.when(F.col("iv").isNull(), F.col("c")).otherwise(F.lit(0))
     return (
-        tok.join(F.broadcast(vocab), "tokw", "left")
+        cst.join(F.broadcast(vocab), "tokw", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_oov"),
-            (
-                F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("oov_rate"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(oov_c).cast("long").alias("n_oov"),
+            (F.sum(oov_c).cast("double") / F.sum("c")).alias("oov_rate"),
         )
     )
 
@@ -962,19 +962,25 @@ def x37_mean_token_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_tk", word_tokens(F.col("text")))
         .select("doc_id", F.explode("_tk").alias("tokw"))
     )
-    ct = tok.groupBy("tokw").agg(F.count(F.lit(1)).cast("long").alias("c_t"))
-    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # (doc, token) occurrence counts — CACHED (same reuse as x36): the
+    # vocab table, the corpus total, and the per-doc rollup all derive
+    # from it, so tokenize+explode runs once instead of three times.
+    # Per-doc Σ p_units over occurrences == Σ c·p_units over (doc, token)
+    # rows — exact integer either way.
+    cst = tok.groupBy("doc_id", "tokw").agg(F.count(F.lit(1)).alias("c")).cache()
+    ct = cst.groupBy("tokw").agg(F.sum("c").cast("long").alias("c_t"))
+    tot = cst.agg(F.sum("c").cast("long").alias("n"))
     p_units = F.floor(
         F.col("c_t").cast("double") / F.col("n") * 1e15 + 0.5
     ).cast("long")
     return (
-        tok.join(F.broadcast(ct), "tokw")
+        cst.join(F.broadcast(ct), "tokw")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("n_tokens"),
             (
-                F.sum(p_units).cast("double") / 1e15 / F.count(F.lit(1))
+                F.sum(F.col("c") * p_units).cast("double") / 1e15 / F.sum("c")
             ).alias("mean_token_prob"),
         )
     )

@@ -131,21 +131,20 @@ def all_oracles() -> dict[str, str]:
     return {n: _ORACLES[n] for n in _priority_order(_ORACLES)}
 
 
-#: Sessions whose determinism confs have been verified (applicationId →
-#: done). ``session.get_spark`` owns these confs for engine-built
-#: sessions; the memoized ensure below exists ONLY for externally-built
-#: sessions (the correctness driver constructs its own SparkSession) and
-#: runs once per application instead of on every table load.
-_SESSION_CONFS_ENSURED: set[str] = set()
-
-
 def _ensure_session_confs(spark: SparkSession) -> None:
-    key = spark.sparkContext.applicationId
-    if key in _SESSION_CONFS_ENSURED:
-        return
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _SESSION_CONFS_ENSURED.add(key)
+    """Ensure the determinism confs on THIS session. ``session.get_spark``
+    owns them for engine-built sessions; this check-then-set exists for
+    externally-built sessions (the correctness driver constructs its own
+    SparkSession). Keyed on the live conf VALUE, not an applicationId
+    memo: ``spark.newSession()`` shares the application but not the
+    SQLConf, and a caller may reset the timezone between queries — a memo
+    would silently skip re-pinning and shift every date_trunc/window
+    result against the zone-naive oracle. Two conf reads per table load
+    are sub-millisecond."""
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -238,16 +238,22 @@ def run_realtime_staging(
             if _landed(batch_id):
                 return
             # inside foreachBatch the micro-batch is an ordinary DataFrame:
-            # persist so count + write compute the batch ONCE, then reuse
-            # the batch staging writer (all-NA drop included), append
-            batch_df.persist()
+            # all-NA drop applied HERE (as in the batch path) so the audited
+            # row count and the appended rows come from one persisted
+            # computation — counting pre-drop would overstate landed rows
+            staged = batch_df.na.drop("all").persist()
             try:
-                n = batch_df.count()
+                n = staged.count()
                 write_staging(
-                    batch_df, zones, _plan.schema_name, _plan.table_name, mode="append"
+                    staged,
+                    zones,
+                    _plan.schema_name,
+                    _plan.table_name,
+                    mode="append",
+                    drop_all_na=False,
                 )
             finally:
-                batch_df.unpersist()
+                staged.unpersist()
             _mark_landed(batch_id)
             _totals["rows"] += n
             _totals["batches"] += 1
