@@ -906,3 +906,391 @@ def x54_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     cents = e.where(F.col("vec_id") % 29 == 7)
     return semantic_dedup(e, cents, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) — IVF quantizer training as a first-class operator
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+_KM_DIST = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+
+def _km_dist(a: str, b: str) -> str:
+    return _KM_DIST.format(a=a, b=b)
+
+
+def _quant(x: float) -> float:
+    """Snap to the 1e-6 grid: floor(x·1e6 + 0.5)/1e6 — the same half-up
+    micro-unit convention the SQL oracle and x08 centroids use, so driver-
+    side Python arithmetic and engine-side folds stay bit-identical."""
+    import math
+
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _km_assign(vecs: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Assign each vector to its nearest centroid — expression-only.
+
+    Centroids enter the plan as an array-of-structs LITERAL (k×dim doubles
+    — bytes, not data), so assignment is a scan-side ``transform`` +
+    ``array_min`` with ZERO joins and ZERO shuffles: at 100 TB each Lloyd
+    iteration costs one corpus scan plus one centroid-sized aggregation.
+    Squared-L2 folds left-to-right (zip_with + aggregate), tie-break lowest
+    centroid id — both replayed exactly by the oracle's ROW_NUMBER."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(scored)
+    return vecs.select(
+        "vec_id", "v", best["cid"].alias("cluster"), best["dist"].alias("dist")
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column — the training
+    step that produces IVF coarse quantizers (x11 consumes such centroids).
+
+    Init = the k lowest-id vectors (deterministic seeding); each round
+    assigns scan-side (see :func:`_km_assign`) and recomputes means with
+    exact integer micro-unit sums, re-snapped to the 1e-6 grid, so every
+    centroid coordinate — and hence every assignment — is bit-identical
+    in any engine at any parallelism. Empty clusters keep their previous
+    centroid. Per-iteration driver traffic is k×dim aggregated rows (KB),
+    never corpus rows. Returns per-cluster (n_vectors, inertia, max_dist),
+    inertia accumulated in exact micro-units."""
+    vecs = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).cache()
+    init = vecs.orderBy("vec_id").limit(k).collect()
+    cents = [(cid, [_quant(float(x)) for x in row.v]) for cid, row in enumerate(init)]
+    for _ in range(iters):
+        assigned = _km_assign(vecs, cents)
+        rows = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * 1000000.0 + 0.5).cast("long")
+                ).alias("ms"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in rows:
+            means.setdefault(r.cluster, {})[r.dim] = _quant(
+                float(r.ms) / 1000000.0 / r.n
+            )
+        cents = [
+            (cid, [means[cid][d] for d in range(len(cv))] if cid in means else cv)
+            for cid, cv in cents
+        ]
+    final = _km_assign(vecs, cents)
+    out = (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            (
+                F.sum(F.floor(F.col("dist") * 1000000.0 + 0.5).cast("long")).cast(
+                    "double"
+                )
+                / 1000000.0
+            ).alias("inertia"),
+            F.max("dist").alias("max_dist"),
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_vectors",
+            "inertia",
+            "max_dist",
+        )
+    )
+    return out
+
+
+def _km_iter_sql(prev: str, n: int) -> str:
+    return f"""
+    a{n} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT t.vec_id, t.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {_km_dist('t.v', 'c.cv')}, c.cid) AS rn
+        FROM vecs t CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    m{n} AS (
+      SELECT cid, dim,
+             CAST(SUM(CAST(floor(val * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS mean
+      FROM (SELECT cid, unnest(v) AS val, unnest(range(len(v))) AS dim FROM a{n})
+      GROUP BY cid, dim
+    ),
+    c{n} AS (
+      SELECT p.cid, COALESCE(mm.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(floor(mean * 1000000.0 + 0.5) / 1000000.0
+                         ORDER BY dim) AS cv
+        FROM m{n} GROUP BY cid
+      ) mm ON mm.cid = p.cid
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             list_transform(v, x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS cv
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {KMEANS_K})
+    ),{_km_iter_sql('c0', 1)},{_km_iter_sql('c1', 2)},
+    af AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT t.vec_id, c.cid, {_km_dist('t.v', 'c.cv')} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {_km_dist('t.v', 'c.cv')}, c.cid) AS rn
+        FROM vecs t CROSS JOIN c2 c
+      ) WHERE rn = 1
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS inertia,
+           MAX(dist) AS max_dist
+    FROM af GROUP BY cid
+"""
+
+
+@register("x57_kmeans_lloyd", _KMEANS_ORACLE)
+def x57_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Deterministic Lloyd k-means (k=8, 2 update rounds) over the
+    embeddings corpus — IVF-quantizer training as a certified operator.
+    The oracle replays init, both assignment+update rounds, and the final
+    assignment exactly (micro-unit centroid grid), so even the iterative
+    algorithm is hash-checked end to end."""
+    e = t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(e, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 two-stage ANN: int8-compressed coarse scan + exact rerank
+# ---------------------------------------------------------------------------
+
+SQ8_COARSE_K = 50
+
+
+def _sq8_codes(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v double[], scale, c int64-codes[]) with the x13 symmetric-SQ8
+    layout: scale = max_abs/127, code = clamp(floor(x/scale + 0.5), ±127).
+    Zero vectors code to all-zero (scale 0). Pure scan-side expressions."""
+    v = F.col(vec_col).cast("array<double>")
+    max_abs = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, b: F.greatest(a, b)
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("vid"), v.alias("v"),
+        (max_abs / 127.0).alias("scale"),
+    )
+    scale = F.col("scale")
+    code = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + 0.5))
+        ).cast("long"),
+    )
+    zeros = F.transform(F.col("v"), lambda x: F.lit(0).cast("long"))
+    return base.withColumn(
+        "c", F.when(scale == 0.0, zeros).otherwise(code)
+    )
+
+
+def sq8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    coarse_k: int = SQ8_COARSE_K,
+) -> DataFrame:
+    """Two-stage ANN, the production memory-bound layout: the corpus is
+    scanned as int8 codes (4× smaller than float32, 8× smaller than the
+    double working set), a coarse top-``coarse_k`` per query is selected on
+    the compressed approximation, and only those candidates are re-scored
+    with exact double cosine for the final top-``k``.
+
+    Coarse score = int-dot(codes)·scale_c·scale_q — the integer dot is
+    EXACT (≤ dim·127² fits long), so the approximation itself is
+    deterministic and the oracle replays both stages bit-for-bit.
+    Plan shape: ONE compressed corpus scan via ``mapInPandas`` partial
+    top-coarse_k (query codes broadcast, nothing pair-shaped shuffled —
+    same skeleton as :func:`brute_force_topk`), then the rerank joins the
+    Q×coarse_k candidate set (broadcast — KBs) back to corpus vectors, so
+    full-precision vectors are touched only for 0.01% of the corpus."""
+    ccodes = _sq8_codes(corpus, id_col, vec_col)
+    qcodes = _sq8_codes(queries, id_col, vec_col)
+    probe = qcodes.limit(MAX_COLLECTED_VECTORS + 1).count()
+    if probe > MAX_COLLECTED_VECTORS:
+        raise ValueError(
+            f"refusing to collect >{MAX_COLLECTED_VECTORS} query vectors; "
+            "swap roles or use the IVF path for corpus-sized query sets"
+        )
+    qrows = qcodes.select("vid", "scale", "c").collect()
+    qrows.sort(key=lambda r: r.vid)
+    qids = np.array([r.vid for r in qrows], dtype=np.int64)
+    qsc = np.array([r.scale for r in qrows], dtype=np.float64)
+    qc = np.stack([np.asarray(r.c, dtype=np.int64) for r in qrows])
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qsc, qc))
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def score_partition(it):
+        ids, qscale, qcode = bq.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nid = pdf["vid"].to_numpy(dtype=np.int64)
+            csc = pdf["scale"].to_numpy(dtype=np.float64)
+            cm = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["c"]])
+            idot = cm @ qcode.T  # exact int64
+            # mirror the oracle: (CAST(idot AS DOUBLE) * scale_c) * scale_q
+            approx = (idot.astype(np.float64) * csc[:, None]) * qscale[None, :]
+            yield _topk_rows(approx, nid, ids, coarse_k)
+
+    partial = ccodes.repartition(n_parts).select("vid", "scale", "c").mapInPandas(
+        score_partition, _PARTIAL_SCHEMA
+    ).withColumnRenamed("vid", "neighbor_id")
+    coarse = _global_topk(partial, coarse_k).select(
+        "query_id", "neighbor_id", F.col("cos_sim").alias("approx_score")
+    )
+    cv = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    qv = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    joined = cv.join(F.broadcast(coarse), "neighbor_id").join(
+        F.broadcast(qv), "query_id"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    rr = joined.select(
+        "query_id", "neighbor_id", "approx_score",
+        (dot / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "approx_score", "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+_SQ8_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> abs(x)),
+                         (a, b) -> greatest(a, b)) / 127.0 AS scale
+      FROM vecs
+    ),
+    codes AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale = 0.0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+                         floor(x / scale + 0.5))) AS BIGINT)) END AS c
+      FROM sc
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, scale AS qs, c AS qc
+      FROM codes WHERE vec_id % 25 = 0
+    ),
+    coarse0 AS (
+      SELECT q.query_id, t.vec_id AS neighbor_id,
+             (CAST(list_reduce(list_transform(range(1, len(t.c) + 1),
+                     i -> t.c[i] * q.qc[i]), (x, y) -> x + y) AS DOUBLE)
+               * t.scale) * q.qs AS approx_score
+      FROM codes t CROSS JOIN q
+      WHERE t.vec_id <> q.query_id
+    ),
+    coarse AS (
+      SELECT query_id, neighbor_id, approx_score FROM (
+        SELECT query_id, neighbor_id, approx_score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx_score DESC, neighbor_id) AS rn
+        FROM coarse0
+      ) WHERE rn <= {SQ8_COARSE_K}
+    ),
+    rr AS (
+      SELECT c.query_id, c.neighbor_id, c.approx_score,
+             {_dcos('q.qv', 't.v')} AS cos_sim
+      FROM coarse c
+      JOIN q ON q.query_id = c.query_id
+      JOIN vecs t ON t.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, approx_score, cos_sim,
+           CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id, approx_score, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM rr
+    ) WHERE rank <= 10
+"""
+
+
+@register("x59_sq8_rerank_topk", _SQ8_ORACLE)
+def x59_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Two-stage ANN top-10 for every 25th vector: int8-compressed
+    coarse top-50 (exact integer dot × scales) + exact double-cosine
+    rerank. Both the approximation and the rerank are replayed exactly by
+    the oracle — the full compressed-search pipeline is hash-certified."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 25 == 0)
+    return sq8_rerank_topk(e, queries, k=10, coarse_k=SQ8_COARSE_K)

@@ -1847,3 +1847,162 @@ def x53_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_occurrences") > 1)
     )
+
+
+@register(
+    "x58_eval_gram_decontamination",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source, unnest(list_distinct(
+               list_transform(range(1, GREATEST(length(t) - 2, 1)),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                        || ' ' || t[i+3])
+             )) AS gram
+      FROM tk WHERE length(t) >= 4
+    ), ev AS (
+      SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1')
+    ), tr AS (
+      SELECT g.doc_id, g.source, g.gram,
+             CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM g LEFT JOIN ev ON ev.gram = g.gram
+      WHERE g.source NOT IN ('src0', 'src1')
+    )
+    SELECT doc_id, source,
+           CAST(SUM(hit) AS BIGINT) AS n_eval_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS contamination_ratio
+    FROM tr GROUP BY doc_id, source
+    HAVING SUM(hit) > 0
+    """,
+)
+def x58_eval_gram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] GPT-3-style training-set decontamination (Brown et al. 2020,
+    app. C): flag every TRAINING document sharing a word 4-gram with the
+    held-out EVAL sources (src0/src1 stand in for the eval suite). Unlike
+    x34 (source-pair overlap counts) this is the per-document dirty list a
+    pipeline actually quarantines before training.
+
+    Scale shape: the eval gram set is small by contract (eval suites are
+    MBs, not TBs) — distinct once, then BROADCAST into the training-gram
+    scan, so the corpus crosses the wire exactly once for the per-doc
+    groupBy; nothing pair-shaped, nothing corpus² — at 100 TB this is one
+    explode + one broadcast-probe + one doc-keyed shuffle."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    tk = F.col("_tk")
+    grams = F.when(
+        F.size(tk) >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 3),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, 4)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        d.repartition(n_parts)
+        .withColumn("_tk", word_tokens(F.col("text")))
+        .select("doc_id", "source", F.explode(grams).alias("gram"))
+    )
+    ev = (
+        g.where(F.col("source").isin("src0", "src1"))
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        g.where(~F.col("source").isin("src0", "src1"))
+        .join(F.broadcast(ev), "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_eval_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("contamination_ratio"),
+        )
+        .where(F.col("n_eval_grams") > 0)
+    )
+
+
+@register(
+    "x60_gopher_quality_gates",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_transform(t, w -> length(w)),
+                              (a, b) -> a + b) AS DOUBLE)
+               / length(t) AS mean_word_len,
+             CAST(length(list_filter(t,
+                    w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+               / length(t) AS frac_alpha_words,
+             CAST(length(list_filter(t,
+                    w -> w IN ('the','a','of','and','to','in','is','it')))
+               AS BIGINT) AS n_stopword_hits
+      FROM tk WHERE length(t) >= 1
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopword_hits,
+           n_words BETWEEN 50 AND 100000 AS flag_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
+           frac_alpha_words >= 0.8 AS flag_alpha,
+           n_stopword_hits >= 2 AS flag_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND frac_alpha_words >= 0.8
+             AND n_stopword_hits >= 2 AS passes_gopher
+    FROM feats
+    """,
+)
+def x60_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Gopher-style rule gates (Rae et al. 2021, §A1.1) as explicit
+    per-document booleans — the filter a web-scale pipeline applies before
+    any model-based scoring: word-count bounds, mean-word-length bounds,
+    alphabetic-word fraction, and a minimum stop-word count. x21 emits a
+    composite score; this emits the individual pass/fail rules + verdict
+    so a curation run can report WHY each document was dropped.
+
+    Scan-side Catalyst expressions only — zero shuffles, runs at parquet
+    read speed at any corpus size; every double is a single division of
+    exact integers so the verdict booleans are engine-exact."""
+    d = t(spark, sf_dir, "documents")
+    tk = word_tokens(F.col("text"))
+    base = d.select("doc_id", tk.alias("t")).where(F.size("t") >= 1)
+    n_words = F.size("t").cast("long")
+    sum_len = F.aggregate(
+        F.transform(F.col("t"), lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
+    )
+    mean_wl = sum_len.cast("double") / F.size("t")
+    alpha = F.size(F.filter(F.col("t"), lambda w: w.rlike("^[a-z]+$")))
+    frac_alpha = alpha.cast("double") / F.size("t")
+    stops = F.size(F.filter(F.col("t"), lambda w: w.isin(_STOPWORDS_EN))).cast("long")
+    feats = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        stops.alias("n_stopword_hits"),
+    )
+    f_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    f_mwl = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    f_alpha = F.col("frac_alpha_words") >= 0.8
+    f_stop = F.col("n_stopword_hits") >= 2
+    return feats.select(
+        "doc_id", "n_words", "mean_word_len", "frac_alpha_words", "n_stopword_hits",
+        f_wc.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_alpha.alias("flag_alpha"),
+        f_stop.alias("flag_stopwords"),
+        (f_wc & f_mwl & f_alpha & f_stop).alias("passes_gopher"),
+    )

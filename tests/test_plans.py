@@ -123,3 +123,40 @@ def test_x36_divergence_reuses_token_count_shuffle(spark):
     df = qmod.all_queries()["x36_source_divergence"](spark, SF)
     assert exchange_count(df) <= 6
     assert_no_cartesian(df)
+
+
+def test_x57_kmeans_assignment_is_scan_side(spark):
+    # centroids enter as literals: assignment adds NO join/shuffle — the
+    # single exchange is the final per-cluster aggregation
+    df = qmod.all_queries()["x57_kmeans_lloyd"](spark, SF)
+    assert exchange_count(df) == 1
+    assert_no_cartesian(df)
+
+
+def test_x58_eval_gram_probe_broadcasts(spark):
+    # the eval gram set must broadcast into the training-gram scan —
+    # a sort-merge here would shuffle the whole exploded corpus
+    df = qmod.all_queries()["x58_eval_gram_decontamination"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert_no_cartesian(df)
+
+
+def test_x59_sq8_rerank_joins_broadcast(spark):
+    # candidate set (Q×50) and query vectors both broadcast: the corpus
+    # is never shuffled for the rerank
+    df = qmod.all_queries()["x59_sq8_rerank_topk"](spark, SF)
+    assert broadcast_join_count(df) == 2
+    assert_no_cartesian(df)
+
+
+def test_x60_gopher_gates_zero_shuffle(spark):
+    df = qmod.all_queries()["x60_gopher_quality_gates"](spark, SF)
+    assert exchange_count(df) == 0
+
+
+def test_x61_incremental_band_join_broadcasts_batch(spark):
+    # arrival-batch band rows broadcast into the corpus band table; the
+    # best-match join back to the batch also broadcasts
+    df = qmod.all_queries()["x61_incremental_minhash_dedup"](spark, SF)
+    assert broadcast_join_count(df) == 2
+    assert_no_cartesian(df)
