@@ -2006,3 +2006,110 @@ def x60_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_stop.alias("flag_stopwords"),
         (f_wc & f_mwl & f_alpha & f_stop).alias("passes_gopher"),
     )
+
+
+DSIR_BUCKETS = 1024
+
+
+@register(
+    "x62_dsir_importance_weights",
+    rf"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, lang, i - 1 AS pos,
+             ('0x' || substring(md5(t[i]), 1, 8))::BIGINT % {DSIR_BUCKETS}
+               AS bucket
+      FROM tk, unnest(range(1, len(t) + 1)) AS u(i)
+    ), counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cr
+      FROM tok GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(ct) AS t_tot, SUM(cr) AS r_tot FROM counts
+    ), wts AS (
+      SELECT bucket,
+             CAST((ct + 1) * (r_tot + {DSIR_BUCKETS}) AS DOUBLE)
+               / CAST((cr + 1) * (t_tot + {DSIR_BUCKETS}) AS DOUBLE) AS w
+      FROM counts, tot
+    ), perdoc AS (
+      SELECT tok.doc_id, list(w ORDER BY pos) AS ws
+      FROM tok JOIN wts USING (bucket) GROUP BY tok.doc_id
+    )
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           list_reduce(ws, (a, b) -> a * b) AS importance
+    FROM perdoc
+    """,
+)
+def x62_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] DSIR-style importance-sampling weights (Xie et al. 2023,
+    arXiv:2302.03169): documents are scored by how much more likely their
+    hashed-unigram features are under the TARGET distribution (here the
+    ``lang='en'`` slice stands in for the high-quality target corpus) than
+    under the RAW distribution. Per-bucket weight is the add-one-smoothed
+    likelihood ratio ((c_t+1)/(T+B)) / ((c_r+1)/(R+B)) — kept as ONE
+    division of exact integer products so it is engine-exact — and a
+    document's importance is the positional-order product of its tokens'
+    bucket weights (the likelihood ratio of the whole doc under the
+    hashed unigram model), folded left-to-right identically in both
+    engines. This is the data-selection op that picks pretraining docs
+    matching a target domain without training a classifier.
+
+    Scale shape: the bucket table is FIXED-width (B=1024 rows regardless
+    of corpus size) — counts aggregate map-side, the weight table
+    broadcasts back into the token stream, and the per-doc product is one
+    doc-keyed shuffle. Two linear corpus passes, nothing vocabulary- or
+    pair-shaped. The hash family is the engine-portable md5-prefix used by
+    MinHash (dedup.py)."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    tok = (
+        d.repartition(n_parts)
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(word_tokens(F.col("text"))).alias("pos", "tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "pos",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    counts = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
+    )
+    wts = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            ((F.col("ct") + 1) * (F.col("r_tot") + DSIR_BUCKETS)).cast("double")
+            / ((F.col("cr") + 1) * (F.col("t_tot") + DSIR_BUCKETS)).cast("double")
+        ).alias("w"),
+    )
+    perdoc = (
+        tok.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("pw"))
+    )
+    importance = F.aggregate(
+        F.transform(F.col("pw"), lambda s: s["w"]),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return perdoc.select(
+        "doc_id",
+        F.size("pw").cast("long").alias("n_tokens"),
+        importance.alias("importance"),
+    )

@@ -2681,3 +2681,59 @@ def q72_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.withColumn(
         "cum_orders", F.sum("n_orders").over(wcum).cast("long")
     )
+
+
+_L04_ORACLE = f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register("l04_bucketed_colocated_join", _L04_ORACLE)
+def l04_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2/J] Bucketed-table co-located join lifecycle: fact and dimension
+    are written as BUCKETED parquet tables (8 buckets, hash(l_orderkey) /
+    hash(o_orderkey), sorted within buckets), read back through the
+    catalog, and joined WITHOUT a shuffle — Spark's answer to the
+    pre-partitioned co-located joins a 100 TB warehouse lives on. At that
+    scale both writes happen once at load time and every subsequent join
+    on the bucketing key skips its exchange entirely; the plan pin asserts
+    the join contributes ZERO exchanges (only the final per-priority
+    aggregation shuffles — 5 rows) and that the merge join needs no sort
+    (buckets are written pre-sorted). The oracle computes the same
+    join+agg straight from the raw parquet, so a value drift anywhere in
+    the bucketed write/read/join path hash-fails.
+
+    Reference parity: the reference's DW star schema loads into keyed
+    MySQL tables whose joins ride InnoDB PK order
+    (`source_code/sql/1. Metadata Creation.sql`); bucketing is the lake
+    equivalent of that physical key layout."""
+    import os as _os
+
+    from smfg_datawarehouse_spark.queries import _scratch_dir
+
+    base = _scratch_dir(spark, "l04")
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for name, df, key in [("lineitem", li, "l_orderkey"), ("orders", od, "o_orderkey")]:
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", _os.path.join(base, name))
+            .format("parquet")
+            .saveAsTable(f"l04_{name}_{app}")
+        )
+    lb = spark.table(f"l04_lineitem_{app}")
+    ob = spark.table(f"l04_orders_{app}")
+    joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )

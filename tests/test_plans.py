@@ -160,3 +160,21 @@ def test_x61_incremental_band_join_broadcasts_batch(spark):
     df = qmod.all_queries()["x61_incremental_minhash_dedup"](spark, SF)
     assert broadcast_join_count(df) == 2
     assert_no_cartesian(df)
+
+
+def test_l04_bucketed_join_has_no_join_exchange(spark):
+    # both tables bucketed by the join key: the sort-merge join reads
+    # co-located buckets — the ONLY exchange is the final 5-row agg
+    df = qmod.all_queries()["l04_bucketed_colocated_join"](spark, SF)
+    assert exchange_count(df) == 1
+    assert broadcast_join_count(df) == 0
+    assert "SortMergeJoin" in df._jdf.queryExecution().executedPlan().toString()
+    assert_no_cartesian(df)
+
+
+def test_x62_weight_table_broadcasts(spark):
+    # the fixed 1024-row bucket-weight table must broadcast back into the
+    # token stream; the corpus is never shuffled for the weight lookup
+    df = qmod.all_queries()["x62_dsir_importance_weights"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert_no_cartesian(df)
