@@ -84,3 +84,77 @@ def test_fake_false_raises_not_implemented_without_pil():
         decode_image_stub(b"\x00", fake=False)
     with pytest.raises(NotImplementedError, match="image library"):
         decode_dims_stub(b"\x00", fake=False)
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_kmeans_inertia_non_increasing(spark):
+    """Lloyd invariant: total inertia after each additional update round
+    is <= the previous round's (the classic monotone-descent property) —
+    guards the assignment/update arithmetic beyond the oracle replay."""
+    from smfg_datawarehouse_spark.operators.similarity import kmeans_lloyd
+    from smfg_datawarehouse_spark.queries import t
+
+    emb = t(spark, SF001, "embeddings")
+    totals = []
+    for iters in (0, 1, 2):
+        rows = kmeans_lloyd(emb, k=8, iters=iters).collect()
+        totals.append(sum(r.inertia for r in rows))
+    assert totals[1] <= totals[0] + 1e-9
+    assert totals[2] <= totals[1] + 1e-9
+
+
+def test_sq8_rerank_recall_vs_exact(spark):
+    """The compressed coarse stage must not destroy retrieval quality:
+    rerank top-10 recall vs the exact brute-force top-10 >= 0.9 on the
+    fixture (deterministic, so an exact bound — SQ8 on 64-dim unit
+    vectors is a mild approximation)."""
+    qs = __import__("smfg_datawarehouse_spark.queries", fromlist=["all_queries"])
+    q = qs.all_queries()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q["x10_ann_bruteforce_topk"](spark, SF001).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in q["x59_sq8_rerank_topk"](spark, SF001).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_incremental_dedup_only_batch_rows_and_threshold(spark):
+    """x61 verdict frame: one row per batch doc, dup_of is never a batch
+    doc (index-only matches), admitted <=> no match >= 0.5."""
+    qs = __import__("smfg_datawarehouse_spark.queries", fromlist=["all_queries"])
+    rows = qs.all_queries()["x61_incremental_minhash_dedup"](spark, SF001).collect()
+    assert all(r.doc_id % 10 == 7 for r in rows)
+    for r in rows:
+        if r.admitted:
+            assert r.dup_of == -1 and r.est_jaccard == 0.0
+        else:
+            assert r.dup_of % 10 != 7 and r.est_jaccard >= 0.5
+
+
+def test_eval_decontamination_flags_real_overlaps(spark):
+    """Every flagged doc must actually share >= 1 distinct word-4-gram
+    with the eval sources — recomputed independently with plain Python."""
+    from smfg_datawarehouse_spark.queries import t
+
+    qs = __import__("smfg_datawarehouse_spark.queries", fromlist=["all_queries"])
+    flagged = qs.all_queries()["x58_eval_gram_decontamination"](spark, SF001).collect()
+    docs = {r.doc_id: r.text for r in t(spark, SF001, "documents").collect()}
+    srcs = {r.doc_id: r.source for r in t(spark, SF001, "documents").collect()}
+
+    def grams(text):
+        toks = [w for w in text.lower().split() if w]
+        return {" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)}
+
+    eval_grams = set()
+    for did, s in srcs.items():
+        if s in ("src0", "src1"):
+            eval_grams |= grams(docs[did])
+    for r in flagged:
+        assert srcs[r.doc_id] not in ("src0", "src1")
+        hits = grams(docs[r.doc_id]) & eval_grams
+        assert len(hits) == r.n_eval_grams and r.n_eval_grams > 0
