@@ -60,16 +60,24 @@ def _lr_cosine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _topk_rows(
-    cos: np.ndarray, nid: np.ndarray, qids: np.ndarray, k: int
+    cos: np.ndarray,
+    nid: np.ndarray,
+    qids: np.ndarray,
+    k: int,
+    extra_mask: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Per-query top-k from a (corpus_batch × queries) score matrix.
 
     Selection order (cos desc, neighbor_id asc) matches the global window,
     so partial top-k commutes with the final one. Non-finite scores
     (zero-norm vectors) are excluded, as the oracle ranks NULLs last.
+    ``extra_mask`` (corpus_batch × queries, True = exclude) lets callers
+    add predicates like x64's different-label constraint.
     """
     sel = np.where(np.isfinite(cos), cos, -np.inf)
     sel[nid[:, None] == qids[None, :]] = -np.inf  # self-match exclusion
+    if extra_mask is not None:
+        sel[extra_mask] = -np.inf
     b = sel.shape[0]
     kk = min(k, b)
     out_q, out_n, out_c = [], [], []
@@ -1294,3 +1302,163 @@ def x59_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 25 == 0)
     return sq8_rerank_topk(e, queries, k=10, coarse_k=SQ8_COARSE_K)
+
+
+_SEMCON_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    ev AS (
+      SELECT d.doc_id, d.source, v.v
+      FROM documents d JOIN vecs v ON v.vec_id = d.doc_id
+      WHERE d.source IN ('src0', 'src1')
+    ),
+    tr AS (
+      SELECT d.doc_id, v.v
+      FROM documents d JOIN vecs v ON v.vec_id = d.doc_id
+      WHERE d.source NOT IN ('src0', 'src1')
+    ),
+    scored AS (
+      SELECT ev.doc_id AS eval_doc_id, ev.source,
+             tr.doc_id AS nearest_train_doc,
+             {_dcos('ev.v', 'tr.v')} AS cos_sim
+      FROM ev CROSS JOIN tr
+    )
+    SELECT eval_doc_id, source, nearest_train_doc, cos_sim,
+           cos_sim >= 0.8 AS contaminated
+    FROM (
+      SELECT eval_doc_id, source, nearest_train_doc, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY eval_doc_id
+                                ORDER BY cos_sim DESC, nearest_train_doc) AS rn
+      FROM scored
+    ) WHERE rn = 1
+"""
+
+
+@register("x63_semantic_contamination", _SEMCON_ORACLE)
+def x63_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Semantic (embedding-level) eval contamination: for every
+    held-out eval document (src0/src1 — the same split x58 checks
+    LEXICALLY with 4-grams), find its nearest TRAINING document by cosine
+    and flag pairs above 0.8 — catching paraphrased/translated eval
+    leakage that n-gram overlap misses. Together x58+x63 are the standard
+    two-level decontamination gate (e.g. GPT-3 app. C lexically, SemDeDup
+    -style embedding checks semantically).
+
+    Embeddings attach by doc_id = vec_id (the fixture's 1:1 layout). The
+    eval side is small by contract → broadcast as the query matrix of
+    :func:`brute_force_topk`: ONE streaming pass over the train corpus,
+    per-partition top-1, nothing pair-shaped shuffled. At 100 TB the
+    train-side doc↔embedding join is id-keyed (co-partitioned lake
+    layout, cf. l04 bucketing); here AQE broadcasts it."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = t(spark, sf_dir, "embeddings")
+    is_eval = F.col("source").isin("src0", "src1")
+    ev = (
+        emb.join(docs.where(is_eval), emb.vec_id == docs.doc_id)
+        .select("doc_id", "embedding")
+    )
+    tr = (
+        emb.join(docs.where(~is_eval), emb.vec_id == docs.doc_id)
+        .select("doc_id", "embedding")
+    )
+    top1 = brute_force_topk(tr, ev, dim=64, id_col="doc_id", k=1)
+    src = docs.where(is_eval)
+    return (
+        top1.join(F.broadcast(src), top1.query_id == src.doc_id)
+        .select(
+            F.col("query_id").alias("eval_doc_id"),
+            "source",
+            F.col("neighbor_id").alias("nearest_train_doc"),
+            "cos_sim",
+            (F.col("cos_sim") >= 0.8).alias("contaminated"),
+        )
+    )
+
+
+def hard_negatives_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    most-similar corpus vectors with a DIFFERENT label — the examples a
+    dual-encoder trainer wants in its negatives batch because they are
+    maximally confusable.
+
+    Same single-scan skeleton as :func:`brute_force_topk` (query matrix +
+    labels broadcast, per-partition partial top-k), with the label
+    constraint applied INSIDE the scoring kernel so excluded same-label
+    rows never inflate the partial candidate sets."""
+    qrows = queries.select(
+        F.col(id_col).cast("long").alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(label_col).cast("long").alias("l"),
+    ).collect()
+    if len(qrows) > MAX_COLLECTED_VECTORS:
+        raise ValueError("query batch exceeds driver-collect guard")
+    qrows.sort(key=lambda r: r.i)
+    qids = np.array([r.i for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r.v, dtype=np.float64) for r in qrows])
+    qlab = np.array([r.l for r in qrows], dtype=np.int64)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qmat, qlab))
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def score_partition(it):
+        ids, qm, ql = bq.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            nlab = pdf["nl"].to_numpy(dtype=np.int64)
+            cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            same_label = nlab[:, None] == ql[None, :]
+            yield _topk_rows(_lr_cosine(cm, qm), nid, ids, k, extra_mask=same_label)
+
+    c = corpus.repartition(n_parts).select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.col(label_col).cast("long").alias("nl"),
+    )
+    return _global_topk(c.mapInPandas(score_partition, _PARTIAL_SCHEMA), k)
+
+
+_HARDNEG_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      FROM vecs WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_dcos('q.qv', 'c.v')} AS cos_sim
+      FROM vecs c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id AND c.label <> q.qlabel
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register("x64_hard_negative_mining", _HARDNEG_ORACLE)
+def x64_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Top-5 hard negatives (most-similar DIFFERENT-label corpus
+    vectors) for every 25th vector — the negatives-batch construction
+    step of dual-encoder / contrastive embedding training. Label
+    constraint enforced inside the partial top-k kernel; oracle replays
+    it as a predicate on the exact cross join."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 25 == 0)
+    return hard_negatives_topk(e, queries, k=5)
