@@ -2113,3 +2113,115 @@ def x62_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("pw").cast("long").alias("n_tokens"),
         importance.alias("importance"),
     )
+
+
+@register(
+    "x65_corpus_datacard",
+    r"""
+    WITH feats AS (
+      SELECT source, lang, length(text) AS n_chars,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  AS DOUBLE) / length(text) AS alpha_ratio,
+             CAST(LEAST(length(text), 500) AS DOUBLE) / 500.0 AS len_norm
+      FROM documents
+    ), scored AS (
+      SELECT source, lang,
+             length(t) AS n_tokens,
+             0.4 * alpha_ratio
+               + 0.3 * (CASE WHEN length(t) > 0
+                             THEN CAST(length(list_filter(t,
+                                    w -> w IN ('the','a','of','and','to',
+                                               'in','is','it'))) AS DOUBLE)
+                                  / length(t)
+                             ELSE 0.0 END)
+               + 0.3 * len_norm AS q,
+             (length(t) BETWEEN 50 AND 100000)
+               AND (CAST(list_reduce(list_transform(t, w -> length(w)),
+                                     (a, b) -> a + b) AS DOUBLE) / length(t)
+                    BETWEEN 3.0 AND 10.0)
+               AND (CAST(length(list_filter(t,
+                      w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+                    / length(t) >= 0.8)
+               AND (length(list_filter(t,
+                      w -> w IN ('the','a','of','and','to','in','is','it')))
+                    >= 2) AS gopher_pass
+      FROM feats
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_doc_tokens,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS pct_en_labeled,
+           CAST(SUM(CAST(q AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             AS mean_quality,
+           CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS gopher_pass_rate
+    FROM scored GROUP BY source
+    """,
+)
+def x65_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Per-source corpus datacard — the one-page sign-off artifact a
+    data owner reviews before a source enters a training mix (Datasheets
+    for Datasets practice): volume (docs/tokens), language composition,
+    mean composite quality, and Gopher-gate pass rate, all in ONE corpus
+    scan with one source-keyed shuffle of aggregated rows. Complements
+    x55 (dedup impact) — together they are the admission report.
+
+    All scoring expressions are shared verbatim with x21/x60 (composite
+    quality, rule gates); means follow the davg exact-decimal convention
+    so every double is engine-exact."""
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    tk = word_tokens(text)
+    n_chars = F.length(text)
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")).cast("double")
+        / n_chars
+    )
+    len_norm = F.least(n_chars, F.lit(500)).cast("double") / F.lit(500.0)
+    base = d.select(
+        "source", "lang", tk.alias("t"),
+        alpha_ratio.alias("alpha_ratio"), len_norm.alias("len_norm"),
+    )
+    n_tokens = F.size("t")
+    stop_hits = F.size(F.filter(F.col("t"), lambda w: w.isin(_STOPWORDS_EN)))
+    q = (
+        F.lit(0.4) * F.col("alpha_ratio")
+        + F.lit(0.3)
+        * F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(0.0)
+        + F.lit(0.3) * F.col("len_norm")
+    )
+    sum_word_len = F.aggregate(
+        F.transform(F.col("t"), lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
+    )
+    alpha_words = F.size(F.filter(F.col("t"), lambda w: w.rlike("^[a-z]+$")))
+    gopher = (
+        (n_tokens >= 50) & (n_tokens <= 100000)
+        & (sum_word_len.cast("double") / n_tokens >= 3.0)
+        & (sum_word_len.cast("double") / n_tokens <= 10.0)
+        & (alpha_words.cast("double") / n_tokens >= 0.8)
+        & (stop_hits >= 2)
+    )
+    scored = base.select(
+        "source", "lang", n_tokens.alias("n_tokens"), q.alias("q"),
+        gopher.alias("gopher_pass"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+            "avg_doc_tokens"
+        ),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pct_en_labeled"),
+        davg(F.col("q")).alias("mean_quality"),
+        (
+            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("gopher_pass_rate"),
+    )

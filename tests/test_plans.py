@@ -178,3 +178,10 @@ def test_x62_weight_table_broadcasts(spark):
     df = qmod.all_queries()["x62_dsir_importance_weights"](spark, SF)
     assert broadcast_join_count(df) >= 1
     assert_no_cartesian(df)
+
+
+def test_x65_datacard_single_shuffle(spark):
+    # one corpus scan, one source-keyed shuffle of aggregated rows
+    df = qmod.all_queries()["x65_corpus_datacard"](spark, SF)
+    assert exchange_count(df) == 1
+    assert_no_cartesian(df)
