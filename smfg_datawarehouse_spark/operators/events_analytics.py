@@ -869,3 +869,56 @@ def x52_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_S01_ORACLE = f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {_dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register("s01_streaming_tumbling_window", _S01_ORACLE)
+def s01_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2] The STREAMING path itself as a certified query: the events
+    fixture is read through ``readStream`` (declared schema — streaming
+    sources cannot infer), aggregated by the same tumbling-window builder
+    the always-on deployment uses, drained with ``Trigger.AvailableNow``
+    into a memory sink, and the drained table is hash-checked against the
+    plain batch SQL oracle — driver-certified proof that stream results
+    equal batch results (q20 is the batch twin; ``tests/test_streaming``
+    asserts the equality across all window shapes and restart/backlog
+    scenarios). Complete output mode: every window is emitted regardless
+    of watermark age, which is what makes the AvailableNow drain
+    deterministic and exactly batch-equal.
+
+    At scale the same code runs untriggered (continuous micro-batches)
+    with the watermark bounding window state; the memory sink is the
+    test/certification harness stand-in for the staging-zone parquet sink
+    the REALTIME runner uses (runner.py)."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from smfg_datawarehouse_spark.queries import _scratch_dir
+    from smfg_datawarehouse_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    # file-source streams read DIRECTORIES of arriving files (the raw-zone
+    # landing layout the REALTIME runner consumes); stage the fixture file
+    # into a per-app scratch dir to match that contract
+    src_dir = _scratch_dir(spark, "s01")
+    _shutil.copy(
+        _os.path.join(sf_dir, "events.parquet"),
+        _os.path.join(src_dir, "part-0.parquet"),
+    )
+    stream = events_stream(spark, src_dir)
+    agg = tumbling_agg(stream, "1 hour")
+    return run_stream_to_memory(
+        spark, agg, f"s01_mem_{_uuid.uuid4().hex}", "complete"
+    )
