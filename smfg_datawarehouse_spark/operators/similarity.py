@@ -1197,7 +1197,7 @@ def sq8_rerank_topk(
 
     partial = ccodes.repartition(n_parts).select("vid", "scale", "c").mapInPandas(
         score_partition, _PARTIAL_SCHEMA
-    ).withColumnRenamed("vid", "neighbor_id")
+    )
     coarse = _global_topk(partial, coarse_k).select(
         "query_id", "neighbor_id", F.col("cos_sim").alias("approx_score")
     )
@@ -1225,6 +1225,14 @@ def sq8_rerank_topk(
     rr = joined.select(
         "query_id", "neighbor_id", "approx_score",
         (dot / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos_sim"),
+    ).where(
+        # zero-norm candidates (scale-0 codes can reach the coarse top-50)
+        # rerank to NaN, which Spark's DESC sort ranks FIRST but the
+        # oracle's NULL ranks last — exclude non-finite on both sides
+        # (same convention _topk_rows applies in the coarse stage)
+        F.col("cos_sim").isNotNull()
+        & ~F.isnan("cos_sim")
+        & (F.abs("cos_sim") != float("inf"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -1289,6 +1297,7 @@ _SQ8_ORACLE = f"""
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
       FROM rr
+      WHERE cos_sim IS NOT NULL AND isfinite(cos_sim)
     ) WHERE rank <= 10
 """
 
@@ -1394,13 +1403,19 @@ def hard_negatives_topk(
     labels broadcast, per-partition partial top-k), with the label
     constraint applied INSIDE the scoring kernel so excluded same-label
     rows never inflate the partial candidate sets."""
+    # probe BEFORE collecting (same contract as _collect_matrix): the
+    # guard must prevent the oversized driver transfer, not follow it
+    probe = queries.limit(MAX_COLLECTED_VECTORS + 1).count()
+    if probe > MAX_COLLECTED_VECTORS:
+        raise ValueError(
+            f"refusing to collect >{MAX_COLLECTED_VECTORS} query vectors "
+            "for hard-negative mining; mine in query-side batches instead"
+        )
     qrows = queries.select(
         F.col(id_col).cast("long").alias("i"),
         F.col(vec_col).cast("array<double>").alias("v"),
         F.col(label_col).cast("long").alias("l"),
     ).collect()
-    if len(qrows) > MAX_COLLECTED_VECTORS:
-        raise ValueError("query batch exceeds driver-collect guard")
     qrows.sort(key=lambda r: r.i)
     qids = np.array([r.i for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r.v, dtype=np.float64) for r in qrows])

@@ -1892,22 +1892,14 @@ def x58_eval_gram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     scan, so the corpus crosses the wire exactly once for the per-doc
     groupBy; nothing pair-shaped, nothing corpus² — at 100 TB this is one
     explode + one broadcast-probe + one doc-keyed shuffle."""
+    from smfg_datawarehouse_spark.functions import word_shingles
+
     d = t(spark, sf_dir, "documents")
     n_parts = spark.sparkContext.defaultParallelism
-    tk = F.col("_tk")
-    grams = F.when(
-        F.size(tk) >= 4,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 3),
-                lambda i: F.concat_ws(" ", F.slice(tk, i, 4)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = (
-        d.repartition(n_parts)
-        .withColumn("_tk", word_tokens(F.col("text")))
-        .select("doc_id", "source", F.explode(grams).alias("gram"))
+    g = d.repartition(n_parts).select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.col("text"), 4)).alias("gram"),
     )
     ev = (
         g.where(F.col("source").isin("src0", "src1"))
@@ -2118,14 +2110,17 @@ def x62_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x65_corpus_datacard",
     r"""
-    WITH feats AS (
-      SELECT source, lang, length(text) AS n_chars,
+    WITH tk AS (
+      SELECT source, lang, text,
              list_filter(regexp_split_to_array(lower(text), '\s+'),
-                         w -> w <> '') AS t,
+                         w -> w <> '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT source, lang, t,
              CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
                   AS DOUBLE) / length(text) AS alpha_ratio,
              CAST(LEAST(length(text), 500) AS DOUBLE) / 500.0 AS len_norm
-      FROM documents
+      FROM tk WHERE length(t) >= 1
     ), scored AS (
       SELECT source, lang,
              length(t) AS n_tokens,
@@ -2182,10 +2177,12 @@ def x65_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         / n_chars
     )
     len_norm = F.least(n_chars, F.lit(500)).cast("double") / F.lit(500.0)
+    # empty/whitespace-only docs are excluded (same guard as x60): their
+    # ratio denominators are undefined and they carry no admission signal
     base = d.select(
         "source", "lang", tk.alias("t"),
         alpha_ratio.alias("alpha_ratio"), len_norm.alias("len_norm"),
-    )
+    ).where(F.size("t") >= 1)
     n_tokens = F.size("t")
     stop_hits = F.size(F.filter(F.col("t"), lambda w: w.isin(_STOPWORDS_EN)))
     q = (

@@ -113,5 +113,11 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(600):
+        # a timed-out drain would silently surface a PARTIAL memory table
+        # (and hash-fail certification inexplicably) — fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain '{query_name}' did not terminate within 600s"
+        )
     return spark.table(query_name)

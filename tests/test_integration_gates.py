@@ -101,8 +101,13 @@ def test_kmeans_inertia_non_increasing(spark):
     for iters in (0, 1, 2):
         rows = kmeans_lloyd(emb, k=8, iters=iters).collect()
         totals.append(sum(r.inertia for r in rows))
-    assert totals[1] <= totals[0] + 1e-9
-    assert totals[2] <= totals[1] + 1e-9
+    # tolerance covers the 1e-6 micro-unit quantization of the reported
+    # per-vector distances and the centroid grid snap (up to ~n·5e-7
+    # aggregate noise) — near convergence the true Lloyd improvement can
+    # be smaller than the rounding noise
+    tol = 1e-3
+    assert totals[1] <= totals[0] + tol
+    assert totals[2] <= totals[1] + tol
 
 
 def test_sq8_rerank_recall_vs_exact(spark):
