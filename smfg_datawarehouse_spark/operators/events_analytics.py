@@ -899,26 +899,112 @@ def s01_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame
     with the watermark bounding window state; the memory sink is the
     test/certification harness stand-in for the staging-zone parquet sink
     the REALTIME runner uses (runner.py)."""
-    import os as _os
-    import shutil as _shutil
     import uuid as _uuid
 
-    from smfg_datawarehouse_spark.queries import _scratch_dir
     from smfg_datawarehouse_spark.streaming.windows import (
         events_stream,
         run_stream_to_memory,
     )
 
-    # file-source streams read DIRECTORIES of arriving files (the raw-zone
-    # landing layout the REALTIME runner consumes); stage the fixture file
-    # into a per-app scratch dir to match that contract
-    src_dir = _scratch_dir(spark, "s01")
+    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s01"))
+    agg = tumbling_agg(stream, "1 hour")
+    return run_stream_to_memory(
+        spark, agg, f"s01_mem_{_uuid.uuid4().hex}", "complete"
+    )
+
+
+def _stage_events_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Copy the events fixture file into a per-app scratch DIRECTORY —
+    streaming file sources read directories of arriving files (the
+    raw-zone landing layout the REALTIME runner consumes)."""
+    import os as _os
+    import shutil as _shutil
+
+    from smfg_datawarehouse_spark.queries import _scratch_dir
+
+    src_dir = _scratch_dir(spark, tag)
     _shutil.copy(
         _os.path.join(sf_dir, "events.parquet"),
         _os.path.join(src_dir, "part-0.parquet"),
     )
-    stream = events_stream(spark, src_dir)
-    agg = tumbling_agg(stream, "1 hour")
+    return src_dir
+
+
+@register(
+    "s02_streaming_stateful_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_micros
+    FROM events GROUP BY user_id
+    """,
+)
+def s02_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/§2.11] The ARBITRARY-STATEFUL streaming path certified: per-user
+    running totals via ``applyInPandasWithState`` (integer micro-unit
+    state), drained with AvailableNow into an update-mode memory sink and
+    hash-checked against the plain batch GROUP BY oracle. The final state
+    per user is selected with ``max(struct(n_events, total_micros))`` —
+    n_events is strictly increasing per user across micro-batches, so the
+    reduction is batch-count-independent (a multi-file backlog draining in
+    several micro-batches yields the same certified rows as one batch).
+    State is one tiny row per key at any scale; the shuffle is the groupBy
+    hash partitioning."""
+    import uuid as _uuid
+
+    from smfg_datawarehouse_spark.streaming.stateful import running_user_totals
+    from smfg_datawarehouse_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s02"))
+    drained = run_stream_to_memory(
+        spark, running_user_totals(stream), f"s02_mem_{_uuid.uuid4().hex}", "update"
+    )
+    final = F.max(F.struct("n_events", "total_micros")).alias("s")
+    return drained.groupBy("user_id").agg(final).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.total_micros").alias("total_micros"),
+    )
+
+
+@register(
+    "s03_streaming_interval_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def s03_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/§2.3] The STREAM-STREAM JOIN path certified: view → purchase
+    conversions through the watermark-bounded interval join
+    (``streaming/joins.py`` — state evicted as watermarks advance, so
+    state is O(rate × interval) at any scale), drained with AvailableNow
+    in append mode and hash-checked against q32's batch SQL oracle —
+    driver-certified stream ≡ batch for the join family, alongside the
+    pytest stream==batch assertions."""
+    import uuid as _uuid
+
+    from smfg_datawarehouse_spark.streaming.joins import view_purchase_conversions
+    from smfg_datawarehouse_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s03"))
     return run_stream_to_memory(
-        spark, agg, f"s01_mem_{_uuid.uuid4().hex}", "complete"
+        spark,
+        view_purchase_conversions(stream),
+        f"s03_mem_{_uuid.uuid4().hex}",
+        "append",
     )
