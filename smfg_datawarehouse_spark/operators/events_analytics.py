@@ -1008,3 +1008,57 @@ def s03_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"s03_mem_{_uuid.uuid4().hex}",
         "append",
     )
+
+
+@register(
+    "q79_scd2_user_history",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), ch AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS version,
+           event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM ch
+    """,
+)
+def q79_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/§2.8] SCD Type-2 history build — the warehouse-core
+    transform the reference's DW load stage implies (curated dimensions
+    with change tracking): per user, consecutive same-value events
+    compress into one validity interval (valid_from, valid_to, version,
+    is_current), with NULL valid_to marking the current row. One
+    user-keyed shuffle feeds BOTH windows (the change-compression lag and
+    the interval lead share the same partitioning, so Catalyst plans a
+    single exchange). Ties broken by event_id, so versioning is exact
+    under same-timestamp events."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        e.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ch.select(
+        "user_id",
+        F.row_number().over(w2).cast("long").alias("version"),
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

@@ -2222,3 +2222,37 @@ def x65_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("gopher_pass_rate"),
     )
+
+
+@register(
+    "x66_group_split_by_source",
+    """
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN md5(source) < 'c' THEN 'train' ELSE 'heldout' END
+               AS split
+      FROM documents
+    )
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split, source
+    """,
+)
+def x66_group_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] GROUP-wise train/heldout split: the split key is the SOURCE
+    hash, not the document hash — every document of a source lands in the
+    same partition, which is what prevents group leakage when near-
+    duplicate documents cluster within sources (a doc-level split like
+    x29 would put one copy in train and its sibling in eval). The
+    sklearn-GroupShuffleSplit analogue at corpus scale; same md5-prefix
+    convention as x29 so both splits are reproducible, join-free,
+    scan-side expressions. Emits per-(split, source) stats — the
+    group-integrity certificate is that each source appears under exactly
+    ONE split."""
+    d = t(spark, sf_dir, "documents")
+    split = F.when(F.md5(F.col("source")) < "c", "train").otherwise("heldout")
+    return d.groupBy(split.alias("split"), F.col("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -185,3 +185,18 @@ def test_x65_datacard_single_shuffle(spark):
     df = qmod.all_queries()["x65_corpus_datacard"](spark, SF)
     assert exchange_count(df) == 1
     assert_no_cartesian(df)
+
+
+def test_q79_scd2_windows_share_one_exchange(spark):
+    # the change-compression lag and the interval lead both partition by
+    # user_id: one shuffle feeds both window passes
+    df = qmod.all_queries()["q79_scd2_user_history"](spark, SF)
+    assert exchange_count(df) == 1
+    assert_no_cartesian(df)
+
+
+def test_x66_group_split_zero_join(spark):
+    # split key is a scan-side hash expression: no join, one stats agg
+    df = qmod.all_queries()["x66_group_split_by_source"](spark, SF)
+    assert broadcast_join_count(df) == 0
+    assert exchange_count(df) == 1
