@@ -310,9 +310,9 @@ def q30_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q32_view_purchase_conversions",
-    """
+#: Shared by q32 (batch twin) and s03 (streaming path): ONE oracle string
+#: so the two certifications can never drift apart.
+_VIEW_PURCHASE_ORACLE = """
     SELECT v.user_id,
            v.event_id AS view_id, v.ts AS view_ts,
            p.event_id AS purchase_id, p.ts AS purchase_ts,
@@ -322,8 +322,10 @@ def q30_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON v.user_id = p.user_id
      AND v.event_type = 'view' AND p.event_type = 'purchase'
      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
-    """,
-)
+"""
+
+
+@register("q32_view_purchase_conversions", _VIEW_PURCHASE_ORACLE)
 def q32_view_purchase_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[T2/§2.3] Interval-bounded event join (view → purchase within 30
     min): the batch twin of the stream-stream join in
@@ -899,18 +901,25 @@ def s01_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame
     with the watermark bounding window state; the memory sink is the
     test/certification harness stand-in for the staging-zone parquet sink
     the REALTIME runner uses (runner.py)."""
-    import uuid as _uuid
-
-    from smfg_datawarehouse_spark.streaming.windows import (
-        events_stream,
-        run_stream_to_memory,
-    )
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
 
     stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s01"))
-    agg = tumbling_agg(stream, "1 hour")
-    return run_stream_to_memory(
-        spark, agg, f"s01_mem_{_uuid.uuid4().hex}", "complete"
-    )
+    return _drain_stream(spark, tumbling_agg(stream, "1 hour"), "s01", "complete")
+
+
+def _drain_stream(
+    spark: SparkSession, streaming_df: DataFrame, tag: str, output_mode: str
+) -> DataFrame:
+    """Drain via ``run_stream_to_memory`` under a FIXED per-tag sink name,
+    dropping the previous run's memory table first — repeated
+    certification/bench passes in one long-lived app would otherwise
+    accumulate a uuid-named drained result set in driver memory per run
+    (the same bound ``_scratch_dir`` enforces for files)."""
+    from smfg_datawarehouse_spark.streaming.windows import run_stream_to_memory
+
+    name = f"{tag}_mem"
+    spark.catalog.dropTempView(name)
+    return run_stream_to_memory(spark, streaming_df, name, output_mode)
 
 
 def _stage_events_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
@@ -951,18 +960,11 @@ def s02_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     several micro-batches yields the same certified rows as one batch).
     State is one tiny row per key at any scale; the shuffle is the groupBy
     hash partitioning."""
-    import uuid as _uuid
-
     from smfg_datawarehouse_spark.streaming.stateful import running_user_totals
-    from smfg_datawarehouse_spark.streaming.windows import (
-        events_stream,
-        run_stream_to_memory,
-    )
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
 
     stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s02"))
-    drained = run_stream_to_memory(
-        spark, running_user_totals(stream), f"s02_mem_{_uuid.uuid4().hex}", "update"
-    )
+    drained = _drain_stream(spark, running_user_totals(stream), "s02", "update")
     final = F.max(F.struct("n_events", "total_micros")).alias("s")
     return drained.groupBy("user_id").agg(final).select(
         "user_id",
@@ -971,20 +973,7 @@ def s02_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "s03_streaming_interval_join",
-    """
-    SELECT v.user_id,
-           v.event_id AS view_id, v.ts AS view_ts,
-           p.event_id AS purchase_id, p.ts AS purchase_ts,
-           p.value AS purchase_value
-    FROM events v
-    JOIN events p
-      ON v.user_id = p.user_id
-     AND v.event_type = 'view' AND p.event_type = 'purchase'
-     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
-    """,
-)
+@register("s03_streaming_interval_join", _VIEW_PURCHASE_ORACLE)
 def s03_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[T2/§2.3] The STREAM-STREAM JOIN path certified: view → purchase
     conversions through the watermark-bounded interval join
@@ -993,20 +982,12 @@ def s03_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in append mode and hash-checked against q32's batch SQL oracle —
     driver-certified stream ≡ batch for the join family, alongside the
     pytest stream==batch assertions."""
-    import uuid as _uuid
-
     from smfg_datawarehouse_spark.streaming.joins import view_purchase_conversions
-    from smfg_datawarehouse_spark.streaming.windows import (
-        events_stream,
-        run_stream_to_memory,
-    )
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
 
     stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s03"))
-    return run_stream_to_memory(
-        spark,
-        view_purchase_conversions(stream),
-        f"s03_mem_{_uuid.uuid4().hex}",
-        "append",
+    return _drain_stream(
+        spark, view_purchase_conversions(stream), "s03", "append"
     )
 
 
@@ -1053,12 +1034,11 @@ def q79_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
     )
-    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ch.select(
         "user_id",
-        F.row_number().over(w2).cast("long").alias("version"),
+        F.row_number().over(w).cast("long").alias("version"),
         "event_type",
         F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
-        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
     )

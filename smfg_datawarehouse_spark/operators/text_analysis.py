@@ -2251,8 +2251,15 @@ def x66_group_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-integrity certificate is that each source appears under exactly
     ONE split."""
     d = t(spark, sf_dir, "documents")
+    # group by source alone (split is functionally dependent on it), then
+    # derive the split from the aggregated row: md5 runs once per SOURCE,
+    # not once per document, and one-split-per-source holds structurally
     split = F.when(F.md5(F.col("source")) < "c", "train").otherwise("heldout")
-    return d.groupBy(split.alias("split"), F.col("source")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(split.alias("split"), "source", "n_docs", "total_chars")
     )
