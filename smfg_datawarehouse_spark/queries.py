@@ -109,9 +109,11 @@ _CERTIFIED = _CERTIFIED_R01 | _CERTIFIED_R02
 
 
 def _priority_order(names) -> list[str]:
-    """Never-driver-certified names first (the 30-query events suite:
-    q20-q30, q32, q35, q42, q45, q64-q78), already-certified ones last;
-    stable (registration) order within each tier."""
+    """Never-driver-certified names first (as of round 3: the events
+    suite q20-q30/q32/q35/q42/q45/q64-q78 plus everything added this
+    round — x54-x66, l04, s01-s03, q79), already-certified ones last;
+    stable (registration) order within each tier. The driver samples the
+    FIRST 50 names, so keep the uncertified count ≤ 50 within a round."""
     tier = lambda n: 1 if n in _CERTIFIED else 0  # noqa: E731
     return sorted(names, key=lambda n: tier(n))
 

@@ -370,3 +370,22 @@ def test_stream_stream_outer_join_equals_batch(spark, events_dir):
     )
     q.awaitTermination(180)
     assert _rowset(spark.table("ss_outer_join")) == expected
+
+
+def test_certified_streaming_queries_repeat_in_one_session(spark):
+    """s01/s02/s03 use FIXED per-tag memory-sink names (dropping the
+    prior run's temp view): repeated invocations in one long-lived app —
+    the driver/bench pattern — must return identical results, not
+    accumulate or collide."""
+    from smfg_datawarehouse_spark import queries as qmod
+
+    q = qmod.all_queries()
+    names = [
+        "s01_streaming_tumbling_window",
+        "s02_streaming_stateful_totals",
+        "s03_streaming_interval_join",
+    ]
+    first = {n: q[n](spark, SF_DIR).count() for n in names}
+    second = {n: q[n](spark, SF_DIR).count() for n in names}
+    assert first == second
+    assert all(v > 0 for v in first.values())
