@@ -2150,8 +2150,8 @@ def x62_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_doc_tokens,
            CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS pct_en_labeled,
-           CAST(SUM(CAST(q AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
-             AS mean_quality,
+           CAST(SUM(CAST(floor(q * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS mean_quality,
            CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS gopher_pass_rate
     FROM scored GROUP BY source
@@ -2216,7 +2216,16 @@ def x65_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
             / F.count(F.lit(1))
         ).alias("pct_en_labeled"),
-        davg(F.col("q")).alias("mean_quality"),
+        # micro-unit mean, NOT davg: q is a computed double, and a value
+        # landing on a .0000005 boundary rounds differently under Spark's
+        # half-up vs DuckDB's half-even DECIMAL cast (observed at sf0.1);
+        # floor(q*1e6+0.5) is pure IEEE arithmetic — identical everywhere
+        # (same reasoning as x08's centroid accumulation)
+        (
+            F.sum(F.floor(F.col("q") * 1000000.0 + 0.5).cast("long")).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("mean_quality"),
         (
             F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).cast("double")
             / F.count(F.lit(1))
