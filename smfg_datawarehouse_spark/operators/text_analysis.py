@@ -1466,6 +1466,13 @@ def tfidf_cosine_pairs(
         )
         .cache()
     )
+    # NOTE (decimal-tie class): wgt is a COMPUTED double, so the dsum
+    # DECIMAL(30,6) casts here carry the same latent half-up-vs-half-even
+    # tie risk x65's mean_quality hit (BASELINE.md) — no fixture value
+    # currently lands on a .0000005 boundary (verified bit-exact at
+    # sf0.001/0.01/0.1). If a fixture regeneration ever hash-fails x50,
+    # convert these sums to x08-style micro-unit accumulation on BOTH
+    # engines rather than debugging the candidate pipeline.
     nrm = wgt.groupBy("doc_id").agg(
         F.sqrt(dsum(F.col("wgt") * F.col("wgt"))).alias("nrm")
     )
