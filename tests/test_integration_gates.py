@@ -163,3 +163,73 @@ def test_eval_decontamination_flags_real_overlaps(spark):
         assert srcs[r.doc_id] not in ("src0", "src1")
         hits = grams(docs[r.doc_id]) & eval_grams
         assert len(hits) == r.n_eval_grams and r.n_eval_grams > 0
+
+
+def test_kmeans_partition_invariance(spark):
+    """Micro-unit accumulation promise: k-means results are identical at
+    ANY parallelism — rerun the full Lloyd loop on a 1-partition and a
+    16-partition layout of the same vectors and compare collected rows
+    exactly (this is the property that makes the operator certifiable on
+    a 1000-executor cluster)."""
+    from smfg_datawarehouse_spark.operators.similarity import kmeans_lloyd
+    from smfg_datawarehouse_spark.queries import t
+
+    emb = t(spark, SF001, "embeddings")
+    one = sorted(map(tuple, kmeans_lloyd(emb.repartition(1), k=8, iters=2).collect()))
+    many = sorted(map(tuple, kmeans_lloyd(emb.repartition(16), k=8, iters=2).collect()))
+    assert one == many
+
+
+def test_sq8_quantization_error_bound(spark):
+    """SQ8 contract: every reconstructed coordinate is within scale/2 of
+    the original (the defining bound of symmetric round-to-nearest
+    quantization), codes stay in [-127, 127], and a zero vector codes to
+    all zeros with scale 0."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.operators.similarity import _sq8_codes
+    from smfg_datawarehouse_spark.queries import t
+
+    emb = t(spark, SF001, "embeddings").select("vec_id", "embedding")
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    codes = _sq8_codes(
+        emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .unionByName(zero),
+        "vec_id",
+        "embedding",
+    )
+    bad = codes.where(
+        F.exists(
+            F.zip_with(
+                F.col("v"),
+                F.col("c"),
+                lambda x, q: (F.abs(x - q * F.col("scale")) > F.col("scale") / 2 + 1e-12)
+                | (F.abs(q) > 127),
+            ),
+            lambda b: b,
+        )
+    ).count()
+    assert bad == 0
+    z = codes.where(F.col("vid") == 999999).collect()[0]
+    assert z.scale == 0.0 and all(c == 0 for c in z.c)
+
+
+def test_scd2_interval_structure(spark):
+    """q79 invariants: per user exactly one is_current row; intervals are
+    change-compressed (no two consecutive rows share event_type) and
+    contiguous (valid_to == next version's valid_from)."""
+    qs = __import__("smfg_datawarehouse_spark.queries", fromlist=["all_queries"])
+    rows = qs.all_queries()["q79_scd2_user_history"](spark, SF001).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r.version)
+        assert sum(1 for r in hist if r.is_current) == 1
+        assert hist[-1].is_current and hist[-1].valid_to is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.event_type != b.event_type
+            assert a.valid_to == b.valid_from
+            assert not a.is_current
