@@ -142,10 +142,26 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     SQLConf, and a caller may reset the timezone between queries — a memo
     would silently skip re-pinning and shift every date_trunc/window
     result against the zone-naive oracle. Two conf reads per table load
-    are sub-millisecond."""
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    are sub-millisecond.
+
+    The reads use NO fallback default: Spark 4 VALIDATES an explicit
+    ``conf.get(key, default)`` default against the conf's type, so a
+    sentinel like ``""`` throws INVALID_CONF_VALUE in any session that
+    hasn't explicitly set the key (exactly the externally-built driver
+    session this guard exists for). Both keys always have an effective
+    engine default, so the no-default read cannot miss; the bare except
+    turns any future read quirk into a re-pin instead of a crash."""
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "") != "true":
+    try:
+        nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        nanos = None
+    if nanos != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 

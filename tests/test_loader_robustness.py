@@ -54,3 +54,22 @@ def test_events_stream_handles_both_encodings(spark, nanos_events_dir, tmp_path)
         "nanos_stream_t",
     )
     assert _rowset(result) == expected
+
+
+def test_queries_run_in_fresh_unconfigured_session(spark):
+    """Regression (round 3): ``spark.conf.get(key, "")`` in Spark 4
+    VALIDATES the explicit default against the conf type, so the
+    timezone re-pin guard itself threw INVALID_CONF_VALUE in any session
+    that never set the key — which is precisely the externally-built
+    driver session it exists to protect. Drive representative queries
+    through a fresh ``newSession()`` (shared app, UNSET SQLConf) and
+    require identical results to the configured session."""
+    from smfg_datawarehouse_spark import queries as qmod
+
+    q = qmod.all_queries()
+    fresh = spark.newSession()
+    sf = "/root/testdata/sf0.001"
+    for name in ["q01_pricing_summary", "q20_tumbling_window", "x07_latest_event_per_user"]:
+        want = sorted(map(str, q[name](spark, sf).collect()))
+        got = sorted(map(str, q[name](fresh, sf).collect()))
+        assert got == want, name
