@@ -1042,3 +1042,106 @@ def q79_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "q80_scd2_point_in_time",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), ch AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ), iv AS (
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS version,
+             event_type AS state_type,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM ch
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.event_type, iv.version,
+           iv.state_type
+    FROM events e
+    JOIN iv ON e.user_id = iv.user_id
+           AND e.ts >= iv.valid_from
+           AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+    """,
+)
+def q80_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/§2.3/§2.5] Point-in-time SCD Type-2 lookup — THE temporal
+    dimensional join of a warehouse: each fact row (event) is enriched
+    with the dimension version that was valid AT ITS TIMESTAMP, i.e.
+    ``fact.ts ∈ [dim.valid_from, dim.valid_to)`` with an open current
+    interval. The dimension side is q79's change-compressed SCD2 history
+    (one row per state change, far smaller than the fact table).
+
+    Scale shape: an equi-join on ``user_id`` with the interval
+    containment as join residual — Catalyst plans a sort-merge join keyed
+    on user_id (or broadcast when the compressed dim fits), and the
+    residual range predicate evaluates per user-key group, which stays
+    cheap because change-compression bounds intervals-per-user. No
+    cartesian, no theta-join blowup; the q79 intervals partition each
+    user's timeline, so every event matches EXACTLY one version row
+    (boundary events belong to the newer version — ``[from, to)``)."""
+    e = t(spark, sf_dir, "events")
+    iv = q79_scd2_user_history(spark, sf_dir).select(
+        F.col("user_id").alias("iv_user_id"),
+        "version",
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        "valid_to",
+    )
+    cond = (
+        (e.user_id == iv.iv_user_id)
+        & (e.ts >= iv.valid_from)
+        & (iv.valid_to.isNull() | (e.ts < iv.valid_to))
+    )
+    return e.join(iv, cond).select(
+        "event_id", "user_id", "ts", "event_type", "version", "state_type"
+    )
+
+
+@register(
+    "s04_streaming_dedup",
+    "SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def s04_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/X] STREAMING EXACTLY-ONCE DEDUP certified: the events fixture
+    is staged TWICE into the source directory (an at-least-once upstream
+    redelivering the whole feed), the stream drains it across TWO
+    micro-batches (``maxFilesPerTrigger=1``), and keyed
+    ``dropDuplicates(event_id)`` suppresses every replayed row across
+    batch boundaries — the drained sink equals the batch table exactly,
+    which is what turns an at-least-once transport into an exactly-once
+    pipeline. The driver hash-checks the drained result against the plain
+    batch SELECT oracle.
+
+    Scale shape: dedup state is one compact row per key in the state
+    store, hash-partitioned by key (one shuffle). This certification
+    variant keeps state unbounded so the full-feed replay dedups exactly;
+    a production deployment bounds it with
+    ``dropDuplicatesWithinWatermark`` once redelivery is known to arrive
+    within the watermark horizon."""
+    import os as _os
+    import shutil as _shutil
+
+    from smfg_datawarehouse_spark.queries import _scratch_dir
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src_dir = _scratch_dir(spark, "s04")
+    for part in ("part-0.parquet", "part-1.parquet"):
+        _shutil.copy(
+            _os.path.join(sf_dir, "events.parquet"), _os.path.join(src_dir, part)
+        )
+    stream = events_stream(spark, src_dir, max_files_per_trigger=1)
+    deduped = stream.dropDuplicates(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return _drain_stream(spark, deduped, "s04", "append")

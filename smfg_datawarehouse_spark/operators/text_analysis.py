@@ -2279,3 +2279,192 @@ def x66_group_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(split.alias("split"), "source", "n_docs", "total_chars")
     )
+
+
+@register(
+    "x67_mixture_sampling_apply",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n
+      FROM documents
+    ), s AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_s,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM tk GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s
+    ), r AS (
+      SELECT s.source, s.n_docs,
+             CAST(floor(sqrt(CAST(s.n_s AS DOUBLE) / tot.n) * 1e12 + 0.5)
+                  AS BIGINT) AS u
+      FROM s CROSS JOIN tot
+    ), r2 AS (
+      SELECT source, n_docs,
+             CAST(u * 1000000 // (SELECT MAX(u) FROM r) AS BIGINT)
+               AS rate_milli
+      FROM r
+    ), adm AS (
+      SELECT d.source,
+             CAST(SUM(CASE WHEN ('0x' || substring(
+                      md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 1000000 < r2.rate_milli
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+      FROM documents d JOIN r2 USING (source)
+      GROUP BY d.source
+    )
+    SELECT r2.source, r2.n_docs, r2.rate_milli, adm.n_admitted
+    FROM r2 JOIN adm USING (source)
+    """,
+)
+def x67_mixture_sampling_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] APPLY a temperature-scaled source mixture: x39 computes the
+    target weights; this operator turns them into per-source admission
+    RATES (largest source keeps everything, smaller sources are
+    down-sampled proportionally to their sqrt-share — rate_milli =
+    u_s·10⁶ ÷ max(u), integer arithmetic so both engines agree exactly)
+    and then ADMITS documents deterministically: a doc survives iff
+    ``md5('mix:'‖doc_id)₃₂ mod 10⁶ < rate_milli`` — the salted-hash
+    Bernoulli gate that makes the sample reproducible run-over-run and
+    engine-portable, with no RNG state to coordinate across executors.
+
+    Scale shape: pass 1 is the per-source token rollup (tiny result);
+    the rate table (|sources| rows) broadcasts back into pass 2's pure
+    scan — the corpus shuffles ZERO rows, and the admit decision runs
+    inside whole-stage codegen. This is the missing link between weight
+    COMPUTATION (x39) and split/dedup machinery: the operator a 100 TB
+    mixing run executes once per source epoch."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", "source", F.size(word_tokens(F.col("text"))).cast("long").alias("n")
+    )
+    s = tk.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tot = s.agg(F.sum("n_s").cast("long").alias("n"))
+    u = F.floor(F.sqrt(F.col("n_s").cast("double") / F.col("n")) * 1e12 + 0.5).cast(
+        "long"
+    )
+    r = s.join(F.broadcast(tot)).select("source", "n_docs", u.alias("u"))
+    max_u = r.agg(F.max("u").alias("max_u"))
+    r2 = r.join(F.broadcast(max_u)).select(
+        "source",
+        "n_docs",
+        F.expr("u * 1000000 DIV max_u").cast("long").alias("rate_milli"),
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    adm = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(r2.select("source", "rate_milli")), "source")
+        .groupBy("source")
+        .agg(F.sum((h < F.col("rate_milli")).cast("long")).cast("long").alias("n_admitted"))
+    )
+    return r2.join(adm, "source").select(
+        "source", "n_docs", "rate_milli", "n_admitted"
+    )
+
+
+@register(
+    "x68_collocation_lift",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS tk
+      FROM documents
+    ), bi AS (
+      SELECT unnest([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))])
+               AS bg
+      FROM toks
+    ), nab AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bi GROUP BY bg
+    ), uni AS (
+      SELECT unnest(tk) AS w FROM toks
+    ), na AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM uni GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(n_w) AS BIGINT) AS n FROM na
+    ), btot AS (
+      SELECT CAST(SUM(n_ab) AS BIGINT) AS b FROM nab
+    ), sc AS (
+      SELECT split_part(bg, ' ', 1) AS tok_a,
+             split_part(bg, ' ', 2) AS tok_b,
+             n_ab,
+             ((CAST(n_ab AS DOUBLE) * tot.n) * tot.n)
+               / ((CAST(btot.b AS DOUBLE) * x.n_w) * y.n_w) AS lift
+      FROM nab CROSS JOIN tot CROSS JOIN btot
+      JOIN na x ON x.w = split_part(bg, ' ', 1)
+      JOIN na y ON y.w = split_part(bg, ' ', 2)
+      WHERE n_ab >= 5
+    )
+    SELECT tok_a, tok_b, n_ab, lift
+    FROM sc ORDER BY lift DESC, tok_a, tok_b LIMIT 50
+    """,
+)
+def x68_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Collocation mining by LIFT — word2phrase-style phrase discovery
+    for tokenizer/vocab construction: for each bigram (a,b) with support
+    ≥ 5, lift = P(ab) / (P(a)·P(b)) ≫ 1 marks pairs that co-occur far
+    above chance (phrase candidates worth merging into one token). Lift
+    is the exponential of PMI but avoids transcendentals entirely: the
+    score is ONE fixed-shape chain of IEEE multiplies/divide over exact
+    integer counts — ((n_ab·N)·N)/((B·n_a)·n_b) — bit-identical in any
+    engine, where a log-based PMI would drift in the last ulp.
+
+    Scale shape: bigram counts generate inside the token array (x27's
+    transform — no self-join, no positional explode), shuffling only
+    |distinct bigrams| partials; unigram counts shuffle |vocab|; the two
+    count tables then join bigram→unigram twice — vocab-sized, broadcast
+    here and still dimension-like at 100 TB (vocab grows ~log corpus) —
+    and TakeOrderedAndProject caps the result at 50 with a full
+    tie-break (lift DESC, tok_a, tok_b)."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.col("_tk")
+    pairs = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.slice(tk, 1, F.size(tk) - 1),
+            lambda w, i: F.struct(
+                w.alias("tok_a"), F.element_at(tk, i + F.lit(2)).alias("tok_b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<tok_a:string,tok_b:string>>"))
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = d.repartition(n_parts).withColumn("_tk", word_tokens(F.col("text")))
+    # cached: both the bigram and the unigram rollup re-derive the token
+    # array from the raw text otherwise (two full tokenization passes)
+    toks = toks.select("_tk").cache()
+    nab = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    na = (
+        toks.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    tot = na.agg(F.sum("n_w").cast("long").alias("n"))
+    btot = nab.agg(F.sum("n_ab").cast("long").alias("b"))
+    lift = (
+        (F.col("n_ab").cast("double") * F.col("n")) * F.col("n")
+    ) / ((F.col("b").cast("double") * F.col("na_w")) * F.col("nb_w"))
+    return (
+        nab.where(F.col("n_ab") >= 5)
+        .join(F.broadcast(na.withColumnRenamed("w", "tok_a").withColumnRenamed("n_w", "na_w")), "tok_a")
+        .join(F.broadcast(na.withColumnRenamed("w", "tok_b").withColumnRenamed("n_w", "nb_w")), "tok_b")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(btot))
+        .select("tok_a", "tok_b", "n_ab", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+        .limit(50)
+    )

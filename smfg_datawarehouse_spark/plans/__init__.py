@@ -1,5 +1,6 @@
 from smfg_datawarehouse_spark.plans.inspect import (
     formatted_plan,
+    partition_filters,
     pushed_filters,
     read_schemas,
     assert_no_cartesian,
@@ -9,6 +10,7 @@ from smfg_datawarehouse_spark.plans.inspect import (
 
 __all__ = [
     "formatted_plan",
+    "partition_filters",
     "pushed_filters",
     "read_schemas",
     "assert_no_cartesian",

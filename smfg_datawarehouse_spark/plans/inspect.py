@@ -28,6 +28,13 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """All PartitionFilters entries (one string per scan) — the witness
+    that a predicate prunes whole partition directories at planning time
+    instead of being evaluated row-by-row after I/O."""
+    return re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df))
+
+
 def read_schemas(df: DataFrame) -> list[list[str]]:
     """Column lists actually read by each scan (column-pruning witness)."""
     out = []

@@ -2755,3 +2755,43 @@ def l04_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
+
+
+_L05_ORACLE = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source = 'src0'
+    GROUP BY lang
+"""
+
+
+@register("l05_partition_pruned_lake", _L05_ORACLE)
+def l05_partition_pruned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2/S3/P4] Partition-pruned lake lifecycle: the documents corpus is
+    written Hive-partitioned by ``source`` (the lake layout a 100 TB
+    curated zone uses for its dominant filter key), read back through the
+    partition directory structure, and a per-source query proves PARTITION
+    PRUNING — the ``source = 'src0'`` predicate is resolved against
+    directory names at planning time, so only 1/|sources| of the files is
+    ever opened (the plan's scan node lists it under PartitionFilters;
+    tests/test_plans pins that). The oracle computes the same rollup from
+    the unpartitioned fixture, so a row lost or duplicated anywhere in the
+    partitioned write/read path hash-fails.
+
+    At scale this is the difference between scanning 100 TB and scanning
+    one partition: pruning happens before I/O, unlike a data filter which
+    still reads every file's pages. Reference parity: the staging-zone
+    per-table directory layout (`staging_data_extraction.py:94` writes
+    `{table}_part_*.parquet` per table dir) generalizes to value-partitioned
+    directories; the partition column is recovered from directory names on
+    read (Spark partition discovery), not stored in the files."""
+    base = _scratch_dir(spark, "l05")
+    d = t(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("source").parquet(base)
+    rd = spark.read.parquet(base).where(F.col("source") == "src0")
+    return rd.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -26,7 +26,10 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 
 
 def events_stream(
-    spark: SparkSession, events_dir: str, watermark: str = "10 minutes"
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over an events parquet directory.
 
@@ -34,18 +37,26 @@ def events_stream(
     stored ``ts`` as either INT64 TIMESTAMP(NANOS) or ``timestamp[us]`` —
     so peek at the batch-read schema (footer only, no data scan) and declare
     the stream schema to match, normalizing ``ts`` to TIMESTAMP either way
-    (same branch as queries.load_events)."""
+    (same branch as queries.load_events).
+
+    ``max_files_per_trigger`` caps the files consumed per micro-batch —
+    set it to 1 in tests/certification to force a multi-file backlog to
+    drain across SEVERAL micro-batches (exercising cross-batch state:
+    dedup, stateful aggregation) instead of collapsing into one."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     observed = spark.read.parquet(events_dir).schema["ts"].dataType
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if isinstance(observed, T.LongType):
         stream = (
-            spark.readStream.schema(_events_schema(T.LongType()))
+            reader.schema(_events_schema(T.LongType()))
             .parquet(events_dir)
             .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         )
     else:
         stream = (
-            spark.readStream.schema(_events_schema(observed))
+            reader.schema(_events_schema(observed))
             .parquet(events_dir)
             .withColumn("ts", F.col("ts").cast("timestamp"))
         )

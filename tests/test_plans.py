@@ -200,3 +200,40 @@ def test_x66_group_split_zero_join(spark):
     df = qmod.all_queries()["x66_group_split_by_source"](spark, SF)
     assert broadcast_join_count(df) == 0
     assert exchange_count(df) == 1
+
+
+def test_l05_scan_is_partition_pruned(spark):
+    # the source='src0' predicate must resolve against partition
+    # DIRECTORIES at planning time (PartitionFilters), not as a row filter
+    from smfg_datawarehouse_spark.plans import partition_filters
+
+    df = qmod.all_queries()["l05_partition_pruned_lake"](spark, SF)
+    pf = [f for f in partition_filters(df) if "src0" in f]
+    assert pf, "source predicate did not reach PartitionFilters"
+    # and the pruned scan reads only the data columns it needs
+    schemas = read_schemas(df)
+    assert schemas and all("text" not in s for s in schemas)
+
+
+def test_q80_point_in_time_join_no_cartesian(spark):
+    # equi-join on user_id with the interval containment as residual —
+    # never a cartesian/BNLJ over fact × dim
+    df = qmod.all_queries()["q80_scd2_point_in_time"](spark, SF)
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x67_rate_table_broadcasts(spark):
+    # the |sources|-row rate table broadcasts into the admit scan — the
+    # corpus itself shuffles zero rows for the admission decision
+    df = qmod.all_queries()["x67_mixture_sampling_apply"](spark, SF)
+    assert broadcast_join_count(df) >= 2
+    assert_no_cartesian(df)
+
+
+def test_x68_unigram_tables_broadcast(spark):
+    # vocab-sized unigram count tables broadcast into the bigram rollup
+    df = qmod.all_queries()["x68_collocation_lift"](spark, SF)
+    assert broadcast_join_count(df) >= 2
+    assert_no_cartesian(df)

@@ -389,3 +389,41 @@ def test_certified_streaming_queries_repeat_in_one_session(spark):
     second = {n: q[n](spark, SF_DIR).count() for n in names}
     assert first == second
     assert all(v > 0 for v in first.values())
+
+
+def test_stream_dedup_across_micro_batches(spark, tmp_path):
+    """Exactly-once from an at-least-once source: the SAME feed staged as
+    two files, drained as TWO micro-batches (maxFilesPerTrigger=1) — the
+    dedup state must suppress every row of the replayed second batch, and
+    the progress log must prove the replay really arrived in a later
+    batch rather than being deduped intra-batch."""
+    from smfg_datawarehouse_spark.queries import load_events
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-1.parquet")
+    stream = events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        stream.dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName("xbatch_dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "replay collapsed into a single micro-batch"
+    expected = load_events(spark, SF_DIR).count()
+    assert spark.table("xbatch_dedup_t").count() == expected
+
+
+def test_s04_certified_query_repeats(spark):
+    from smfg_datawarehouse_spark import queries as qmod
+
+    q = qmod.all_queries()["s04_streaming_dedup"]
+    first = q(spark, SF_DIR).count()
+    second = q(spark, SF_DIR).count()
+    assert first == second > 0
