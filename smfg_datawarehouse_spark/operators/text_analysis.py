@@ -2329,12 +2329,15 @@ def x67_mixture_sampling_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bernoulli gate that makes the sample reproducible run-over-run and
     engine-portable, with no RNG state to coordinate across executors.
 
-    Scale shape: pass 1 is the per-source token rollup (tiny result);
-    the rate table (|sources| rows) broadcasts back into pass 2's pure
-    scan — the corpus shuffles ZERO rows, and the admit decision runs
-    inside whole-stage codegen. This is the missing link between weight
-    COMPUTATION (x39) and split/dedup machinery: the operator a 100 TB
-    mixing run executes once per source epoch."""
+    Scale shape: pass 1 is the per-source token rollup; the global
+    normalizer and max run as UNPARTITIONED WINDOWS over that
+    |sources|-row aggregate (not as joins back to re-derived sub-aggs —
+    each such join re-executes the corpus rollup lineage), so the corpus
+    is tokenized exactly once. The finished rate table broadcasts into
+    pass 2's pure scan — the corpus shuffles ZERO rows, and the admit
+    decision runs inside whole-stage codegen. This is the missing link
+    between weight COMPUTATION (x39) and split/dedup machinery: the
+    operator a 100 TB mixing run executes once per source epoch."""
     d = t(spark, sf_dir, "documents")
     tk = d.select(
         "doc_id", "source", F.size(word_tokens(F.col("text"))).cast("long").alias("n")
@@ -2343,16 +2346,19 @@ def x67_mixture_sampling_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_s"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
-    tot = s.agg(F.sum("n_s").cast("long").alias("n"))
-    u = F.floor(F.sqrt(F.col("n_s").cast("double") / F.col("n")) * 1e12 + 0.5).cast(
-        "long"
-    )
-    r = s.join(F.broadcast(tot)).select("source", "n_docs", u.alias("u"))
-    max_u = r.agg(F.max("u").alias("max_u"))
-    r2 = r.join(F.broadcast(max_u)).select(
-        "source",
-        "n_docs",
-        F.expr("u * 1000000 DIV max_u").cast("long").alias("rate_milli"),
+    # the window frame is the whole |sources|-row aggregate — one tiny
+    # single-partition pass, never the corpus
+    wall = W.partitionBy()
+    u = F.floor(
+        F.sqrt(F.col("n_s").cast("double") / F.sum("n_s").over(wall)) * 1e12 + 0.5
+    ).cast("long")
+    r2 = (
+        s.select("source", "n_docs", u.alias("u"))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("u * 1000000 DIV max(u) OVER ()").cast("long").alias("rate_milli"),
+        )
     )
     h = (
         F.conv(
@@ -2362,14 +2368,19 @@ def x67_mixture_sampling_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 1000000
     )
-    adm = (
+    # n_docs/rate_milli ride along the broadcast and come back out via
+    # max() (functionally dependent on source) — r2's lineage runs ONCE,
+    # with no second join
+    return (
         d.select("doc_id", "source")
-        .join(F.broadcast(r2.select("source", "rate_milli")), "source")
+        .join(F.broadcast(r2), "source")
         .groupBy("source")
-        .agg(F.sum((h < F.col("rate_milli")).cast("long")).cast("long").alias("n_admitted"))
-    )
-    return r2.join(adm, "source").select(
-        "source", "n_docs", "rate_milli", "n_admitted"
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.max("rate_milli").cast("long").alias("rate_milli"),
+            F.sum((h < F.col("rate_milli")).cast("long")).cast("long").alias("n_admitted"),
+        )
+        .select("source", "n_docs", "rate_milli", "n_admitted")
     )
 
 
@@ -2453,8 +2464,14 @@ def x68_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
     )
-    tot = na.agg(F.sum("n_w").cast("long").alias("n"))
-    btot = nab.agg(F.sum("n_ab").cast("long").alias("b"))
+    # totals come from ONE pass over the cached token arrays (N = Σ|tk|,
+    # B = Σ max(|tk|−1, 0)) — deriving them from na/nab would re-run
+    # those groupBys' full lineage, and at scale an unpartitioned window
+    # over a vocab-sized table would funnel it into one partition
+    tots = toks.agg(
+        F.sum(F.size(tk)).cast("long").alias("n"),
+        F.sum(F.greatest(F.size(tk) - 1, F.lit(0))).cast("long").alias("b"),
+    )
     lift = (
         (F.col("n_ab").cast("double") * F.col("n")) * F.col("n")
     ) / ((F.col("b").cast("double") * F.col("na_w")) * F.col("nb_w"))
@@ -2462,8 +2479,7 @@ def x68_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         nab.where(F.col("n_ab") >= 5)
         .join(F.broadcast(na.withColumnRenamed("w", "tok_a").withColumnRenamed("n_w", "na_w")), "tok_a")
         .join(F.broadcast(na.withColumnRenamed("w", "tok_b").withColumnRenamed("n_w", "nb_w")), "tok_b")
-        .join(F.broadcast(tot))
-        .join(F.broadcast(btot))
+        .join(F.broadcast(tots))
         .select("tok_a", "tok_b", "n_ab", lift.alias("lift"))
         .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
         .limit(50)

@@ -225,10 +225,13 @@ def test_q80_point_in_time_join_no_cartesian(spark):
 
 
 def test_x67_rate_table_broadcasts(spark):
-    # the |sources|-row rate table broadcasts into the admit scan — the
-    # corpus itself shuffles zero rows for the admission decision
+    # the |sources|-row rate table broadcasts into the admit scan (its
+    # one join), and the whole plan holds at 3 exchanges: per-source
+    # rollup, the tiny-window single partition, the admit rollup — the
+    # corpus itself is tokenized once and shuffles zero rows
     df = qmod.all_queries()["x67_mixture_sampling_apply"](spark, SF)
-    assert broadcast_join_count(df) >= 2
+    assert broadcast_join_count(df) == 1
+    assert exchange_count(df) <= 3
     assert_no_cartesian(df)
 
 
