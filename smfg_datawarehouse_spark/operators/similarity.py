@@ -1477,3 +1477,127 @@ def x64_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 25 == 0)
     return hard_negatives_topk(e, queries, k=5)
+
+
+def covariance_partials(
+    vectors: DataFrame, vec_col: str = "embedding", chunk: int = 256
+) -> DataFrame:
+    """Per-partition partial sums for the embedding covariance matrix.
+
+    The 100 TB shape for second-moment statistics: each partition folds its
+    rows into ONE d×d integer accumulator (Arrow-batched numpy outer
+    products, chunked so the r×d×d intermediate stays ~8 MB), and only the
+    d(d+1)/2 upper-triangle partials per partition are shuffled — the
+    corpus itself never moves. Per-element quantization BEFORE summation
+    (``floor(x_i·x_j·1e12 + 0.5)`` / ``floor(x_i·1e9 + 0.5)``) makes every
+    partial an exact integer, so the merge is associative and
+    partition-count-independent — same micro-unit convention as the x08
+    centroids and x57 k-means kernels.
+
+    int64 headroom: each per-row product unit is ≤ |x|²·1e12; a partition
+    partial stays exact while rows_per_partition · max(|x|²) ≪ 9.2e6 — at
+    1e6-row partitions that allows |x| ≤ 3, far above unit-normalized
+    embeddings. The cross-partition merge upcasts to DECIMAL(38,0).
+    """
+    dim_row = vectors.select(F.size(vec_col).alias("d")).head()
+    dim = int(dim_row["d"])
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+
+    def fold(it):
+        acc12 = np.zeros((dim, dim), np.int64)
+        acc1 = np.zeros(dim, np.int64)
+        n = 0
+        for pdf in it:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            for s in range(0, len(m), chunk):
+                c = m[s : s + chunk]
+                acc12 += (
+                    np.floor(np.einsum("ri,rj->rij", c, c) * 1e12 + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                acc1 += np.floor(c * 1e9 + 0.5).astype(np.int64).sum(axis=0)
+                n += len(c)
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "i": (iu + 1).astype("int32"),
+                "j": (ju + 1).astype("int32"),
+                "s12": acc12[iu, ju],
+                "si": acc1[iu],
+                "sj": acc1[ju],
+                "n": np.full(len(iu), n, np.int64),
+            }
+        )
+
+    return (
+        vectors.repartition(n_parts)
+        .select(vec_col)
+        .mapInPandas(fold, "i int, j int, s12 long, si long, sj long, n long")
+    )
+
+
+@register(
+    "x69_embedding_covariance",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS k),
+    u AS (
+      SELECT e.vec_id, k.k AS k, CAST(e.embedding[k.k] AS DOUBLE) AS x
+      FROM embeddings e, idx k
+    ), pairs AS (
+      SELECT a.k AS i, b.k AS j,
+             CAST(floor(a.x * b.x * 1e12 + 0.5) AS BIGINT) AS u12,
+             CAST(floor(a.x * 1e9 + 0.5) AS BIGINT) AS ui,
+             CAST(floor(b.x * 1e9 + 0.5) AS BIGINT) AS uj
+      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.k <= b.k
+    ), agg AS (
+      SELECT i, j, SUM(u12) AS s12, SUM(ui) AS si, SUM(uj) AS sj,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY i, j
+    )
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           CAST(si AS DOUBLE) / 1e9 / n AS mean_i,
+           CAST(sj AS DOUBLE) / 1e9 / n AS mean_j,
+           (CAST(s12 AS DOUBLE) / 1e12 / n)
+             - (CAST(si AS DOUBLE) / 1e9 / n)
+               * (CAST(sj AS DOUBLE) / 1e9 / n) AS cov
+    FROM agg
+    """,
+)
+def x69_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.11] Distributed covariance matrix of the embedding corpus —
+    the statistics pass behind PCA / whitening / drift monitoring on a
+    vector store. Upper triangle as (i, j, mean_i, mean_j, cov) rows,
+    cov = E[x_i·x_j] − E[x_i]·E[x_j] with every expectation built from
+    EXACT integer unit sums (see :func:`covariance_partials`), so the
+    result is bit-identical to the oracle's d²-explode replay while the
+    engine-side plan shuffles only |partitions| · d(d+1)/2 partial rows —
+    at 100 TB the corpus is scanned once and never exploded.
+
+    The d×d second-moment accumulation is the textbook mergeable-state
+    pattern: identical to what a tree-aggregated ML summarizer does, but
+    expressed as mapInPandas partials + one groupBy so it stays inside
+    the engine's oracle-checkable surface."""
+    e = t(spark, sf_dir, "embeddings")
+    agg = (
+        covariance_partials(e)
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("s12").cast("decimal(38,0)")).alias("S12"),
+            F.sum(F.col("si").cast("decimal(38,0)")).alias("Si"),
+            F.sum(F.col("sj").cast("decimal(38,0)")).alias("Sj"),
+            F.sum("n").cast("long").alias("N"),
+        )
+    )
+    mean_i = F.col("Si").cast("double") / 1e9 / F.col("N")
+    mean_j = F.col("Sj").cast("double") / 1e9 / F.col("N")
+    m2 = F.col("S12").cast("double") / 1e12 / F.col("N")
+    return agg.select(
+        "i",
+        "j",
+        mean_i.alias("mean_i"),
+        mean_j.alias("mean_j"),
+        (m2 - mean_i * mean_j).alias("cov"),
+    )

@@ -956,18 +956,29 @@ def x37_mean_token_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums don't); the per-doc sum is exact integer, associative,
     partition-order-proof; the mean is two fixed-order divides."""
     d = t(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
+    return doc_mean_token_prob(d)
+
+
+def doc_mean_token_prob(d: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
+    """Per-document mean unigram probability (x37's kernel), optionally
+    carrying extra per-document columns (e.g. ``lang`` for x70's
+    per-language bucketing) through the rollup as additional group keys —
+    functionally dependent on doc_id, so the grouping is unchanged."""
+    extras = extra_cols or []
+    n_parts = d.sparkSession.sparkContext.defaultParallelism
     tok = (
         d.repartition(n_parts)
         .withColumn("_tk", word_tokens(F.col("text")))
-        .select("doc_id", F.explode("_tk").alias("tokw"))
+        .select("doc_id", *extras, F.explode("_tk").alias("tokw"))
     )
     # (doc, token) occurrence counts — CACHED (same reuse as x36): the
     # vocab table, the corpus total, and the per-doc rollup all derive
     # from it, so tokenize+explode runs once instead of three times.
     # Per-doc Σ p_units over occurrences == Σ c·p_units over (doc, token)
     # rows — exact integer either way.
-    cst = tok.groupBy("doc_id", "tokw").agg(F.count(F.lit(1)).alias("c")).cache()
+    cst = (
+        tok.groupBy("doc_id", *extras, "tokw").agg(F.count(F.lit(1)).alias("c")).cache()
+    )
     ct = cst.groupBy("tokw").agg(F.sum("c").cast("long").alias("c_t"))
     tot = cst.agg(F.sum("c").cast("long").alias("n"))
     p_units = F.floor(
@@ -976,7 +987,7 @@ def x37_mean_token_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cst.join(F.broadcast(ct), "tokw")
         .join(F.broadcast(tot))
-        .groupBy("doc_id")
+        .groupBy("doc_id", *extras)
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
             (
@@ -2483,4 +2494,90 @@ def x68_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok_a", "tok_b", "n_ab", lift.alias("lift"))
         .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
         .limit(50)
+    )
+
+
+@register(
+    "x70_lm_score_buckets",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, lang, tokw FROM tk, UNNEST(t) AS u(tokw)
+    ), ct AS (
+      SELECT tokw, CAST(COUNT(*) AS BIGINT) AS c_t FROM tok GROUP BY tokw
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+    ), sc AS (
+      SELECT tok.doc_id, tok.lang,
+             CAST(SUM(CAST(floor(CAST(ct.c_t AS DOUBLE) / tot.n * 1e15 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1e15 / COUNT(*)
+               AS mtp
+      FROM tok JOIN ct USING (tokw) CROSS JOIN tot
+      GROUP BY tok.doc_id, tok.lang
+    ), th AS (
+      SELECT lang,
+             quantile_cont(mtp, CAST(1 AS DOUBLE) / 3) AS t1,
+             quantile_cont(mtp, CAST(2 AS DOUBLE) / 3) AS t2
+      FROM sc GROUP BY lang
+    )
+    SELECT sc.lang,
+           CASE WHEN sc.mtp >= th.t2 THEN 'head'
+                WHEN sc.mtp >= th.t1 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(floor(sc.mtp * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e12 / COUNT(*) AS mean_prob
+    FROM sc JOIN th USING (lang)
+    GROUP BY 1, 2
+    """,
+)
+def x70_lm_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] CCNet-style head/middle/tail bucketing (Wenzek et al.,
+    arXiv:1911.00359): documents are scored under a corpus LM and split
+    per LANGUAGE at the score terciles — 'head' feeds high-quality
+    training mixes, 'tail' gets dropped or down-weighted. The LM score is
+    x37's transcendental-free mean unigram probability (same ranking as
+    unigram perplexity, bit-stable across engines); thresholds are exact
+    interpolated terciles computed per language.
+
+    Scale shape: the per-doc score pipeline is x37's (vocab broadcast
+    onto the token stream, doc-keyed rollup); the threshold table is
+    |langs| rows — an aggregate over doc-level scores, NOT the corpus —
+    and broadcasts back into the doc-score stream for bucketing, so the
+    corpus is tokenized once and the extra bucketing cost is one
+    doc-level shuffle. Exact percentile is doc-level-feasible even at
+    100 TB corpus scale (scores are one row per doc); approx_percentile
+    is the drop-in if doc counts outgrow it (x52 gates that sketch)."""
+    d = t(spark, sf_dir, "documents")
+    # cached: consumed by BOTH the threshold aggregate and the bucketing
+    # join — doc-level (one row per doc), so the cache is corpus-small
+    sc = (
+        doc_mean_token_prob(d, extra_cols=["lang"])
+        .withColumnRenamed("mean_token_prob", "mtp")
+        .cache()
+    )
+    th = sc.groupBy("lang").agg(
+        F.expr("percentile(mtp, CAST(1 AS DOUBLE) / 3)").alias("t1"),
+        F.expr("percentile(mtp, CAST(2 AS DOUBLE) / 3)").alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("mtp") >= F.col("t2"), "head")
+        .when(F.col("mtp") >= F.col("t1"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        sc.join(F.broadcast(th), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.sum(F.floor(F.col("mtp") * 1e12 + 0.5).cast("long")).cast("double")
+                / 1e12
+                / F.count(F.lit(1))
+            ).alias("mean_prob"),
+        )
     )

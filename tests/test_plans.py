@@ -240,3 +240,20 @@ def test_x68_unigram_tables_broadcast(spark):
     df = qmod.all_queries()["x68_collocation_lift"](spark, SF)
     assert broadcast_join_count(df) >= 2
     assert_no_cartesian(df)
+
+
+def test_x69_covariance_shuffles_only_partials(spark):
+    # the corpus folds into per-partition d×d integer partials inside
+    # mapInPandas; only |partitions|·d(d+1)/2 partial rows reach the
+    # merge groupBy — the vectors themselves shuffle once (repartition)
+    df = qmod.all_queries()["x69_embedding_covariance"](spark, SF)
+    assert exchange_count(df) <= 2
+    assert_no_cartesian(df)
+
+
+def test_x70_thresholds_broadcast(spark):
+    # vocab counts, corpus total, and the |langs|-row tercile table all
+    # broadcast back onto their streams — no doc-keyed join shuffles
+    df = qmod.all_queries()["x70_lm_score_buckets"](spark, SF)
+    assert broadcast_join_count(df) >= 3
+    assert_no_cartesian(df)
