@@ -65,9 +65,7 @@ def q21_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_agg(t(spark, sf_dir, "events"), "1 hour", "30 minutes")
 
 
-@register(
-    "q22_session_window",
-    f"""
+_Q22_ORACLE = f"""
     WITH o AS (
       SELECT user_id, ts, value,
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -86,8 +84,10 @@ def q21_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            {_dsum_sql('value')} AS total_value
     FROM g GROUP BY user_id, grp
-    """,
-)
+    """
+
+
+@register("q22_session_window", _Q22_ORACLE)
 def q22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[T2] Gap-based session windows (5 min): Spark's ``session_window``
     vs. the classic gaps-and-islands SQL construction. A new session starts
@@ -1145,3 +1145,23 @@ def s04_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     return _drain_stream(spark, deduped, "s04", "append")
+
+
+@register("s05_streaming_session_window", _Q22_ORACLE)
+def s05_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2] SESSION WINDOWS on the stream certified: gap-merged
+    ``session_window`` state (sessions extend while events land inside
+    last_ts + gap; the state store merges overlapping candidates) drained
+    with AvailableNow in complete mode and hash-checked against q22's
+    batch gaps-and-islands oracle — driver-certified stream ≡ batch for
+    the session family, completing the windowed-streaming certification
+    set (s01 tumbling / q21 sliding / s05 session).
+
+    At scale the same code runs in append mode with the watermark closing
+    sessions (state per ACTIVE session only); complete mode here is what
+    makes the AvailableNow drain deterministic and exactly batch-equal,
+    same trade as s01."""
+    from smfg_datawarehouse_spark.streaming.windows import events_stream, session_agg
+
+    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s05"))
+    return _drain_stream(spark, session_agg(stream, "5 minutes"), "s05", "complete")

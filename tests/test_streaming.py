@@ -384,6 +384,8 @@ def test_certified_streaming_queries_repeat_in_one_session(spark):
         "s01_streaming_tumbling_window",
         "s02_streaming_stateful_totals",
         "s03_streaming_interval_join",
+        "s04_streaming_dedup",
+        "s05_streaming_session_window",
     ]
     first = {n: q[n](spark, SF_DIR).count() for n in names}
     second = {n: q[n](spark, SF_DIR).count() for n in names}
