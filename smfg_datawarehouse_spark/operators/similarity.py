@@ -1480,7 +1480,10 @@ def x64_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def covariance_partials(
-    vectors: DataFrame, vec_col: str = "embedding", chunk: int = 256
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    chunk: int = 256,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Per-partition partial sums for the embedding covariance matrix.
 
@@ -1501,7 +1504,8 @@ def covariance_partials(
     """
     dim_row = vectors.select(F.size(vec_col).alias("d")).head()
     dim = int(dim_row["d"])
-    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    if n_parts is None:
+        n_parts = vectors.sparkSession.sparkContext.defaultParallelism
 
     def fold(it):
         acc12 = np.zeros((dim, dim), np.int64)

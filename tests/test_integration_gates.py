@@ -233,3 +233,29 @@ def test_scd2_interval_structure(spark):
             assert a.event_type != b.event_type
             assert a.valid_to == b.valid_from
             assert not a.is_current
+
+
+def test_covariance_partition_invariance(spark):
+    """Mergeable-partials promise: covariance partials quantize BEFORE
+    summation, so the merged matrix is identical at any parallelism —
+    the property that makes x69 certifiable on a 1000-executor cluster."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.operators.similarity import covariance_partials
+    from smfg_datawarehouse_spark.queries import t
+
+    emb = t(spark, SF001, "embeddings")
+
+    def merged(df, parts):
+        agg = (
+            covariance_partials(df, n_parts=parts)
+            .groupBy("i", "j")
+            .agg(
+                F.sum(F.col("s12").cast("decimal(38,0)")).alias("S12"),
+                F.sum(F.col("si").cast("decimal(38,0)")).alias("Si"),
+                F.sum("n").cast("long").alias("N"),
+            )
+        )
+        return sorted(map(tuple, agg.collect()))
+
+    assert merged(emb, 1) == merged(emb, 16)

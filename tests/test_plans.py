@@ -252,8 +252,13 @@ def test_x69_covariance_shuffles_only_partials(spark):
 
 
 def test_x70_thresholds_broadcast(spark):
-    # vocab counts, corpus total, and the |langs|-row tercile table all
-    # broadcast back onto their streams — no doc-keyed join shuffles
+    # the |langs|-row tercile table must broadcast back onto the doc-score
+    # stream, and NO join anywhere in the query may sort-merge (the vocab
+    # and total joins inside the cached doc-score subplan broadcast too,
+    # but the InMemoryRelation hides them from the formatted-plan census —
+    # so pin the absence of shuffle joins rather than a broadcast count)
     df = qmod.all_queries()["x70_lm_score_buckets"](spark, SF)
-    assert broadcast_join_count(df) >= 3
+    assert broadcast_join_count(df) >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert_no_cartesian(df)
