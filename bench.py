@@ -66,6 +66,7 @@ def main() -> None:
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
     timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name, fn in sorted(queries.items()):
         best = float("inf")
         for _ in range(repeats):
@@ -73,8 +74,15 @@ def main() -> None:
             # LSH signatures); drop them before every run so leftovers don't
             # skew timings via memory pressure AND each repeat stays cold
             spark.catalog.clearCache()
-            best = min(best, run_query(fn, spark, sf_dir))
-        timings[name] = round(best, 4)
+            # one failing query must degrade to a recorded failure, not
+            # zero out the whole bench record (the round-1 rc=1 mode)
+            try:
+                best = min(best, run_query(fn, spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                failed[name] = repr(exc)[:200]
+                break
+        if name not in failed:
+            timings[name] = round(best, 4)
 
     out = {
         "metric": "total_wall_sec",
@@ -83,6 +91,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if failed:
+        out["failed"] = failed
     print(json.dumps(out))
 
 
