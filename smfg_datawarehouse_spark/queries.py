@@ -2795,3 +2795,108 @@ def l05_partition_pruned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+_Q81_M = 262144  # bloom bits — sized so |urgent keys|·k/m stays ≈0.5 at sf0.1
+_Q81_K = 4
+_Q81_BIT = (
+    "(('0x' || substring(md5(key), 1, 8))::BIGINT"
+    f" + j * ('0x' || substring(md5(key), 9, 8))::BIGINT) % {_Q81_M}"
+)
+
+_Q81_ORACLE = f"""
+    WITH urgent AS (
+      SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    js AS (SELECT unnest(range({_Q81_K})) AS j),
+    bits AS (
+      SELECT DISTINCT {_Q81_BIT} AS bit FROM urgent CROSS JOIN js
+    ),
+    dkeys AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem),
+    kb AS (SELECT key, {_Q81_BIT} AS bit FROM dkeys CROSS JOIN js),
+    verd AS (
+      SELECT kb.key,
+             CASE WHEN COUNT(b.bit) = {_Q81_K} THEN 1 ELSE 0 END AS pass
+      FROM kb LEFT JOIN bits b ON kb.bit = b.bit
+      GROUP BY kb.key
+    ),
+    rows_ AS (
+      SELECT v.pass,
+             CASE WHEN u.key IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM lineitem l
+      JOIN verd v ON CAST(l.l_orderkey AS VARCHAR) = v.key
+      LEFT JOIN urgent u ON v.key = u.key
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitem,
+           CAST(SUM(pass) AS BIGINT) AS n_candidates,
+           CAST(SUM(hit) AS BIGINT) AS n_joined,
+           CAST(SUM(pass) - SUM(hit) AS BIGINT) AS false_pos_rows,
+           CAST(SUM(pass) AS DOUBLE) / COUNT(*) AS candidate_ratio
+    FROM rows_
+"""
+
+
+@register("q81_bloom_join_pushdown", _Q81_ORACLE)
+def q81_bloom_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/§2.3/X] RUNTIME-FILTER join pushdown, made explicit and
+    measurable: the dimension side's join keys (urgent orders) compress
+    into an m-bit Bloom filter (Kirsch–Mitzenmacher double hashing — one
+    md5, k derived positions; the same portable family as x51), and the
+    FACT scan probes the filter as k scalar broadcast lookups BEFORE any
+    join shuffle would run — candidate_ratio is exactly the fraction of
+    fact rows that would survive into the shuffle. The exact-match count
+    rides along (one more broadcast marker join), so the oracle
+    re-asserts the defining invariants: no false negatives
+    (n_candidates ≥ n_joined, every true match passes) and the measured
+    false_pos_rows at this m/k operating point.
+
+    Why it matters at 100 TB: when the dim's key set is too big to
+    broadcast as a hash relation, its Bloom bitmap (m bits — here 32 KB
+    of set-bit rows, independent of key count) still broadcasts, and
+    pre-filtering the fact to candidate_ratio before a sort-merge join
+    cuts the dominant shuffle by 1/ratio. This is what Spark's AQE
+    runtime bloom filter does internally; expressed explicitly it is
+    oracle-checkable and tunable (m sizes to |dim keys|·k/ln2). The whole
+    plan is scan-side: k+2 broadcast joins, one single-row aggregate,
+    ZERO fact shuffles."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("string").alias("key"))
+        .distinct()
+    )
+    key = F.col("key")
+    h1 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+    bit_exprs = [((h1 + F.lit(j) * h2) % _Q81_M).alias(f"b{j}") for j in range(_Q81_K)]
+    bits = (
+        urgent.select(F.explode(F.array(*[(h1 + F.lit(j) * h2) % _Q81_M for j in range(_Q81_K)])).alias("bit"))
+        .distinct()
+    )
+    probe = li.select(F.col("l_orderkey").cast("string").alias("key")).select(
+        "key", *bit_exprs
+    )
+    for j in range(_Q81_K):
+        marker = bits.select(F.col("bit").alias(f"bit{j}")).withColumn(
+            f"m{j}", F.lit(1)
+        )
+        probe = probe.join(
+            F.broadcast(marker), probe[f"b{j}"] == marker[f"bit{j}"], "left"
+        )
+    passed = F.when(
+        sum(F.col(f"m{j}").isNotNull().cast("int") for j in range(_Q81_K)) == _Q81_K, 1
+    ).otherwise(0)
+    probe = probe.join(
+        F.broadcast(urgent.withColumn("_hit", F.lit(1))), "key", "left"
+    )
+    return probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitem"),
+        F.sum(passed).cast("long").alias("n_candidates"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_joined"),
+        (F.sum(passed) - F.sum(F.coalesce(F.col("_hit"), F.lit(0))))
+        .cast("long")
+        .alias("false_pos_rows"),
+        (F.sum(passed).cast("double") / F.count(F.lit(1))).alias("candidate_ratio"),
+    )

@@ -262,3 +262,13 @@ def test_x70_thresholds_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert_no_cartesian(df)
+
+
+def test_q81_bloom_probe_is_scan_side(spark):
+    # k bit-marker joins + the exact-marker join all broadcast; the fact
+    # table reaches the single-row aggregate without ever shuffling
+    df = qmod.all_queries()["q81_bloom_join_pushdown"](spark, SF)
+    assert broadcast_join_count(df) == 5  # k=4 bit probes + exact marker
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert_no_cartesian(df)
