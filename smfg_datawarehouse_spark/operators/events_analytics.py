@@ -40,9 +40,7 @@ def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_agg(t(spark, sf_dir, "events"), "1 hour")
 
 
-@register(
-    "q21_sliding_window",
-    """
+_Q21_ORACLE = """
     WITH base AS (
       SELECT event_type,
              make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000)
@@ -57,8 +55,10 @@ def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start, event_type, COUNT(*) AS cnt
     FROM assigned
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("q21_sliding_window", _Q21_ORACLE)
 def q21_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[T2] Sliding windows (1h width / 30min slide): every event lands in
     exactly two windows; oracle materializes the same two buckets."""
@@ -1165,3 +1165,20 @@ def s05_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s05"))
     return _drain_stream(spark, session_agg(stream, "5 minutes"), "s05", "complete")
+
+
+@register("s06_streaming_sliding_window", _Q21_ORACLE)
+def s06_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2] SLIDING windows on the stream certified (1h width / 30min
+    slide — each event lands in exactly two windows), drained with
+    AvailableNow in complete mode and hash-checked against q21's batch
+    oracle. Completes the windowed-streaming certification trio
+    (s01 tumbling / s06 sliding / s05 session) — every window shape the
+    engine's streaming surface offers is now driver-certified
+    stream ≡ batch, on top of the pytest equivalence suite."""
+    from smfg_datawarehouse_spark.streaming.windows import events_stream, sliding_agg
+
+    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s06"))
+    return _drain_stream(
+        spark, sliding_agg(stream, "1 hour", "30 minutes"), "s06", "complete"
+    )
