@@ -2900,3 +2900,69 @@ def q81_bloom_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("false_pos_rows"),
         (F.sum(passed).cast("double") / F.count(F.lit(1))).alias("candidate_ratio"),
     )
+
+
+@register(
+    "l06_realtime_dispatch_lifecycle",
+    """
+    SELECT 'tpch.orders' AS TableName, 'SUCCESS' AS Status,
+           CAST(COUNT(*) AS BIGINT) AS RowCount
+    FROM orders
+    UNION ALL
+    SELECT 'tpch.orders@staging', 'SUCCESS', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    """,
+)
+def l06_realtime_dispatch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/L1-L6/S2] The metadata-driven REALTIME path as a checkable
+    lifecycle (l01's streaming sibling): ``RefreshFrequency='REALTIME'``
+    in table metadata dispatches a Structured Streaming query through the
+    SAME compiled ExtractionPlan as the batch path — readStream over the
+    raw zone → foreachBatch → staging zone appends + per-micro-batch
+    audit rows → SUCCESS/PARTIAL/FAILED rollup. The returned rows
+    reconcile BOTH ledgers the reference's audit model demands
+    (`1. Metadata Creation.sql:35-39`): the table-level REALTIME_STAGING
+    audit row's RowCount, and an independent count read back from the
+    staged parquet itself — each must equal the raw source count, or the
+    hash fails. Checkpoints live inside the per-invocation scratch dir,
+    so every run drains from offset zero (the incremental
+    second-run-only-new-files behavior is pinned by
+    tests/test_streaming.py::test_metadata_realtime_dispatch_end_to_end)."""
+    import os
+
+    from smfg_datawarehouse_spark.audit import AuditLedger
+    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
+    from smfg_datawarehouse_spark.runner import run_realtime_staging
+    from smfg_datawarehouse_spark.sources.lake import LakeZones
+
+    tmp = _scratch_dir(spark, "l06")
+    zones = LakeZones(os.path.join(tmp, "lake"))
+    audit = AuditLedger(spark, os.path.join(tmp, "audit"))
+    t(spark, sf_dir, "orders").repartition(2).write.mode("overwrite").parquet(
+        os.path.join(zones.raw, "tpch", "orders")
+    )
+    cat = seed_fixture_catalog(spark)
+    cat.table_config = cat.table_config.withColumn(
+        "RefreshFrequency",
+        F.when(F.col("TableName") == "orders", F.lit("REALTIME")).otherwise(
+            F.col("RefreshFrequency")
+        ),
+    )
+    pid, _results = run_realtime_staging(spark, cat, zones, audit)
+    audit_rows = (
+        audit.stage_detail()
+        .where(
+            (F.col("ProcessID") == pid)
+            & (F.col("StageName") == "REALTIME_STAGING")
+        )
+        .select(
+            "TableName", "Status", F.col("RowCount").cast("long").alias("RowCount")
+        )
+    )
+    landed = spark.read.parquet(zones.staging_table_dir("tpch", "orders"))
+    landed_row = landed.agg(
+        F.lit("tpch.orders@staging").alias("TableName"),
+        F.lit("SUCCESS").alias("Status"),
+        F.count(F.lit(1)).cast("long").alias("RowCount"),
+    )
+    return audit_rows.unionByName(landed_row)
