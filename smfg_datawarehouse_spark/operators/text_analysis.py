@@ -2581,3 +2581,80 @@ def x70_lm_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_prob"),
         )
     )
+
+
+_X71_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id, strlen(text) - {WINNOW_K - 1} AS ng, u.pos,
+             ('0x' || substring(
+                md5(substring(lower(text), u.pos, {WINNOW_K})), 1, 8))::BIGINT
+               * 10000000 + (9999999 - u.pos) AS enc
+      FROM documents,
+           LATERAL unnest(generate_series(1, strlen(text) - {WINNOW_K} + 1)) AS u(pos)
+    ),
+    sel AS (
+      SELECT doc_id, pos, ng,
+             min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS menc
+      FROM g
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, menc // 10000000 AS fp_hash
+      FROM sel WHERE pos <= ng - {WINNOW_W - 1}
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM fps GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT inner_doc, outer_doc, si.n AS n_inner_fps, so.n AS n_outer_fps
+    FROM sh
+    JOIN sizes si ON si.doc_id = sh.inner_doc
+    JOIN sizes so ON so.doc_id = sh.outer_doc
+    WHERE sh.shared = si.n AND si.n >= 3 AND si.n < so.n
+"""
+
+
+@register("x71_containment_dupes", _X71_ORACLE)
+def x71_containment_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] CONTAINMENT dedup — the asymmetric near-dup class symmetric
+    similarity misses: doc A subsumed by a larger doc B (quotes, reposts,
+    page-in-page boilerplate), detected as A's winnowing fingerprint set
+    being a SUBSET of B's (shared == |fps(A)|, with |fps(A)| < |fps(B)|
+    so mutual containment / identical docs stay with x01/x23, and a ≥3
+    floor against trivial sets). Winnowing guarantees any shared run of
+    ≥ w+k−1 chars contributes a shared fingerprint, so subset-ness is a
+    faithful proxy for textual containment at the gram scale.
+
+    Scale shape: same fp_hash-keyed candidate join as x23 (Σ|bucket|²,
+    never all-pairs), then the directed pair table joins the doc-level
+    size table on its keys — all key-shuffles, nothing broadcastier than
+    it can afford (the size table is corpus-row-count sized, so it joins
+    by key rather than broadcasting)."""
+    d = t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(d).cache()
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = fps.select(F.col("doc_id").alias("inner_doc"), "fp_hash")
+    b = fps.select(F.col("doc_id").alias("outer_doc"), "fp_hash")
+    sh = (
+        a.join(b, "fp_hash")
+        .where(F.col("inner_doc") != F.col("outer_doc"))
+        .groupBy("inner_doc", "outer_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    si = sizes.select(F.col("doc_id").alias("inner_doc"), F.col("n").alias("n_inner_fps"))
+    so = sizes.select(F.col("doc_id").alias("outer_doc"), F.col("n").alias("n_outer_fps"))
+    return (
+        sh.join(si, "inner_doc")
+        .join(so, "outer_doc")
+        .where(
+            (F.col("shared") == F.col("n_inner_fps"))
+            & (F.col("n_inner_fps") >= 3)
+            & (F.col("n_inner_fps") < F.col("n_outer_fps"))
+        )
+        .select("inner_doc", "outer_doc", "n_inner_fps", "n_outer_fps")
+    )
