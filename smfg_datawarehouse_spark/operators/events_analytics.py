@@ -1182,3 +1182,42 @@ def s06_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(
         spark, sliding_agg(stream, "1 hour", "30 minutes"), "s06", "complete"
     )
+
+
+@register(
+    "s07_streaming_dim_enrichment",
+    """
+    WITH dim AS (
+      SELECT DISTINCT user_id, CAST(user_id % 10 AS VARCHAR) AS segment
+      FROM events WHERE user_id % 2 = 0
+    )
+    SELECT e.event_id, e.user_id, e.event_type, d.segment
+    FROM events e LEFT JOIN dim d USING (user_id)
+    """,
+)
+def s07_streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/J] STREAM-STATIC dimension enrichment certified: each
+    micro-batch left-joins a broadcast dimension snapshot (no stream
+    shuffle, no join state — the scalable dimension-lookup shape at any
+    event rate), with events lacking a dimension row surviving
+    null-extended. The dimension is derived deterministically from the
+    fixture (even user_ids → segment), so the DuckDB oracle replays the
+    same join exactly; drained with AvailableNow in append mode and
+    hash-checked. Completes driver certification of every streaming JOIN
+    shape the engine offers: stream-stream inner (s03), stream-stream
+    left-outer (q78's builder), stream-static broadcast (here)."""
+    from smfg_datawarehouse_spark.streaming.joins import enrich_with_dimension
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    e = t(spark, sf_dir, "events")
+    dim = (
+        e.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 2 == 0)
+        .withColumn("segment", (F.col("user_id") % 10).cast("string"))
+    )
+    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s07"))
+    enriched = enrich_with_dimension(stream, dim).select(
+        "event_id", "user_id", "event_type", "segment"
+    )
+    return _drain_stream(spark, enriched, "s07", "append")

@@ -387,6 +387,7 @@ def test_certified_streaming_queries_repeat_in_one_session(spark):
         "s04_streaming_dedup",
         "s05_streaming_session_window",
         "s06_streaming_sliding_window",
+        "s07_streaming_dim_enrichment",
     ]
     first = {n: q[n](spark, SF_DIR).count() for n in names}
     second = {n: q[n](spark, SF_DIR).count() for n in names}
