@@ -2966,3 +2966,118 @@ def l06_realtime_dispatch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).cast("long").alias("RowCount"),
     )
     return audit_rows.unionByName(landed_row)
+
+
+@register(
+    "l07_compaction_lifecycle",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def l07_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S3] The reference's chunk-consolidation step
+    (`staging_data_extraction.py:30-80`: glob part files → concat → one
+    snappy file) as a certified lake-maintenance lifecycle: the corpus is
+    written as MANY small part files (the real small-files problem a
+    chunked/streaming ingest creates), `compact` rewrites the directory
+    into size-targeted files with an atomic-ish swap, and the per-source
+    rollup read back from the compacted directory must hash-match the
+    oracle's rollup over the original fixture — compaction must be
+    byte-for-byte content-preserving. The small-files reduction itself is
+    asserted structurally in-query (fail loudly, not hash-fail
+    mysteriously): file count must strictly drop to 1 at this scale.
+
+    At 100 TB `target_file_bytes` sizes output files to the cluster's
+    scan sweet spot (Spark default 128 MB splits) instead of the
+    reference's force-one-file concat, which cannot scale past a single
+    worker's memory."""
+    import glob as _glob
+    import os
+
+    from smfg_datawarehouse_spark.sources.lake import compact
+
+    tmp = _scratch_dir(spark, "l07")
+    path = os.path.join(tmp, "documents")
+    t(spark, sf_dir, "documents").repartition(24).write.parquet(path)
+    n_before = len(_glob.glob(os.path.join(path, "part-*.parquet")))
+    compact(spark, path, target_file_bytes=10 * 1024 * 1024 * 1024)
+    n_after = len(_glob.glob(os.path.join(path, "part-*.parquet")))
+    if not (n_after < n_before and n_after == 1):
+        raise RuntimeError(
+            f"compaction did not reduce part files: {n_before} -> {n_after}"
+        )
+    return (
+        spark.read.parquet(path)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "l08_partial_failure_rollup",
+    """
+    SELECT 'tpch.lineitem' AS Name, 'SUCCESS' AS Status,
+           CAST(COUNT(*) AS BIGINT) AS RowCount
+    FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'
+    UNION ALL
+    SELECT 'tpch.orders', 'FAILED', CAST(-1 AS BIGINT)
+    UNION ALL
+    SELECT 'RUN', 'PARTIAL', CAST(-1 AS BIGINT)
+    """,
+)
+def l08_partial_failure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[L6] The FAILURE side of the audit ledger certified (l01 proves the
+    happy path): one table's source reader raises mid-run (injected
+    outage on orders), the runner isolates the failure — lineitem still
+    extracts and audits SUCCESS with its incremental row count — the
+    failed table gets a FAILED stage row, and the master rolls up
+    **PARTIAL** exactly as the reference's status enum declares
+    (`1. Metadata Creation.sql:12`; finalizer shape
+    `dag/SMFG_DW_ETL_DAG.py:294-308`). The oracle pins all three ledger
+    facts; RowCount for non-count rows is -1 (sentinel, not NULL — a
+    nullable int column would surface as float through pandas and break
+    the hash)."""
+    import os
+
+    from smfg_datawarehouse_spark.audit import AuditLedger
+    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
+    from smfg_datawarehouse_spark.runner import run_staging_extraction
+    from smfg_datawarehouse_spark.sources.lake import LakeZones
+
+    tmp = _scratch_dir(spark, "l08")
+    zones = LakeZones(os.path.join(tmp, "lake"))
+    audit = AuditLedger(spark, os.path.join(tmp, "audit"))
+    cat = seed_fixture_catalog(spark)
+
+    def reader(s: SparkSession, plan) -> DataFrame:
+        if plan.table_name == "orders":
+            raise RuntimeError("injected source outage")
+        return t(s, sf_dir, plan.table_name)
+
+    pid, _results = run_staging_extraction(
+        spark, cat, zones, audit, source_reader=reader
+    )
+    stage_rows = (
+        audit.stage_detail()
+        .where(F.col("ProcessID") == pid)
+        .select(
+            F.col("TableName").alias("Name"),
+            "Status",
+            F.coalesce(F.col("RowCount").cast("long"), F.lit(-1)).alias("RowCount"),
+        )
+    )
+    master_row = (
+        audit.process_master()
+        .where(F.col("ProcessID") == pid)
+        .select(
+            F.lit("RUN").alias("Name"),
+            "Status",
+            F.lit(-1).cast("long").alias("RowCount"),
+        )
+    )
+    return stage_rows.unionByName(master_row)
