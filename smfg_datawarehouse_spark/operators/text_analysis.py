@@ -2658,3 +2658,136 @@ def x71_containment_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("inner_doc", "outer_doc", "n_inner_fps", "n_outer_fps")
     )
+
+
+_X72_S = 16  # shard count
+
+
+@register(
+    "x72_shard_layout_plan",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_X72_S} AS shard,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n
+      FROM documents
+    ), s AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM tk GROUP BY shard
+    ), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM s)
+    SELECT shard, n_docs, n_tokens,
+           CAST(n_tokens * {_X72_S} AS DOUBLE) / tot.t AS load_ratio
+    FROM s CROSS JOIN tot
+    """,
+)
+def x72_shard_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/S2] Hash-shard LAYOUT PLANNING: before a 100 TB corpus is
+    written, assign every document to one of S shards by salted md5 and
+    report each shard's document count, token mass, and load ratio
+    (shard tokens ÷ ideal share) — the balance check that decides
+    whether hash sharding suffices or a skew-aware planner (x44-style
+    packing, q44-style salting) is needed before the write fan-out.
+    Deterministic hash → the plan is reproducible and the oracle replays
+    it exactly; load_ratio is one divide of exact integers.
+
+    Plan shape: one tokenizing scan + one |S|-row rollup; the global
+    total attaches via an unpartitioned window over those S rows (same
+    tiny-aggregate pattern as x67), so the corpus is scanned once."""
+    d = t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _X72_S
+    )
+    tk = d.select(
+        shard.alias("shard"),
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n"),
+    )
+    s = tk.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    wall = W.partitionBy()
+    return s.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        (
+            (F.col("n_tokens") * _X72_S).cast("double") / F.sum("n_tokens").over(wall)
+        ).alias("load_ratio"),
+    )
+
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+_X73_N_SQL = " + ".join(
+    f"(strlen(t) - strlen(replace(t, '{c}', '')))" for c in _LETTERS
+)
+_X73_SQ_SQL = " + ".join(
+    f"(strlen(t) - strlen(replace(t, '{c}', ''))) * (strlen(t) - strlen(replace(t, '{c}', '')))"
+    for c in _LETTERS
+)
+
+
+@register(
+    "x73_char_diversity_filter",
+    f"""
+    WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST({_X73_N_SQL} AS BIGINT) AS n_alpha,
+             CAST({_X73_SQ_SQL} AS BIGINT) AS sq
+      FROM lt
+    )
+    SELECT doc_id, n_alpha,
+           CASE WHEN n_alpha > 0
+                THEN CAST(n_alpha * n_alpha - sq AS DOUBLE) / (n_alpha * n_alpha)
+                ELSE 0.0 END AS gini,
+           (n_alpha > 0 AND
+            CAST(n_alpha * n_alpha - sq AS DOUBLE) / (n_alpha * n_alpha) >= 0.9)
+             AS is_diverse
+    FROM h
+    """,
+)
+def x73_char_diversity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Gibberish/low-diversity filter via CHARACTER GINI IMPURITY —
+    the transcendental-free stand-in for character-entropy filtering
+    (aaaaaa…-style degenerate text scores near 0, natural text near the
+    alphabet's impurity ceiling): gini = 1 − Σp_c² = (n² − Σc_i²)/n²
+    over the 26-letter histogram, ONE division of exact integers — no
+    log(), bit-identical in any engine. The histogram itself is 26
+    `strlen − strlen(replace(…))` expressions: zero explode, zero
+    shuffle, pure whole-stage-codegen scan — at 100 TB this runs at I/O
+    speed where a char-explode would 157× the row count (mean doc
+    length) before aggregating it back."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.lower(F.col("text"))
+    counts = [
+        F.length(txt) - F.length(F.expr(f"replace(lower(text), '{c}', '')"))
+        for c in _LETTERS
+    ]
+    n_alpha = counts[0]
+    for c in counts[1:]:
+        n_alpha = n_alpha + c
+    sq = counts[0] * counts[0]
+    for c in counts[1:]:
+        sq = sq + c * c
+    n_alpha = n_alpha.cast("long")
+    sq = sq.cast("long")
+    gini = F.when(
+        n_alpha > 0,
+        (n_alpha * n_alpha - sq).cast("double") / (n_alpha * n_alpha),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n_alpha.alias("n_alpha"),
+        gini.alias("gini"),
+        ((n_alpha > 0) & (gini >= 0.9)).alias("is_diverse"),
+    )
