@@ -1221,3 +1221,65 @@ def s07_streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "segment"
     )
     return _drain_stream(spark, enriched, "s07", "append")
+
+
+@register(
+    "q82_burst_detection",
+    """
+    WITH h AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT hour, event_type, cnt,
+             CAST(SUM(cnt) OVER tw AS BIGINT) AS trail_sum,
+             CAST(COUNT(cnt) OVER tw AS BIGINT) AS trail_n
+      FROM h
+      WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour, event_type, cnt,
+           CASE WHEN trail_n >= 6
+                THEN CAST(trail_sum AS DOUBLE) / trail_n ELSE -1.0 END
+             AS trail_avg,
+           (trail_n >= 6 AND
+            CAST(cnt AS DOUBLE) > 3.0 * (CAST(trail_sum AS DOUBLE) / trail_n))
+             AS is_burst
+    FROM w
+    """,
+)
+def q82_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/A4] Anomaly/burst detection over the event stream: each
+    (hour, event_type) bucket is compared to its trailing-24-observed-
+    hours mean (ROWS frame — robust to gaps; a RANGE frame over
+    gap-filled hours is q45's job), flagged when the count exceeds 3×
+    the trail with ≥6 hours of history (cold-start hours report a -1.0
+    sentinel rather than a nullable double). The ops-monitoring shape a
+    warehouse's freshness/volume alerting runs on.
+
+    Scale shape: the hourly rollup shrinks the corpus to |hours×types|
+    rows BEFORE the window (map-side combine does the heavy lifting);
+    the trailing window then shuffles only the tiny aggregate on
+    event_type. The mean is one fixed-shape divide of exact integers —
+    bit-stable, no avg() engine differences."""
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tw = W.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    w = h.select(
+        "hour",
+        "event_type",
+        "cnt",
+        F.sum("cnt").over(tw).cast("long").alias("trail_sum"),
+        F.count("cnt").over(tw).cast("long").alias("trail_n"),
+    )
+    trail_avg = F.col("trail_sum").cast("double") / F.col("trail_n")
+    has_hist = F.col("trail_n") >= 6
+    return w.select(
+        "hour",
+        "event_type",
+        "cnt",
+        F.when(has_hist, trail_avg).otherwise(F.lit(-1.0)).alias("trail_avg"),
+        (has_hist & (F.col("cnt").cast("double") > 3.0 * trail_avg)).alias("is_burst"),
+    )

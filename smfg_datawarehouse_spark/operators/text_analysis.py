@@ -2791,3 +2791,80 @@ def x73_char_diversity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         gini.alias("gini"),
         ((n_alpha > 0) & (gini >= 0.9)).alias("is_diverse"),
     )
+
+
+@register(
+    "x74_eval_leakage_coverage",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source, unnest(list_distinct(
+               list_transform(range(1, GREATEST(length(t) - 2, 1)),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                        || ' ' || t[i+3])
+             )) AS gram
+      FROM tk WHERE length(t) >= 4
+    ), tr AS (
+      SELECT DISTINCT gram FROM g WHERE source NOT IN ('src0', 'src1')
+    ), ev AS (
+      SELECT g.doc_id, g.source, g.gram,
+             CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM g LEFT JOIN tr ON tr.gram = g.gram
+      WHERE g.source IN ('src0', 'src1')
+    )
+    SELECT doc_id, source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(hit) AS BIGINT) AS n_covered,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS coverage
+    FROM ev GROUP BY doc_id, source
+    """,
+)
+def x74_eval_leakage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Per-EVAL-document leakage coverage — x58's reversed quadrant:
+    for every held-out eval document (src0/src1), the fraction of its
+    distinct word 4-grams that appear ANYWHERE in the training corpus —
+    the ROUGE-recall-style severity score benchmark audits report per
+    item (x58 answers "which training docs to quarantine"; this answers
+    "how burned is each eval item", including 0%-covered items).
+
+    Scale shape inverts x58's broadcast: the training gram set is
+    corpus-sized and canNOT broadcast, so the (small) eval gram set
+    broadcasts into the training-gram scan to produce the matched-gram
+    set — eval-sized by construction — which then broadcasts back into
+    the per-eval-doc rollup. The corpus crosses the wire exactly once;
+    nothing corpus-sized is ever collected or broadcast."""
+    from smfg_datawarehouse_spark.functions import word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    g = d.repartition(n_parts).select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.col("text"), 4)).alias("gram"),
+    )
+    is_eval = F.col("source").isin("src0", "src1")
+    ev_grams = g.where(is_eval)
+    ev_gram_set = ev_grams.select("gram").distinct()
+    matched = (
+        g.where(~is_eval)
+        .select("gram")
+        .join(F.broadcast(ev_gram_set), "gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        ev_grams.join(F.broadcast(matched), "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_covered"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("coverage"),
+        )
+    )
