@@ -3081,3 +3081,53 @@ def l08_partial_failure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stage_rows.unionByName(master_row)
+
+
+@register(
+    "l09_schema_evolution_lifecycle",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_quality,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS quality_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def l09_schema_evolution_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2/P7] SCHEMA EVOLUTION on the lake certified: an old batch lands
+    WITHOUT the ``quality`` column, a later batch lands WITH it (the
+    column-added-to-``DW_Column_Config`` scenario — the reference's
+    mutable column configs imply exactly this drift), and the merged
+    read (``mergeSchema``) must surface old rows with NULL quality while
+    new rows keep theirs — no rewrite of already-landed data. The
+    certified rollup counts per source how many docs carry the evolved
+    column and their char mass, which the oracle replays from the
+    batch-membership rule (doc_id % 3 = 0 → evolved batch), so a row
+    lost, duplicated, or mis-NULLed by the merge path hash-fails.
+
+    At 100 TB this is the difference between an O(new-batch) append and
+    an O(corpus) backfill: evolution must be metadata-only. Spark's
+    mergeSchema unions footers at planning time; per-file projection
+    fills the missing column with NULL at scan."""
+    import os
+
+    tmp = _scratch_dir(spark, "l09")
+    path = os.path.join(tmp, "documents")
+    d = t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "source", "n_chars")
+    new = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", "n_chars", F.col("n_chars").cast("long").alias("quality")
+    )
+    old.write.parquet(path)
+    new.write.mode("append").parquet(path)
+    from smfg_datawarehouse_spark.sources.lake import read_evolved_parquet
+
+    merged = read_evolved_parquet(spark, path)
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("quality").isNotNull().cast("long")).cast("long").alias("n_with_quality"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(0))).cast("long").alias("quality_chars"),
+    )
