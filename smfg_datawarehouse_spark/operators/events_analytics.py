@@ -1283,3 +1283,43 @@ def q82_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(has_hist, trail_avg).otherwise(F.lit(-1.0)).alias("trail_avg"),
         (has_hist & (F.col("cnt").cast("double") > 3.0 * trail_avg)).alias("is_burst"),
     )
+
+
+@register(
+    "q83_grain_cascade",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {_dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q83_grain_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4] TIME-GRAIN CASCADE: the daily rollup is computed FROM the
+    hourly rollup, not from raw events — the aggregate-reuse pattern a
+    warehouse's summary-table hierarchy lives on (hour → day → month,
+    each level |buckets|-sized, each re-aggregation touching only the
+    level below). The value sum stays in exact DECIMAL(30,6) through the
+    cascade (decimal addition is associative, so hourly-then-daily
+    equals direct-daily bit-for-bit) and casts to double only at the
+    output edge; the oracle computes daily DIRECTLY from raw rows, so
+    any cascade drift hash-fails. At 100 TB the raw scan happens once
+    for the finest grain; every coarser grain is a near-free
+    re-aggregation of the tiny level below."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("dec_value"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("dec_value").cast("double").alias("total_value"),
+        )
+    )

@@ -3131,3 +3131,55 @@ def l09_schema_evolution_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.col("quality").isNotNull().cast("long")).cast("long").alias("n_with_quality"),
         F.sum(F.coalesce(F.col("quality"), F.lit(0))).cast("long").alias("quality_chars"),
     )
+
+
+@register(
+    "l10_incremental_agg_maintenance",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def l10_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/T1] INCREMENTAL VIEW MAINTENANCE certified: a per-source
+    rollup materialized from the base corpus is refreshed when a delta
+    batch arrives by merging the STORED aggregate with the DELTA's
+    aggregate — the base rows are never rescanned. Counts and sums are
+    self-mergeable (the same partial-aggregate algebra Spark uses
+    map-side), so refresh cost is O(delta) + O(|view|) instead of
+    O(corpus): at 100 TB that's the difference between a minute and a
+    day for every arriving batch. The refreshed view must hash-match the
+    oracle's full recompute over the complete corpus — merge drift
+    (double counting, lost rows, wrong null handling) fails loudly.
+
+    The same pattern maintains any commutative-monoid aggregate
+    (count/sum/min/max, sketches like x47's HLL or x52's quantile
+    digests — all mergeable); AVG-style ratios are maintained as
+    (sum, count) pairs and divided at read time."""
+    import os
+
+    tmp = _scratch_dir(spark, "l10")
+    mv_path = os.path.join(tmp, "mv_source_stats")
+    d = t(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 3 != 0)
+    delta = d.where(F.col("doc_id") % 3 == 0)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+
+    rollup(base).write.parquet(mv_path)  # the standing materialized view
+    stored = spark.read.parquet(mv_path)  # refresh reads the VIEW, not base
+    return (
+        stored.unionByName(rollup(delta))
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_chars").cast("long").alias("total_chars"),
+        )
+    )
