@@ -3183,3 +3183,67 @@ def l10_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("total_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+_L11_ORACLE = f"""
+    WITH base AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, value FROM events
+    ), m AS (SELECT MIN(day) AS d0 FROM base)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS cnt,
+           {_dsum_sql("CASE WHEN day = m.d0 THEN value * 2 ELSE value END")}
+             AS total_value
+    FROM base CROSS JOIN m
+    GROUP BY day
+"""
+
+
+@register("l11_dynamic_partition_overwrite", _L11_ORACLE)
+def l11_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2/S7/J3] PARTITION-SCOPED UPDATE via dynamic partition
+    overwrite: the events table lands day-partitioned; a restatement
+    batch for ONE day (values doubled — a late-correction scenario)
+    overwrites in ``partitionOverwriteMode=dynamic``, which replaces
+    ONLY the partitions present in the incoming batch. A structural gate
+    asserts an untouched partition's file set is byte-name-identical
+    after the overwrite (static mode would have truncated the whole
+    table — THE classic lake data-loss failure this mode exists to
+    prevent), and the per-day rollup read back must hash-match the
+    oracle's restated expectation.
+
+    At 100 TB this is how daily restatements ship: O(one partition)
+    rewritten, every other partition physically untouched — the
+    partition-level complement to l02's row-level MERGE."""
+    import os
+
+    tmp = _scratch_dir(spark, "l11")
+    path = os.path.join(tmp, "events_by_day")
+    e = t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    e.write.partitionBy("day").parquet(path)
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("day=")
+    )
+    target, untouched = days[0], days[1]
+    before = sorted(os.listdir(os.path.join(path, f"day={untouched}")))
+    upd = e.where(F.col("day") == target).withColumn("value", F.col("value") * 2)
+    (
+        upd.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    after = sorted(os.listdir(os.path.join(path, f"day={untouched}")))
+    if before != after:
+        raise RuntimeError(
+            f"dynamic overwrite touched partition day={untouched}: "
+            f"{before} -> {after}"
+        )
+    return (
+        spark.read.parquet(path)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
