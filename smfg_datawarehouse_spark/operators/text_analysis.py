@@ -2868,3 +2868,65 @@ def x74_eval_leakage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "x75_source_quota_topk",
+    r"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens,
+             CAST(strlen(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
+               AS n_alpha,
+             CAST(strlen(text) AS BIGINT) AS n_chars
+      FROM documents
+    ), sc AS (
+      SELECT doc_id, source, n_tokens,
+             0.4 * (CAST(n_alpha AS DOUBLE) / n_chars)
+               + 0.6 * (CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0) AS score
+      FROM feats
+    ), rk AS (
+      SELECT doc_id, source, n_tokens, score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM sc
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, n_tokens, score
+    FROM rk WHERE rk <= 10
+    """,
+)
+def x75_source_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] Per-source CURATION QUOTA: keep each source's top-k
+    documents by quality score (fixed 0.4·alpha_ratio + 0.6·length_norm
+    — a rational, transcendental-free composite), deterministic
+    tie-break on doc_id — the per-domain cap that keeps one giant
+    crawl domain from swamping a training mix even after x67's
+    rate-based sampling (quota selects the BEST n, sampling keeps a
+    random-but-reproducible fraction; real pipelines run both).
+
+    Scale shape: scoring is a pure scan expression; the per-source
+    window shuffles on source — and because k ≪ group size, Spark
+    plans the rank filter with partial top-k pushed BELOW the final
+    sort within each partition (window + filter, no global sort). At
+    extreme per-source skew, q44's salting composes in front."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_chars = F.length(txt).cast("long")
+    n_alpha = F.length(F.regexp_replace(F.lower(txt), "[^a-z]", "")).cast("long")
+    score = (
+        F.lit(0.4) * (n_alpha.cast("double") / n_chars)
+        + F.lit(0.6) * (F.least(n_chars, F.lit(500)).cast("double") / F.lit(500.0))
+    )
+    sc = d.select(
+        "doc_id",
+        "source",
+        F.size(word_tokens(txt)).cast("long").alias("n_tokens"),
+        score.alias("score"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("source", "rank", "doc_id", "n_tokens", "score")
+    )
