@@ -1323,3 +1323,57 @@ def q83_grain_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dec_value").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "q84_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type,
+           CAST(n AS BIGINT) AS n_transitions,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)
+             AS p_transition
+    FROM tr
+    """,
+)
+def q84_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/§2.5] Per-user EVENT TRANSITION MATRIX (first-order Markov):
+    lag() over each user's (ts, event_id)-ordered stream pairs every
+    event with its predecessor type, the pair counts aggregate into the
+    transition matrix, and a per-row window normalizes each row into
+    transition probabilities — the funnel-free way product analytics
+    finds dominant paths (view→purchase vs view→error) without
+    enumerating them up front.
+
+    Determinism: event_id tie-break totalizes the per-user order;
+    p_transition is one double division of exact counts. Scale shape:
+    ONE shuffle on user_id for the lag window (events are naturally
+    user-partitionable), then a map-side-combined groupBy onto a
+    |types|² matrix (tiny), and the normalizing window runs on that tiny
+    matrix — corpus-linear with no skew amplification (a hot user stays
+    a single partition's linear scan)."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wn = W.partitionBy("prev_type")
+    return tr.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        (F.col("n").cast("double") / F.sum("n").over(wn)).alias("p_transition"),
+    )

@@ -2930,3 +2930,176 @@ def x75_source_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("source", "rank", "doc_id", "n_tokens", "score")
     )
+
+
+_QUALITY_SCORE_SQL = r"""
+      SELECT doc_id, source,
+             0.4 * (CAST(strlen(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                         AS DOUBLE) / strlen(text))
+               + 0.3 * (CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                  w -> w <> '')) > 0
+                             THEN CAST(len(list_filter(
+                                      regexp_split_to_array(lower(text), '\s+'),
+                                      w -> w IN ('the','a','of','and','to','in','is','it')))
+                                    AS DOUBLE)
+                                  / len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                    w -> w <> ''))
+                             ELSE 0.0 END)
+               + 0.3 * (CAST(LEAST(strlen(text), 500) AS DOUBLE) / 500.0)
+               AS quality_score
+      FROM documents
+"""
+
+
+@register(
+    "x76_quality_calibration",
+    f"""
+    WITH sc AS ({_QUALITY_SCORE_SQL}),
+    rk AS (
+      SELECT doc_id, source, quality_score,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY quality_score, doc_id) AS pct_rank
+      FROM sc
+    )
+    SELECT doc_id, source, quality_score, pct_rank,
+           CAST(LEAST(9, CAST(FLOOR(pct_rank * 10) AS BIGINT)) AS BIGINT) AS decile
+    FROM rk
+    """,
+)
+def x76_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] Cross-source QUALITY CALIBRATION: x21's raw composite
+    quality score is re-expressed as a within-source percentile
+    (PERCENT_RANK over the source partition, doc_id tie-break) plus a
+    decile bucket. Raw scores are not comparable across crawl domains —
+    a 0.6 from a boilerplate-heavy domain may be its best content while
+    the same 0.6 is another domain's worst — so curation thresholds in
+    real mixes (e.g. CCNet's per-language/per-domain buckets) cut on the
+    WITHIN-SOURCE rank, which this makes a first-class column.
+
+    Determinism: percent_rank = (rank-1)/(n-1) is a ratio of exact ints;
+    the doc_id tie-break makes the ordering total, and the decile floor
+    runs on bit-identical doubles in both engines. Scale shape: pure scan
+    expression + ONE window shuffle on source; at extreme source skew the
+    window is per-key linear (no buffering — percent_rank streams)."""
+    d = quality_features(t(spark, sf_dir, "documents"))
+    w = W.partitionBy("source").orderBy("quality_score", "doc_id")
+    pct = F.percent_rank().over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        pct.alias("pct_rank"),
+        F.least(F.lit(9), F.floor(pct * 10).cast("long")).cast("long").alias("decile"),
+    )
+
+
+@register(
+    "x77_zipf_constant",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                w -> w <> '')) AS tok
+      FROM documents
+    ),
+    freqs AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+    top AS (
+      SELECT tok, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM freqs QUALIFY rnk <= 50
+    )
+    SELECT tok,
+           CAST(freq AS BIGINT) AS freq,
+           CAST(rnk AS BIGINT) AS rank,
+           CAST(rnk * freq AS BIGINT) AS zipf_c,
+           CAST(rnk * freq AS DOUBLE)
+             / MAX(CASE WHEN rnk = 1 THEN rnk * freq END) OVER () AS rel_c
+    FROM top
+    """,
+)
+def x77_zipf_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] ZIPF-FIT corpus health check, transcendental-free: under
+    Zipf's law rank×frequency is ~constant, so the per-rank constant
+    ``zipf_c = rank·freq`` and its ratio to the rank-1 constant
+    (``rel_c``) expose distribution anomalies — synthetic/templated text
+    shows a flat head (rel_c ≈ 1 far down the ranks), boilerplate
+    duplication shows cliffs — without fitting a log-log slope (log()
+    differs in the last ulp across libm builds; integer products never
+    do). Stopwords are kept: Zipf is about the NATURAL frequency head.
+
+    Scale shape: explode + map-side-combined groupBy (vocabulary-sized
+    output, sublinear in corpus), TakeOrderedAndProject top-50, then
+    rank/normalize windows over the 50-row result — the only global
+    windows run AFTER the limit."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(50)
+    )
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("freq").desc(), "tok")).cast("long")
+    ).withColumn("zipf_c", (F.col("rank") * F.col("freq")).cast("long"))
+    c1 = F.max(F.when(F.col("rank") == 1, F.col("zipf_c"))).over(W.partitionBy())
+    return ranked.select(
+        "tok",
+        F.col("freq").cast("long").alias("freq"),
+        "rank",
+        "zipf_c",
+        (F.col("zipf_c").cast("double") / c1).alias("rel_c"),
+    )
+
+
+@register(
+    "x78_tokenizer_fertility",
+    f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(SUM(strlen(text)) AS DOUBLE)
+             / SUM(len(regexp_extract_all(text, '{BPE_PATTERN}')))
+             AS bytes_per_token,
+           CAST(SUM(length(text)) AS DOUBLE)
+             / SUM(len(regexp_extract_all(text, '{BPE_PATTERN}')))
+             AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def x78_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] TOKENIZER FERTILITY by language: bytes-per-token and
+    chars-per-token of the BPE-ish pre-tokenization (x24's pattern) per
+    language bucket — the metric that decides whether a tokenizer's byte
+    budget is being spent evenly across a multilingual mix (high fertility
+    = a language pays more tokens per byte of content; mixes are then
+    re-weighted or the vocab re-trained). UTF-8 byte length via
+    octet_length ≠ char length in general (ASCII fixture makes them equal
+    — the distinction still exercises both code paths).
+
+    Determinism: every output is a BIGINT sum or a single double division
+    of two exact sums. Scale shape: one narrow scan, map-side-combined
+    groupBy on lang (≤ dozens of groups) — corpus-linear, shuffle is
+    group-count-sized."""
+    d = t(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    return (
+        d.select(
+            "lang",
+            F.octet_length("text").cast("long").alias("b"),
+            F.length("text").cast("long").alias("c"),
+            bpe.cast("long").alias("tk"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("b").cast("long").alias("total_bytes"),
+            F.sum("c").cast("long").alias("total_chars"),
+            F.sum("tk").cast("long").alias("total_bpe_tokens"),
+            (F.sum("b").cast("double") / F.sum("tk")).alias("bytes_per_token"),
+            (F.sum("c").cast("double") / F.sum("tk")).alias("chars_per_token"),
+        )
+    )
