@@ -1377,3 +1377,144 @@ def q84_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_transitions"),
         (F.col("n").cast("double") / F.sum("n").over(wn)).alias("p_transition"),
     )
+
+
+_OUTER_VIEW_PURCHASE_ORACLE = """
+    SELECT v.user_id,
+           v.event_id AS view_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("s08_streaming_outer_join", _OUTER_VIEW_PURCHASE_ORACLE)
+def s08_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/§2.3] The OUTER stream-stream join path certified: every view
+    emits — converted views paired with each in-window purchase,
+    unconverted views null-extended — via the watermark-bounded LEFT
+    OUTER interval join. Outer rows can only emit once the watermark
+    proves no matching purchase can still arrive; the AvailableNow drain
+    advances the watermark to stream end, which flushes exactly the
+    batch-equal row set (s03 certifies the inner family; this certifies
+    the null-extension semantics conversion-funnel reporting relies on —
+    q78's aggregate is derivable from these rows).
+
+    The drain stages two HEARTBEAT events (ts = max event time + 1 h,
+    one per join side) before starting the stream: outer rows for a
+    view only emit once the watermark passes view_ts + interval, and
+    the watermark ceiling is max(ts) − delay, so without heartbeats
+    every unmatched view in the stream's final interval+delay window
+    would be withheld forever and the drain would under-emit vs batch.
+    This is the standard event-time heartbeat pattern an always-on
+    deployment uses to flush outer/session state during quiet periods.
+    Two sharp edges the heartbeats navigate, found empirically:
+
+    - Catalyst pushes the event_type predicate BELOW the
+      EventTimeWatermark operator into the scan, so a row filtered from
+      a side never advances that side's watermark — a neutral
+      'heartbeat' type advances NOTHING; each side needs a heartbeat
+      that survives ITS pushed filter (one 'view', one 'purchase').
+    - The query's watermark is the MIN across both sides' trackers, so
+      a single-sided heartbeat is clamped by the other side.
+
+    Neither heartbeat can reach the output, by arithmetic: they use
+    distinct negative user_ids (can't join each other or real events in
+    a forward-only window), and the view-heartbeat's own null-extension
+    needs watermark > hb_ts + interval while the watermark ceiling is
+    hb_ts − delay. Real unmatched views all flush: watermark reaches
+    real_max + 1 h − delay > real_max + interval.
+
+    State and scale are identical to the inner join: the time bound on
+    both watermarked sides keeps join state at O(rate × interval) —
+    without it Spark rejects an outer stream-stream join outright."""
+    from pyspark.sql import types as T
+
+    from smfg_datawarehouse_spark.streaming.joins import (
+        view_purchase_conversions_outer,
+    )
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src_dir = _stage_events_dir(spark, sf_dir, "s08")
+    batch = spark.read.parquet(src_dir)
+    top = batch.orderBy(F.col("ts").desc()).limit(1)
+    if isinstance(batch.schema["ts"].dataType, T.LongType):  # INT64 nanos fixture
+        top = top.withColumn("ts", F.col("ts") + F.lit(3600 * 10**9).cast("long"))
+    else:
+        top = top.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    sides = spark.createDataFrame(
+        [("view", -1), ("purchase", -2)], "hb_type: string, hb_user: bigint"
+    )
+    hb = (
+        top.drop("event_type", "user_id")
+        .crossJoin(sides)
+        .withColumnsRenamed({"hb_type": "event_type", "hb_user": "user_id"})
+        .select(*batch.columns)
+    )
+    hb.write.mode("append").parquet(src_dir)
+
+    stream = events_stream(spark, src_dir)
+    return _drain_stream(
+        spark, view_purchase_conversions_outer(stream), "s08", "append"
+    )
+
+
+@register(
+    "q85_rfm_segmentation",
+    """
+    WITH base AS (
+      SELECT user_id,
+             MAX(ts) AS last_seen,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_micros
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, last_seen,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary_micros,
+           CAST(NTILE(4) OVER (ORDER BY last_seen, user_id) AS BIGINT) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary_micros, user_id) AS BIGINT)
+             AS m_quartile
+    FROM base
+    """,
+)
+def q85_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/§2.5] RFM SEGMENTATION: per-user Recency (last event time),
+    Frequency (event count), Monetary (exact micro-unit value sum), each
+    quartiled with NTILE(4) under a user_id tie-broken total order — the
+    classic CRM segmentation (4·4·4 = 64 cells) as one pass + three
+    windows. Monetary uses the integer micro-unit sum so the quartile
+    ORDER BY never compares floats.
+
+    Scale shape: ONE map-side-combined groupBy reduces events to a
+    |users|-sized frame first; the unpartitioned NTILE windows then
+    collapse that frame to a single partition — fine while |users| fits
+    one executor (orders of magnitude below |events|), and the honest
+    trade for exact equal-count quartiles. For unbounded user
+    cardinality, swap NTILE for approx-percentile thresholds broadcast
+    back (x38's decile pattern) at the cost of exact bucket sizes."""
+    e = t(spark, sf_dir, "events")
+    base = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("monetary_micros"),
+    )
+    return base.select(
+        "user_id",
+        "last_seen",
+        "frequency",
+        "monetary_micros",
+        F.ntile(4).over(W.orderBy("last_seen", "user_id")).cast("long").alias("r_quartile"),
+        F.ntile(4).over(W.orderBy("frequency", "user_id")).cast("long").alias("f_quartile"),
+        F.ntile(4)
+        .over(W.orderBy("monetary_micros", "user_id"))
+        .cast("long")
+        .alias("m_quartile"),
+    )

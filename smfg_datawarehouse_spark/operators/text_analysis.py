@@ -3103,3 +3103,156 @@ def x78_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("c").cast("double") / F.sum("tk")).alias("chars_per_token"),
         )
     )
+
+
+@register(
+    "x79_k_anonymity_risk",
+    """
+    WITH cells AS (
+      SELECT lang, source,
+             CAST(LEAST(strlen(text) // 100, 9) AS BIGINT) AS len_bucket,
+             COUNT(*) AS cell_size
+      FROM documents
+      GROUP BY lang, source, LEAST(strlen(text) // 100, 9)
+    )
+    SELECT lang, source, len_bucket,
+           CAST(cell_size AS BIGINT) AS cell_size,
+           cell_size < 5 AS below_k
+    FROM cells
+    """,
+)
+def x79_k_anonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] K-ANONYMITY risk report over quasi-identifiers: documents
+    are binned by the (lang, source, length-bucket) quasi-identifier
+    tuple and every cell smaller than k=5 is flagged — records in such
+    cells are re-identifiable by their metadata alone, the standard
+    privacy gate a training corpus passes before release (alongside
+    x33's direct-PII masking: x33 removes identifiers IN the text, this
+    finds identifying COMBINATIONS of attributes). Length is bucketed to
+    100-char bands capped at 9 so the quasi-identifier stays
+    low-cardinality (raw lengths would make every doc its own cell and
+    the report vacuous).
+
+    Scale shape: one map-side-combined groupBy onto the QI-cell frame
+    (|langs|·|sources|·10 rows) — corpus-linear, output tiny; the
+    below-k flag is a scan expression on the aggregate."""
+    d = t(spark, sf_dir, "documents")
+    len_bucket = F.least(
+        F.floor(F.octet_length("text") / 100).cast("long"), F.lit(9).cast("long")
+    )
+    return (
+        d.groupBy("lang", "source", len_bucket.alias("len_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_size"))
+        .withColumn("below_k", F.col("cell_size") < 5)
+    )
+
+
+@register(
+    "x80_epoch_budget_plan",
+    r"""
+    WITH tk AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n
+      FROM documents
+    ), s AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_s FROM tk GROUP BY source
+    ), tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s),
+    q AS (
+      SELECT s.source, s.n_s,
+             CAST(floor(sqrt(CAST(s.n_s AS DOUBLE) / tot.n) * 1e12 + 0.5)
+                  AS BIGINT) AS u
+      FROM s CROSS JOIN tot
+    )
+    SELECT source, n_s AS natural_tokens,
+           CAST((1000000 * u) // SUM(u) OVER () AS BIGINT) AS alloc_tokens,
+           CAST((1000000 * u) // SUM(u) OVER () AS DOUBLE) / n_s AS epochs,
+           (1000000 * u) // SUM(u) OVER () > n_s AS repeats_data
+    FROM q
+    """,
+)
+def x80_epoch_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] EPOCH/REPETITION PLAN for a token budget under the x39
+    temperature mix: allocating a fixed budget (B = 1M tokens here) by
+    the α=0.5 temperature weights tells each source how many tokens it
+    contributes — and dividing by its natural mass gives its EPOCH count
+    (>1 ⇒ the source repeats; data-constrained scaling work shows value
+    decays after ~4 epochs, so `repeats_data` sources are where a mix
+    silently over-trains). Composes x39 (weights) with x41 (budget):
+    the decision artifact a 100 TB mix planner actually reads.
+
+    Determinism: the weight share is x39's pico-quantized integer ``u``;
+    the allocation is PURE INTEGER floor division (B·u // Σu) — no
+    double normalizer — and epochs is one double division of exact
+    ints. Scale shape: one corpus scan → |sources| rows; every window
+    runs on that tiny frame."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "source", F.size(word_tokens(F.col("text"))).cast("long").alias("n")
+    )
+    s = tk.groupBy("source").agg(F.sum("n").cast("long").alias("n_s"))
+    tot = s.agg(F.sum("n_s").cast("long").alias("n"))
+    u = F.floor(
+        F.sqrt(F.col("n_s").cast("double") / F.col("n")) * 1e12 + 0.5
+    ).cast("long")
+    w = W.partitionBy()
+    q = (
+        s.join(F.broadcast(tot))
+        .select("source", "n_s", u.alias("u"))
+        .withColumn("su", F.sum("u").over(w))
+    )
+    # EXACT integer floor division (Spark `div`), matching DuckDB's `//`
+    # on BIGINTs — a double divide + floor would lose bits above 2^53
+    # (B·u reaches 1e18) and drift off the oracle by ±1 token.
+    alloc_int = F.expr("(CAST(1000000 AS BIGINT) * u) div su").cast("long")
+    return q.select(
+        "source",
+        F.col("n_s").alias("natural_tokens"),
+        alloc_int.alias("alloc_tokens"),
+        (alloc_int.cast("double") / F.col("n_s")).alias("epochs"),
+        (alloc_int > F.col("n_s")).alias("repeats_data"),
+    )
+
+
+@register(
+    "x81_embedding_alignment",
+    """
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_paired,
+           CAST(COUNT(e.vec_id) AS DOUBLE) / COUNT(*) AS coverage,
+           CAST(COUNT(DISTINCT e.label) AS BIGINT) AS n_labels,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL
+                         THEN strlen(d.text) END) AS BIGINT) AS paired_chars
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.source
+    """,
+)
+def x81_embedding_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/J/§2.6] TEXT↔EMBEDDING ALIGNMENT audit: left-join documents to
+    their precomputed embedding rows (doc_id = vec_id) and report
+    per-source pairing coverage, label diversity among paired docs, and
+    the paired character mass — the pre-flight check before any
+    embedding-dependent stage (x05/x10/x54): a source with low coverage
+    would silently vanish from semantic dedup/ANN results, which this
+    makes visible instead (sf0.1 has 2000 embeddings for 5000 docs by
+    fixture design, so partial coverage is actually exercised).
+
+    Scale shape: ONE key-shuffled left join (both sides hash-partitioned
+    on the id — at 100 TB this is the canonical co-partitioned join, and
+    bucketing both tables on the id makes it shuffle-free per l04), then
+    a map-side-combined rollup to |sources| rows. COUNT(DISTINCT label)
+    runs as a two-phase partial-distinct aggregate, not a global
+    collect."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    j = d.join(e, d.doc_id == e.vec_id, "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("vec_id").cast("long").alias("n_paired"),
+        (F.count("vec_id").cast("double") / F.count(F.lit(1))).alias("coverage"),
+        F.count_distinct("label").cast("long").alias("n_labels"),
+        F.sum(
+            F.when(F.col("vec_id").isNotNull(), F.octet_length("text"))
+        ).cast("long").alias("paired_chars"),
+    )

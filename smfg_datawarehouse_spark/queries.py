@@ -3305,3 +3305,64 @@ def l12_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = vt.read(version=0).select(F.lit(0).cast("long").alias("version"), "*")
     v1 = vt.read().select(F.lit(1).cast("long").alias("version"), "*")
     return v0.unionByName(v1)
+
+
+@register(
+    "l13_vacuum_lifecycle",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    updates AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate
+      FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+    )
+    SELECT * FROM updates
+    UNION ALL
+    SELECT * FROM target
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+)
+def l13_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3/S7] RETENTION/VACUUM certification, the storage-cost half of
+    the versioned-lake contract (l12 proves old versions stay readable;
+    this proves they can be RECLAIMED without touching the current one):
+    write v0 → merge to v1 → ``vacuum(keep_last=1)``. Structural gates
+    raise if vacuum kept the wrong set (versions() must be exactly [1])
+    or if the evicted v0 is still readable (time travel to it must now
+    fail) — then the surviving current snapshot is read back from
+    storage and hash-checked against the same MERGE oracle as l02: a
+    vacuum that deleted files out from under v1 hash-fails, a vacuum
+    that missed v0 raises.
+
+    At 100 TB vacuum IS the cost model — snapshots-forever doubles
+    storage every restatement cycle; this certifies eviction is exact
+    (newest-k survive, everything else physically gone)."""
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+
+    o = t(spark, sf_dir, "orders")
+    target = o.where("o_orderdate < DATE '1997-01-01'").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    updates = o.where("o_orderdate >= DATE '1996-01-01'").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate",
+    )
+    vt = VersionedTable(spark, _scratch_dir(spark, "l13"))
+    vt.write(target)
+    vt.merge(updates, ["o_orderkey"])
+    removed = vt.vacuum(keep_last=1)
+    if removed != [0] or vt.versions() != [1]:
+        raise RuntimeError(
+            f"vacuum kept wrong versions: removed={removed}, left={vt.versions()}"
+        )
+    try:
+        vt.read(version=0)
+    except FileNotFoundError:
+        pass
+    else:
+        raise RuntimeError("vacuumed v0 is still readable")
+    return vt.read()

@@ -431,3 +431,28 @@ def test_s04_certified_query_repeats(spark):
     first = q(spark, SF_DIR).count()
     second = q(spark, SF_DIR).count()
     assert first == second > 0
+
+
+def test_s08_outer_join_flushes_final_window(spark):
+    """Regression: Catalyst pushes the event_type filter below the
+    EventTimeWatermark operator, so without per-side heartbeats the
+    watermark ceiling (max ts − delay) permanently withholds unmatched
+    views from the stream's final interval+delay window. sf0.01 is the
+    smallest fixture with such views — the certified s08 drain must
+    emit them null-extended, and must not leak heartbeat rows."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.operators.events_analytics import (
+        s08_streaming_outer_join,
+    )
+    from smfg_datawarehouse_spark.queries import load_events
+
+    sf = "/root/testdata/sf0.01"
+    out = s08_streaming_outer_join(spark, sf)
+    max_ts = load_events(spark, sf).agg(F.max("ts")).collect()[0][0]
+    late_unmatched = out.where(
+        F.col("purchase_id").isNull()
+        & (F.col("view_ts") > F.lit(max_ts) - F.expr("INTERVAL 40 MINUTES"))
+    ).count()
+    assert late_unmatched > 0
+    assert out.where(F.col("user_id") < 0).count() == 0  # no heartbeat leakage
