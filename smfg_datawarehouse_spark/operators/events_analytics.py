@@ -1518,3 +1518,34 @@ def q85_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_quartile"),
     )
+
+
+@register("s09_streaming_backlog_drain", _S01_ORACLE)
+def s09_streaming_backlog_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2] CROSS-MICRO-BATCH STATE certified: the events fixture is
+    split into three raw files and drained with ``maxFilesPerTrigger=1``,
+    forcing the tumbling aggregation to accumulate window state across
+    THREE micro-batches (every hour window receives rows from several
+    batches — partial counts merge in the state store) before the
+    complete-mode snapshot is compared to the same batch oracle as s01.
+    s01 certifies stream≡batch when the backlog collapses into one
+    batch; this certifies the state-store merge path a real deployment
+    exercises on every trigger — a state merge that dropped or
+    double-counted partials hash-fails here and not in s01.
+
+    Scale shape identical to s01 (window+type keyed state); the file
+    splits model raw-zone landing cadence, not data volume."""
+    import os as _os
+
+    from smfg_datawarehouse_spark.queries import _scratch_dir, load_events
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src_dir = _scratch_dir(spark, "s09")
+    # three-file backlog: same rows as the fixture, split deterministically
+    load_events(spark, sf_dir).repartition(3).write.mode("overwrite").parquet(
+        _os.path.join(src_dir, "raw")
+    )
+    stream = events_stream(
+        spark, _os.path.join(src_dir, "raw"), max_files_per_trigger=1
+    )
+    return _drain_stream(spark, tumbling_agg(stream, "1 hour"), "s09", "complete")

@@ -3256,3 +3256,118 @@ def x81_embedding_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("vec_id").isNotNull(), F.octet_length("text"))
         ).cast("long").alias("paired_chars"),
     )
+
+
+@register(
+    "x82_lang_confusion",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS tk
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             CAST(length(list_filter(tk, w -> w IN ('the','and','of','to','is'))) AS BIGINT) AS hits_en,
+             CAST(length(list_filter(tk, w -> w IN ('le','la','et','les','des'))) AS BIGINT) AS hits_fr,
+             CAST(length(list_filter(tk, w -> w IN ('der','die','und','das','ist'))) AS BIGINT) AS hits_de,
+             CAST(length(list_filter(tk, w -> w IN ('el','la','los','que','es'))) AS BIGINT) AS hits_es
+      FROM toks
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es
+                       AND hits_en > 0 THEN 'en'
+                  WHEN hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+                  WHEN hits_de >= hits_es AND hits_de > 0 THEN 'de'
+                  WHEN hits_es > 0 THEN 'es'
+                  ELSE 'und' END AS pred_lang
+      FROM hits
+    )
+    SELECT lang AS declared_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY lang) AS row_frac,
+           lang = pred_lang AS agree
+    FROM pred
+    GROUP BY lang, pred_lang
+    """,
+)
+def x82_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] LANGUAGE-LABEL CONFUSION MATRIX: the table's declared
+    ``lang`` column crossed with x22's stopword-heuristic detection —
+    per (declared, detected) cell counts and row-normalized fractions.
+    Declared labels in crawled corpora are noisy (CLD mislabels, site
+    metadata lies); the confusion matrix is how a pipeline decides
+    whether to TRUST the upstream label, re-run detection, or drop the
+    disagreeing slice — and its diagonal mass is the detector's
+    agreement rate, computed without any ground-truth annotation.
+
+    Determinism: counts are exact ints, row_frac one double division.
+    Scale shape: detection is a pure scan expression; ONE
+    map-side-combined groupBy to a |langs|² matrix; the normalizing
+    window runs on that tiny frame."""
+    d = lang_id(t(spark, sf_dir, "documents"))
+    m = d.groupBy(
+        F.col("lang").alias("declared_lang"), "pred_lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = W.partitionBy("declared_lang")
+    return m.select(
+        "declared_lang",
+        "pred_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("row_frac"),
+        (F.col("declared_lang") == F.col("pred_lang")).alias("agree"),
+    )
+
+
+@register(
+    "x83_dup_cluster_histogram",
+    """
+    WITH clusters AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             COUNT(*) AS cluster_size
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS removable_docs,
+           CAST(cluster_size * COUNT(*) AS DOUBLE)
+             / SUM(cluster_size * COUNT(*)) OVER () AS doc_frac
+    FROM clusters GROUP BY cluster_size
+    """,
+)
+def x83_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] DUPLICATE-CLUSTER SIZE HISTOGRAM: exact-dup clusters
+    (x01's whitespace-normalized md5 identity) rolled up by cluster
+    size — how much of the corpus sits in singletons vs heavy
+    boilerplate clusters, and the removable mass (size−1 per cluster)
+    deduplication would reclaim. This is the histogram behind every
+    dedup-impact decision (x55 reports the before/after totals; this
+    shows the SHAPE — a corpus with 10-doc clusters dedups very
+    differently from one with two 10k-doc template blobs).
+
+    Determinism: pure integer counts, one double fraction. Scale
+    shape: two map-side-combined groupBys (fingerprint → size,
+    size → histogram) — the classic two-level rollup; output is
+    ≤ max-cluster-size rows; the normalizing window runs on that tiny
+    frame."""
+    d = t(spark, sf_dir, "documents")
+    clusters = d.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    w = W.partitionBy()
+    return hist.select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+        .cast("long")
+        .alias("removable_docs"),
+        (
+            (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+            / F.sum(F.col("cluster_size") * F.col("n_clusters")).over(w)
+        ).alias("doc_frac"),
+    )

@@ -3366,3 +3366,170 @@ def l13_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raise RuntimeError("vacuumed v0 is still readable")
     return vt.read()
+
+
+@register(
+    "q86_order_consistency_audit",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS charge
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey, o.o_totalprice, li.charge,
+             CASE WHEN li.charge IS NULL THEN CAST(-1 AS BIGINT)
+                  ELSE CAST(LEAST(CAST(FLOOR(
+                         ABS(o.o_totalprice - li.charge) / o.o_totalprice * 10.0
+                       ) AS BIGINT), 10) AS BIGINT) END AS band
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_declared,
+           CAST(SUM(CAST(COALESCE(charge, 0.0) AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_derived
+    FROM j GROUP BY band
+    """,
+)
+def q86_order_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4/A4/§2.7] FINANCIAL CONSISTENCY AUDIT between the order header
+    and its lines: each order's declared o_totalprice vs the
+    lineitem-derived charge (Σ extprice·(1−disc)·(1+tax), exact decimal
+    accumulation), bucketed by relative-discrepancy decile (band 10 =
+    ≥100% off, band −1 = orders with NO lineitems — the referential
+    orphans J4's anti-join would flag). A warehouse load that drifted a
+    discount sign, dropped lines, or double-applied tax shows up as mass
+    outside band 0 — the aggregate-level data-quality gate that
+    complements row-level FK checks (q09), certified against the same
+    bands computed by the oracle.
+
+    Determinism: per-order charge is a decimal exact sum cast double;
+    the band arithmetic is the identical double expression in both
+    engines; totals are decimal sums. Scale shape: ONE key shuffle
+    (groupBy l_orderkey) + one join on the same key (co-partitioned —
+    AQE plans it without a second lineitem shuffle), then a
+    map-side-combined rollup onto ≤ 12 bands."""
+    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    band = F.when(F.col("charge").isNull(), F.lit(-1).cast("long")).otherwise(
+        F.least(
+            F.floor(
+                F.abs(F.col("o_totalprice") - F.col("charge"))
+                / F.col("o_totalprice")
+                * 10.0
+            ).cast("long"),
+            F.lit(10).cast("long"),
+        )
+    )
+    return j.select(band.alias("band"), "o_totalprice", "charge").groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_declared"),
+        dsum(F.coalesce(F.col("charge"), F.lit(0.0))).alias("total_derived"),
+    )
+
+
+@register(
+    "l14_jdbc_extraction_lifecycle",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+    GROUP BY EXTRACT(year FROM o_orderdate)
+    """,
+)
+def l14_jdbc_extraction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S1/§2.1] The chunked JDBC extraction certified END-TO-END against
+    a REAL database: an orders slice is LOADED into embedded Apache
+    Derby through Spark's JDBC sink (4 concurrent insert streams,
+    batched prepared statements — the DW-load direction), then EXTRACTED
+    back through the engine's range-partitioned JDBC scan
+    (``sources/jdbc.py``: 8 bounded slices on o_orderkey, bounded
+    fetchsize — the Spark-parallel replacement for the reference's
+    serial 100k-row cursor loop,
+    reference/source_code/python/airflow_utility/staging_data_extraction.py:83-106),
+    and the extracted rows are aggregated and hash-checked against the
+    oracle computed straight from parquet. Any drift in the JDBC type
+    round-trip (DOUBLE, DATE, BIGINT), partition-slice union, or
+    pushdown surfaces as a hash mismatch. Derby is in Spark's JVM by
+    default (the Hive-metastore store), so this runs the SAME
+    DriverManager code path a MySQL/Postgres URL takes on a production
+    cluster — only the URL differs.
+
+    Scale shape: the partitioned read opens N bounded cursors
+    concurrently (memory per connection bounded by fetchsize); the
+    rollup is a map-side-combined groupBy onto |years| rows."""
+    import os
+    import tempfile
+
+    from smfg_datawarehouse_spark.sources.jdbc import jdbc_reader_options, read_jdbc
+
+    jvm = spark._jvm
+    # Embedded Derby keeps a booted database pinned in the JVM; clearing
+    # the scratch dir under a booted DB leaves the engine pointing at
+    # deleted files ("ERROR 08003: No current connection" on the next
+    # invocation). Shut the previous invocation's DB down FIRST — a
+    # successful shutdown itself raises (SQLState 08006, by Derby design).
+    prev = os.path.join(
+        tempfile.gettempdir(),
+        f"sgraft_l14_{spark.sparkContext.applicationId}",
+        "db",
+    )
+    try:
+        jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{prev};shutdown=true")
+    except Exception:
+        pass  # 08006 on success; also lands here if nothing was booted
+
+    db_path = os.path.join(_scratch_dir(spark, "l14"), "db")
+    url = f"jdbc:derby:{db_path}"
+    try:
+        jvm.java.sql.DriverManager.getConnection(url + ";create=true").close()
+    except Exception:  # driver not auto-registered in this JVM yet
+        jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        jvm.java.sql.DriverManager.getConnection(url + ";create=true").close()
+
+    o = t(spark, sf_dir, "orders").where(
+        "o_orderdate >= DATE '1997-01-01'"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    (
+        o.repartition(4)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_stage")
+        .option("batchsize", "5000")
+        .mode("overwrite")
+        .save()
+    )
+    bounds = o.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    opts = jdbc_reader_options(
+        url,
+        "orders_stage",
+        is_query=False,
+        partition_column="o_orderkey",
+        lower_bound=int(bounds["lo"]),
+        upper_bound=int(bounds["hi"]) + 1,
+        num_partitions=8,
+        fetch_size=100_000,
+    )
+    back = read_jdbc(spark, opts)
+    return back.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
