@@ -213,3 +213,77 @@ def test_temperature_weights_distribution(spark, rows):
     by_mass = sorted(out, key=lambda r: r["n_s"])
     for a, b in zip(by_mass, by_mass[1:]):
         assert a["p_alpha"] <= b["p_alpha"] + 1e-15
+
+
+def test_epoch_budget_conservation(spark):
+    """x80's integer allocation must never exceed the budget (Σ floor
+    terms ≤ B) and must be near-complete (shortfall < n_sources, the
+    max total floor loss) — the invariant that makes the plan a real
+    allocation instead of an estimate."""
+    from smfg_datawarehouse_spark.operators.text_analysis import (
+        x80_epoch_budget_plan,
+    )
+
+    rows = x80_epoch_budget_plan(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["alloc_tokens"] for r in rows)
+    assert total <= 1_000_000
+    assert 1_000_000 - total < len(rows)
+    for r in rows:
+        assert (r["alloc_tokens"] > r["natural_tokens"]) == r["repeats_data"]
+
+
+def test_dup_histogram_mass_conservation(spark):
+    """x83's histogram must partition the corpus exactly: Σ n_docs over
+    bands == |documents|, and removable == n_docs − n_clusters per band."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.operators.text_analysis import (
+        x83_dup_cluster_histogram,
+    )
+    from smfg_datawarehouse_spark.queries import t
+
+    sf = "/root/testdata/sf0.001"
+    rows = x83_dup_cluster_histogram(spark, sf).collect()
+    n_corpus = t(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_corpus
+    for r in rows:
+        assert r["removable_docs"] == r["n_docs"] - r["n_clusters"]
+    assert abs(sum(r["doc_frac"] for r in rows) - 1.0) < 1e-12
+
+
+def test_rfm_quartiles_balanced(spark):
+    """q85's NTILE(4) must produce balanced quartiles (sizes differ by at
+    most 1) on every dimension — the equal-count contract segmentation
+    relies on — and every user must appear exactly once."""
+    from collections import Counter
+
+    from smfg_datawarehouse_spark.operators.events_analytics import (
+        q85_rfm_segmentation,
+    )
+
+    rows = q85_rfm_segmentation(spark, "/root/testdata/sf0.001").collect()
+    assert len({r["user_id"] for r in rows}) == len(rows)
+    for col in ("r_quartile", "f_quartile", "m_quartile"):
+        sizes = Counter(r[col] for r in rows)
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_lang_confusion_rows_normalize(spark):
+    """x82's row fractions must sum to 1 within each declared language and
+    cell counts must total the corpus."""
+    from collections import defaultdict
+
+    from smfg_datawarehouse_spark.operators.text_analysis import (
+        x82_lang_confusion,
+    )
+    from smfg_datawarehouse_spark.queries import t
+
+    sf = "/root/testdata/sf0.001"
+    rows = x82_lang_confusion(spark, sf).collect()
+    assert sum(r["n_docs"] for r in rows) == t(spark, sf, "documents").count()
+    per_lang = defaultdict(float)
+    for r in rows:
+        per_lang[r["declared_lang"]] += r["row_frac"]
+    for lang, s in per_lang.items():
+        assert abs(s - 1.0) < 1e-12, (lang, s)
