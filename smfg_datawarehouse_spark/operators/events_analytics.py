@@ -1549,3 +1549,75 @@ def s09_streaming_backlog_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _os.path.join(src_dir, "raw"), max_files_per_trigger=1
     )
     return _drain_stream(spark, tumbling_agg(stream, "1 hour"), "s09", "complete")
+
+
+@register(
+    "q87_conversion_latency_profile",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_us
+      FROM seq_src
+    ), v AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS view_hour,
+             next_purchase_us - epoch_us(ts) AS lat_us
+      FROM seq WHERE event_type = 'view'
+    ), c AS (
+      SELECT view_hour, lat_us FROM v WHERE lat_us <= 3600000000
+    )
+    SELECT view_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_cont(lat_us, 0.5) / 1000000.0 AS p50_sec,
+           quantile_cont(lat_us, 0.9) / 1000000.0 AS p90_sec,
+           CAST(MIN(lat_us) AS BIGINT) AS min_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_us
+    FROM c GROUP BY view_hour
+    """.replace("seq_src", "events"),
+)
+def q87_conversion_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/A4] CONVERSION-LATENCY PROFILE by hour of day: q77's
+    forward-asof view→purchase latencies (within the 1 h tolerance),
+    rolled up by the hour the view happened — median and p90
+    time-to-convert per daypart, the funnel-health dashboard number that
+    localizes slow-conversion windows (checkout degradation at peak
+    hours shows up as a p90 spike in exactly those rows).
+
+    Determinism: latencies are exact integer microseconds; percentile
+    interpolation is the same (a + (b−a)·f) double expression in both
+    engines (q29 precedent); /1e6 is one double op. Scale shape: ONE
+    user-window shuffle (same as q77 — no self-join), then a
+    map-side-combined rollup onto 24 rows; the percentile agg holds
+    per-group sorted arrays only at the final 24-group stage."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.unix_micros(F.col("ts")),
+            )
+        ).over(w).alias("next_purchase_us"),
+    )
+    v = seq.where(F.col("event_type") == "view").select(
+        F.hour("ts").cast("long").alias("view_hour"),
+        (F.col("next_purchase_us") - F.unix_micros(F.col("ts"))).alias("lat_us"),
+    )
+    c = v.where(F.col("lat_us") <= 3600000000)
+    return c.groupBy("view_hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        (F.expr("percentile(lat_us, 0.5)") / 1000000.0).alias("p50_sec"),
+        (F.expr("percentile(lat_us, 0.9)") / 1000000.0).alias("p90_sec"),
+        F.min("lat_us").cast("long").alias("min_us"),
+        F.max("lat_us").cast("long").alias("max_us"),
+    )
