@@ -1560,7 +1560,7 @@ def s09_streaming_backlog_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
                AS next_purchase_us
-      FROM seq_src
+      FROM events
     ), v AS (
       SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS view_hour,
              next_purchase_us - epoch_us(ts) AS lat_us
@@ -1575,7 +1575,7 @@ def s09_streaming_backlog_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(lat_us) AS BIGINT) AS min_us,
            CAST(MAX(lat_us) AS BIGINT) AS max_us
     FROM c GROUP BY view_hour
-    """.replace("seq_src", "events"),
+    """,
 )
 def q87_conversion_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[§2.5/A4] CONVERSION-LATENCY PROFILE by hour of day: q77's

@@ -2877,9 +2877,9 @@ def x74_eval_leakage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                                   w -> w <> '')) AS BIGINT) AS n_tokens,
-             CAST(strlen(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
                AS n_alpha,
-             CAST(strlen(text) AS BIGINT) AS n_chars
+             CAST(length(text) AS BIGINT) AS n_chars
       FROM documents
     ), sc AS (
       SELECT doc_id, source, n_tokens,
@@ -2934,8 +2934,8 @@ def x75_source_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUALITY_SCORE_SQL = r"""
       SELECT doc_id, source,
-             0.4 * (CAST(strlen(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-                         AS DOUBLE) / strlen(text))
+             0.4 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                         AS DOUBLE) / length(text))
                + 0.3 * (CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                                                   w -> w <> '')) > 0
                              THEN CAST(len(list_filter(
@@ -2945,7 +2945,7 @@ _QUALITY_SCORE_SQL = r"""
                                   / len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                                                     w -> w <> ''))
                              ELSE 0.0 END)
-               + 0.3 * (CAST(LEAST(strlen(text), 500) AS DOUBLE) / 500.0)
+               + 0.3 * (CAST(LEAST(length(text), 500) AS DOUBLE) / 500.0)
                AS quality_score
       FROM documents
 """
@@ -3060,12 +3060,14 @@ def x77_zipf_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT)
              AS total_bpe_tokens,
-           CAST(SUM(strlen(text)) AS DOUBLE)
-             / SUM(len(regexp_extract_all(text, '{BPE_PATTERN}')))
-             AS bytes_per_token,
-           CAST(SUM(length(text)) AS DOUBLE)
-             / SUM(len(regexp_extract_all(text, '{BPE_PATTERN}')))
-             AS chars_per_token
+           CASE WHEN SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) > 0
+                THEN CAST(SUM(strlen(text)) AS DOUBLE)
+                     / SUM(len(regexp_extract_all(text, '{BPE_PATTERN}')))
+                END AS bytes_per_token,
+           CASE WHEN SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) > 0
+                THEN CAST(SUM(length(text)) AS DOUBLE)
+                     / SUM(len(regexp_extract_all(text, '{BPE_PATTERN}')))
+                END AS chars_per_token
     FROM documents
     GROUP BY lang
     """,
@@ -3099,8 +3101,14 @@ def x78_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("b").cast("long").alias("total_bytes"),
             F.sum("c").cast("long").alias("total_chars"),
             F.sum("tk").cast("long").alias("total_bpe_tokens"),
-            (F.sum("b").cast("double") / F.sum("tk")).alias("bytes_per_token"),
-            (F.sum("c").cast("double") / F.sum("tk")).alias("chars_per_token"),
+            # zero-token guard: Spark yields NULL on 0/0 double division
+            # but DuckDB yields Infinity — make NULL explicit in BOTH
+            F.when(
+                F.sum("tk") > 0, F.sum("b").cast("double") / F.sum("tk")
+            ).alias("bytes_per_token"),
+            F.when(
+                F.sum("tk") > 0, F.sum("c").cast("double") / F.sum("tk")
+            ).alias("chars_per_token"),
         )
     )
 

@@ -247,6 +247,20 @@ def fixture_plans(spark: SparkSession):
     return _FIXTURE_COMPILE_CACHE[key]
 
 
+def _scratch_path(spark: SparkSession, tag: str) -> str:
+    """The per-(application, tag) scratch PATH, without touching the
+    filesystem — callers that must inspect or tear down the PREVIOUS
+    invocation's state before it is cleared (l14 shuts down the booted
+    Derby DB living here) use this so the location can never drift from
+    what ``_scratch_dir`` clears."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"sgraft_{tag}_{spark.sparkContext.applicationId}",
+    )
+
+
 def _scratch_dir(spark: SparkSession, tag: str) -> str:
     """Per-(application, tag) scratch directory for the lifecycle queries
     (l01/l02/l03): the PREVIOUS invocation's output is removed before the
@@ -256,12 +270,8 @@ def _scratch_dir(spark: SparkSession, tag: str) -> str:
     reading the prior invocation's files — materialize before re-running.
     """
     import shutil
-    import tempfile
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"sgraft_{tag}_{spark.sparkContext.applicationId}",
-    )
+    path = _scratch_path(spark, tag)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
     return path
@@ -3471,7 +3481,6 @@ def l14_jdbc_extraction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
     concurrently (memory per connection bounded by fetchsize); the
     rollup is a map-side-combined groupBy onto |years| rows."""
     import os
-    import tempfile
 
     from smfg_datawarehouse_spark.sources.jdbc import jdbc_reader_options, read_jdbc
 
@@ -3481,11 +3490,7 @@ def l14_jdbc_extraction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
     # deleted files ("ERROR 08003: No current connection" on the next
     # invocation). Shut the previous invocation's DB down FIRST — a
     # successful shutdown itself raises (SQLState 08006, by Derby design).
-    prev = os.path.join(
-        tempfile.gettempdir(),
-        f"sgraft_l14_{spark.sparkContext.applicationId}",
-        "db",
-    )
+    prev = os.path.join(_scratch_path(spark, "l14"), "db")
     try:
         jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{prev};shutdown=true")
     except Exception:

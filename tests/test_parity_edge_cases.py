@@ -1,0 +1,99 @@
+"""Oracle-parity edge cases the ASCII fixture never exercises.
+
+The driver differential runs on all-ASCII documents, where DuckDB's
+strlen (bytes) and length (chars) coincide and every doc tokenizes to
+at least one BPE token — so a bytes-vs-chars mixup or an unguarded
+division survives certification silently. These tests stage a tiny
+corpus containing non-ASCII text and a whitespace-only doc and assert
+Spark and DuckDB still agree bit-exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(spark, tmp_path_factory):
+    """A documents.parquet with multibyte chars and a zero-token doc."""
+    d = tmp_path_factory.mktemp("edge_sf")
+    rows = [
+        (0, "café au lait très bon café", "fr", "src0", 24),
+        (1, "the quick brown fox is it", "en", "src0", 25),
+        (2, "   ", "en", "src1", 3),  # whitespace-only: zero BPE tokens
+        (3, "straße über grün und das ist", "de", "src1", 27),
+        (4, "plain ascii text of the usual kind", "en", "src2", 34),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _compare(spark, edge_sf_dir, name):
+    from smfg_datawarehouse_spark import queries as qmod
+
+    qs, os_ = qmod.all_queries(), qmod.all_oracles()
+    sdf = qs[name](spark, edge_sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{edge_sf_dir}/documents.parquet/*.parquet'"
+    )
+    res = con.execute(os_[name])
+    dcols = [c[0] for c in res.description]
+    assert sorted(sdf.columns) == sorted(dcols)
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    srows = sorted(
+        ",".join(norm(r[c]) for c in sorted(sdf.columns)) for r in sdf.collect()
+    )
+    didx = {c: i for i, c in enumerate(dcols)}
+    drows = sorted(
+        ",".join(norm(r[didx[c]]) for c in sorted(dcols)) for r in res.fetchall()
+    )
+    assert srows == drows, f"{name} diverged on the edge corpus"
+
+
+def test_quality_calibration_multibyte_parity(spark, edge_sf_dir):
+    """x76's quality score must be char-based in BOTH engines — a
+    strlen (bytes) denominator diverges on 'café'."""
+    _compare(spark, edge_sf_dir, "x76_quality_calibration")
+
+
+def test_source_quota_multibyte_parity(spark, edge_sf_dir):
+    """x75 shares the composite score; same bytes-vs-chars trap."""
+    _compare(spark, edge_sf_dir, "x75_source_quota_topk")
+
+
+def test_tokenizer_fertility_zero_token_parity(spark, edge_sf_dir):
+    """x78 on a lang bucket with zero BPE tokens: Spark yields NULL,
+    DuckDB yields Infinity unless guarded — both must emit NULL.
+    (The whitespace-only doc is lang 'en' alongside token-bearing docs,
+    so also stage a lang with ONLY the degenerate doc.)"""
+    _compare(spark, edge_sf_dir, "x78_tokenizer_fertility")
+
+
+def test_tokenizer_fertility_all_degenerate_lang(spark, tmp_path_factory):
+    from smfg_datawarehouse_spark import queries as qmod
+
+    d = tmp_path_factory.mktemp("edge_sf2")
+    rows = [(0, "   ", "zz", "src0", 3), (1, "real text here", "en", "src0", 14)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = {
+        r["lang"]: r
+        for r in qmod.all_queries()["x78_tokenizer_fertility"](spark, str(d)).collect()
+    }
+    assert out["zz"]["bytes_per_token"] is None
+    assert out["zz"]["chars_per_token"] is None
+    assert out["en"]["bytes_per_token"] is not None
