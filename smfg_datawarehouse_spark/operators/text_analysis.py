@@ -280,12 +280,12 @@ def x22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_ORACLE = f"""
     WITH g AS (
-      SELECT doc_id, strlen(text) - {WINNOW_K - 1} AS ng, u.pos,
+      SELECT doc_id, length(text) - {WINNOW_K - 1} AS ng, u.pos,
              ('0x' || substring(
                 md5(substring(lower(text), u.pos, {WINNOW_K})), 1, 8))::BIGINT
                * 10000000 + (9999999 - u.pos) AS enc
       FROM documents,
-           LATERAL unnest(generate_series(1, strlen(text) - {WINNOW_K} + 1)) AS u(pos)
+           LATERAL unnest(generate_series(1, length(text) - {WINNOW_K} + 1)) AS u(pos)
     ),
     sel AS (
       SELECT doc_id, pos, ng,
@@ -327,7 +327,11 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
-        (F.length(text_col).cast("double") / F.size(toks)).alias("chars_per_token"),
+        # zero-token guard (whitespace-only doc): Spark's x/0 double
+        # division is NULL but DuckDB's is Infinity — NULL in both
+        F.when(
+            F.size(toks) > 0, F.length(text_col).cast("double") / F.size(toks)
+        ).alias("chars_per_token"),
     )
 
 
@@ -339,9 +343,10 @@ def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
              AS n_bpe_tokens,
            CAST(length(list_distinct(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT)
              AS n_distinct_tokens,
-           CAST(length(text) AS DOUBLE)
-             / length(regexp_extract_all(text, '{BPE_PATTERN}'))
-             AS chars_per_token
+           CASE WHEN length(regexp_extract_all(text, '{BPE_PATTERN}')) > 0
+                THEN CAST(length(text) AS DOUBLE)
+                     / length(regexp_extract_all(text, '{BPE_PATTERN}'))
+                END AS chars_per_token
     FROM documents
     """,
 )
@@ -2585,12 +2590,12 @@ def x70_lm_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X71_ORACLE = f"""
     WITH g AS (
-      SELECT doc_id, strlen(text) - {WINNOW_K - 1} AS ng, u.pos,
+      SELECT doc_id, length(text) - {WINNOW_K - 1} AS ng, u.pos,
              ('0x' || substring(
                 md5(substring(lower(text), u.pos, {WINNOW_K})), 1, 8))::BIGINT
                * 10000000 + (9999999 - u.pos) AS enc
       FROM documents,
-           LATERAL unnest(generate_series(1, strlen(text) - {WINNOW_K} + 1)) AS u(pos)
+           LATERAL unnest(generate_series(1, length(text) - {WINNOW_K} + 1)) AS u(pos)
     ),
     sel AS (
       SELECT doc_id, pos, ng,

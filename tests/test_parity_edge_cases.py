@@ -97,3 +97,28 @@ def test_tokenizer_fertility_all_degenerate_lang(spark, tmp_path_factory):
     assert out["zz"]["bytes_per_token"] is None
     assert out["zz"]["chars_per_token"] is None
     assert out["en"]["bytes_per_token"] is not None
+
+
+def test_bpe_stats_zero_token_parity(spark, edge_sf_dir):
+    """x24's per-doc chars_per_token on a whitespace-only doc: NULL in
+    both engines, not NULL-vs-Infinity."""
+    _compare(spark, edge_sf_dir, "x24_bpe_token_stats")
+
+
+def test_winnowing_multibyte_parity(spark, tmp_path_factory):
+    """x23/x71's k-gram positions must be CHARACTER offsets in both
+    engines: DuckDB substring() is char-based, so a byte-based strlen()
+    position range would hang extra degenerate grams off multibyte docs.
+    Two near-duplicate >k+w-char docs with umlauts exercise the match."""
+    d = tmp_path_factory.mktemp("edge_winnow")
+    base = "die schöne straße führt über den grünen hügel hinauf zum alten schloß und weiter"
+    rows = [
+        (0, base, "de", "src0", len(base)),
+        (1, base + " fort", "de", "src0", len(base) + 5),
+        (2, "completely different english text with no shared window at all here", "en", "src1", 68),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    _compare(spark, str(d), "x23_winnowing_dupes")
+    _compare(spark, str(d), "x71_containment_dupes")
