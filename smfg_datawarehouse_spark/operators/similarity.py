@@ -27,6 +27,12 @@ Numeric determinism: every dot/norm accumulates over dimensions
 left-to-right (``acc += x_i·y_i``), the identical IEEE-754 fold DuckDB's
 ``list_reduce`` performs — similarity scores are bit-exact against the
 oracle, which is what lets top-k ranks and threshold cuts hash-match.
+
+Precondition: embedding vectors are assumed NONZERO-NORM. A zero vector
+(e.g. a padding row) makes cosine 0/0, where engines legitimately differ
+(Spark SQL NULL, numpy NaN, DuckDB NaN/Inf) — filter such rows upstream;
+``x81_embedding_alignment`` is the audit that surfaces coverage/padding
+problems before any similarity stage runs.
 """
 
 from __future__ import annotations
