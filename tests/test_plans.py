@@ -272,3 +272,40 @@ def test_q81_bloom_probe_is_scan_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert_no_cartesian(df)
+
+
+def test_q86_consistency_join_not_cartesian(spark):
+    # per-order charge groupBy + left join on the same key: the join must
+    # be a real equi-join (hash/sort-merge), never a cartesian, and the
+    # lineitem scan must prune to the 5 consumed columns
+    df = qmod.all_queries()["q86_order_consistency_audit"](spark, SF)
+    assert_no_cartesian(df)
+    schemas = read_schemas(df)
+    li = [s for s in schemas if any("l_orderkey" in f for f in s)]
+    assert li and len(li[0]) <= 5
+
+
+def test_x81_alignment_is_single_join(spark):
+    # documents LEFT JOIN embeddings then one rollup — at most the
+    # canonical shuffle set (2 join sides + final agg), no extra exchanges
+    df = qmod.all_queries()["x81_embedding_alignment"](spark, SF)
+    assert_no_cartesian(df)
+    assert exchange_count(df) <= 4
+
+
+def test_q84_transitions_two_logical_shuffles(spark):
+    # user-window shuffle + type-pair groupBy (+ tiny matrix window);
+    # a jump above 4 exchanges means the lag window stopped sharing its
+    # partitioning with downstream stages
+    df = qmod.all_queries()["q84_event_transitions"](spark, SF)
+    assert exchange_count(df) <= 4
+    assert_no_cartesian(df)
+
+
+def test_q87_latency_profile_no_self_join(spark):
+    # forward-asof via window, NOT a range self-join: exactly one events
+    # scan in the plan
+    df = qmod.all_queries()["q87_conversion_latency_profile"](spark, SF)
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    assert_no_cartesian(df)
