@@ -1621,3 +1621,75 @@ def q87_conversion_latency_profile(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("lat_us").cast("long").alias("min_us"),
         F.max("lat_us").cast("long").alias("max_us"),
     )
+
+
+@register(
+    "s10_streaming_cdc_upsert",
+    """
+    SELECT event_id, user_id, ts, event_type, value
+    FROM (
+      SELECT event_id, user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def s10_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/J3] STREAMING CDC UPSERT certified — the foreachBatch→MERGE
+    production shape: the events fixture lands as a THREE-file backlog
+    drained one file per micro-batch; each batch is compacted to its
+    newest row per user and conditionally merged into a
+    ``VersionedTable`` with ``precedence=["ts","event_id"]`` (newer-wins;
+    Delta's ``WHEN MATCHED AND s.ts > t.ts THEN UPDATE``). Because the
+    precedence tuple — not arrival order — decides every collision, the
+    final table is identical however the backlog splits into batches, and
+    it hash-checks against x07's batch latest-event-per-user oracle. An
+    unconditional merge would instead let whichever batch ran LAST
+    clobber newer rows delivered earlier — the classic out-of-order CDC
+    corruption this certifies against.
+
+    Scale shape: per batch, ONE user-keyed window shuffle compacts the
+    batch, and the merge is one more key shuffle against the current
+    snapshot (Delta MERGE cost). State lives in the table, not the state
+    store — this is how CDC apply survives unbounded key cardinality."""
+    import os as _os
+
+    from smfg_datawarehouse_spark.queries import _scratch_dir, load_events
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src_dir = _scratch_dir(spark, "s10")
+    load_events(spark, sf_dir).repartition(3).write.mode("overwrite").parquet(
+        _os.path.join(src_dir, "raw")
+    )
+    vt = VersionedTable(spark, _os.path.join(src_dir, "table"))
+    stream = events_stream(
+        spark, _os.path.join(src_dir, "raw"), max_files_per_trigger=1
+    ).select("event_id", "user_id", "ts", "event_type", "value")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        compact = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .drop("_rn")
+        )
+        vt.merge(compact, ["user_id"], precedence=["ts", "event_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation", _os.path.join(src_dir, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("s10 CDC drain did not terminate within 600s")
+    if vt.current_version() is None:
+        raise RuntimeError("s10 drain landed no snapshot")
+    return vt.read().select("event_id", "user_id", "ts", "event_type", "value")

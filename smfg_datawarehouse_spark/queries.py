@@ -3538,3 +3538,87 @@ def l14_jdbc_extraction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "l15_snapshot_diff",
+    """
+    WITH v0 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    v1 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderdate >= DATE '1996-06-01'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate
+      FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+    )
+    SELECT CASE WHEN v0.o_orderkey IS NULL THEN 'insert'
+                WHEN v1.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           COALESCE(v0.o_orderkey, v1.o_orderkey) AS o_orderkey,
+           v0.o_custkey AS old_o_custkey, v1.o_custkey AS new_o_custkey,
+           v0.o_totalprice AS old_o_totalprice,
+           v1.o_totalprice AS new_o_totalprice,
+           v0.o_orderdate AS old_o_orderdate, v1.o_orderdate AS new_o_orderdate
+    FROM v0 FULL OUTER JOIN v1 ON v0.o_orderkey = v1.o_orderkey
+    WHERE NOT (v0.o_orderkey IS NOT NULL AND v1.o_orderkey IS NOT NULL
+               AND v0.o_custkey IS NOT DISTINCT FROM v1.o_custkey
+               AND v0.o_totalprice IS NOT DISTINCT FROM v1.o_totalprice
+               AND v0.o_orderdate IS NOT DISTINCT FROM v1.o_orderdate)
+    """,
+)
+def l15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3/S7] CDC SNAPSHOT DIFF certified — the changelog half of the
+    versioned-lake contract (l12 proves old versions stay READABLE; this
+    proves the change set BETWEEN two versions is derivable exactly):
+    v0 = pre-1997 orders; v1 = a restatement that PURGES pre-1995 rows
+    (retention), DOUBLES totals from 1996-06 on (correction), and lands
+    the 1997+ rows (new data). ``VersionedTable.diff`` classifies every
+    key as insert/delete/update/unchanged via ONE full outer join with
+    null-safe column comparison; the emitted change rows (unchanged
+    excluded — this is what a downstream consumer replays) hash-check
+    against a literal FULL OUTER JOIN oracle. This is the Delta
+    CDF / Iceberg-changelog capability on plain snapshot-versioned
+    parquet — no log, works between ANY two committed versions.
+
+    Scale shape: one key-partitioned shuffle per side feeding a single
+    sort-merge full outer join; column comparison is codegen'd per row.
+    At 100 TB the diff of two snapshots costs the same as one big join —
+    no per-merge log replay, and bucketing both snapshots by the merge
+    keys would eliminate even that shuffle."""
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+
+    o = t(spark, sf_dir, "orders")
+    v0 = o.where("o_orderdate < DATE '1997-01-01'").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    v1 = o.where("o_orderdate >= DATE '1995-01-01'").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") >= F.to_date(F.lit("1996-06-01")),
+            F.col("o_totalprice") * 2,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+    )
+    vt = VersionedTable(spark, _scratch_dir(spark, "l15"))
+    vt.write(v0)
+    vt.write(v1)
+    return (
+        vt.diff(0, 1, ["o_orderkey"])
+        .where("change_type <> 'unchanged'")
+        .select(
+            "change_type",
+            "o_orderkey",
+            "old_o_custkey",
+            "new_o_custkey",
+            "old_o_totalprice",
+            "new_o_totalprice",
+            "old_o_orderdate",
+            "new_o_orderdate",
+        )
+    )

@@ -73,7 +73,10 @@ def apply_output_mapping(staging_df: DataFrame, mapping: list[tuple[str, str, st
 
 
 def merge_upsert(
-    target: DataFrame, updates: DataFrame, keys: list[str]
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    precedence: list[str] | None = None,
 ) -> DataFrame:
     """J3 key-based MERGE: updates win over target on key match, unmatched
     target rows survive, unmatched updates insert.
@@ -83,11 +86,23 @@ def merge_upsert(
     standard CDC-compaction shape Spark optimizes well. On Delta this is
     ``MERGE INTO t USING u ON <keys> WHEN MATCHED UPDATE * WHEN NOT MATCHED
     INSERT *``.
+
+    ``precedence`` (optional): column names forming a lexicographic
+    "newer-wins" tuple (e.g. ``["ts", "event_id"]``). When given, the
+    surviving row per key is the one with the GREATEST precedence tuple —
+    source-vs-target only breaks exact ties (updates win). This is the
+    conditional-merge shape (Delta: ``WHEN MATCHED AND s.ts > t.ts THEN
+    UPDATE``) that makes out-of-order CDC apply order-independent: the
+    final table depends only on the row set, never on which micro-batch
+    delivered which row. When the tuple is a strict total order per key
+    (a unique tie-break column last), the result is fully deterministic.
     """
     tagged = target.withColumn("_prio", F.lit(0)).unionByName(
         updates.withColumn("_prio", F.lit(1))
     )
-    w = W.partitionBy(*keys).orderBy(F.col("_prio").desc())
+    order = [F.col(c).desc() for c in (precedence or [])]
+    order.append(F.col("_prio").desc())
+    w = W.partitionBy(*keys).orderBy(*order)
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .where("_rn = 1")

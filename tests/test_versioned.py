@@ -99,3 +99,62 @@ def test_versioned_streaming_merge(spark, tmp_path):
 
     assert len(vt.versions()) == 3  # one snapshot per micro-batch
     assert rowset(vt.read()) == rowset(latest(src))
+
+
+def test_merge_precedence_newer_wins(spark, tmp_path):
+    """Conditional merge: a STALE update (lower precedence tuple) must not
+    clobber the newer row already in the table; a newer one must; updates
+    win exact-tuple ties. Order of merges can't change the outcome."""
+    vt = VersionedTable(spark, str(tmp_path / "tbl"))
+    schema = "k INT, seq INT, v STRING"
+    vt.write(spark.createDataFrame([(1, 5, "t5"), (2, 1, "t1")], schema))
+
+    # stale for k=1 (seq 3 < 5), fresh for k=2 (seq 4 > 1), insert k=3
+    vt.merge(
+        spark.createDataFrame([(1, 3, "u3"), (2, 4, "u4"), (3, 1, "n1")], schema),
+        ["k"],
+        precedence=["seq"],
+    )
+    got = sorted(tuple(r) for r in vt.read().collect())
+    assert got == [(1, 5, "t5"), (2, 4, "u4"), (3, 1, "n1")]
+
+    # exact tie on the precedence tuple -> the update wins
+    vt.merge(
+        spark.createDataFrame([(1, 5, "tie")], schema), ["k"], precedence=["seq"]
+    )
+    got = sorted(tuple(r) for r in vt.read().collect())
+    assert (1, 5, "tie") in got
+
+    # reversed arrival order of the same two updates -> same final row
+    vt2 = VersionedTable(spark, str(tmp_path / "tbl2"))
+    vt2.write(spark.createDataFrame([(9, 2, "a")], schema))
+    vt2.merge(spark.createDataFrame([(9, 7, "new")], schema), ["k"], ["seq"])
+    vt2.merge(spark.createDataFrame([(9, 4, "old")], schema), ["k"], ["seq"])
+    assert [tuple(r) for r in vt2.read().collect()] == [(9, 7, "new")]
+
+
+def test_snapshot_diff_classification(spark, tmp_path):
+    """diff(v0, v1) classifies insert/delete/update/unchanged with
+    null-safe comparison (NULL->NULL is unchanged, NULL->value is update)."""
+    vt = VersionedTable(spark, str(tmp_path / "tbl"))
+    schema = "k INT, a STRING, b INT"
+    vt.write(
+        spark.createDataFrame(
+            [(1, "keep", 10), (2, "upd", 20), (3, "del", 30), (4, None, None)],
+            schema,
+        )
+    )
+    vt.write(
+        spark.createDataFrame(
+            [(1, "keep", 10), (2, "UPD", 20), (4, None, 40), (5, "ins", 50)],
+            schema,
+        )
+    )
+    d = {r["k"]: r for r in vt.diff(0, 1, ["k"]).collect()}
+    assert d[1]["change_type"] == "unchanged"
+    assert d[2]["change_type"] == "update"
+    assert d[2]["old_a"] == "upd" and d[2]["new_a"] == "UPD"
+    assert d[3]["change_type"] == "delete" and d[3]["new_a"] is None
+    assert d[4]["change_type"] == "update"  # NULL -> 40 is a change
+    assert d[5]["change_type"] == "insert" and d[5]["old_a"] is None
+    assert len(d) == 5
