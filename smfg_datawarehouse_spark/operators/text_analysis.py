@@ -3384,3 +3384,84 @@ def x83_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("cluster_size") * F.col("n_clusters")).over(w)
         ).alias("doc_frac"),
     )
+
+
+@register(
+    "x84_weighted_bernoulli_sample",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(n_docs) AS n_min FROM s),
+    p AS (
+      SELECT source, n_docs, CAST(n_min AS DOUBLE) / n_docs AS p_target
+      FROM s CROSS JOIN m
+    ),
+    u AS (
+      SELECT source,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs, p.p_target,
+           CAST(SUM(CASE WHEN u.u < p.p_target THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN u.u < p.p_target THEN 1 ELSE 0 END) AS DOUBLE)
+             / p.n_docs AS achieved_rate
+    FROM u JOIN p USING (source)
+    GROUP BY p.source, p.n_docs, p.p_target
+    """,
+)
+def x84_weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] REPRODUCIBLE WEIGHTED DOWNSAMPLING — the one-pass rebalancing
+    stage that evens out a source-skewed corpus: each source's inclusion
+    probability is ``n_min / n_source`` (level every source down to the
+    smallest's share), and each document's inclusion decision is a pure
+    function of its id — ``u(doc_id) < p(source)`` with u the portable
+    md5 32-bit-prefix uniform (x29's split hash). No RNG state, no seed
+    plumbing: the SAME doc ids survive on any cluster, any partitioning,
+    any retry — which is what makes a 100 TB sampling stage auditable and
+    resumable (re-running a failed partition cannot change the sample).
+    Output is the per-source audit row: target probability vs achieved
+    rate (exact counts, certified), the report a curation run logs before
+    committing the sampled corpus.
+
+    Determinism: p_target is ONE int/int double division; u is one
+    division of an exact 32-bit integer; the comparison and counts are
+    exact — bit-identical in any engine. Scale shape: one
+    map-side-combined groupBy for the source stats (≤ |sources| rows), a
+    broadcast join back onto the corpus scan, one more tiny rollup —
+    corpus-linear, single data shuffle, no skew sensitivity (the decision
+    needs only the row itself plus a broadcast scalar per source)."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    m = s.agg(F.min("n_docs").alias("n_min"))
+    p = s.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_docs",
+        (F.col("n_min").cast("double") / F.col("n_docs")).alias("p_target"),
+    )
+    u = d.select(
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    hit = F.when(F.col("u") < F.col("p_target"), 1).otherwise(0)
+    return (
+        u.join(F.broadcast(p), "source")
+        .groupBy("source", "n_docs", "p_target")
+        .agg(F.sum(hit).cast("long").alias("n_sampled"))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "p_target",
+            "n_sampled",
+            (F.col("n_sampled").cast("double") / F.col("n_docs")).alias(
+                "achieved_rate"
+            ),
+        )
+    )

@@ -309,3 +309,23 @@ def test_q87_latency_profile_no_self_join(spark):
     schemas = read_schemas(df)
     assert len(schemas) == 1
     assert_no_cartesian(df)
+
+
+def test_l15_diff_is_one_full_outer_join(spark):
+    # snapshot diff = two snapshot scans into ONE join (full outer SMJ or
+    # AQE-chosen hash) — one exchange per side, no cartesian, and the
+    # change classification stays in the projection (no extra shuffle)
+    df = qmod.all_queries()["l15_snapshot_diff"](spark, SF)
+    assert_no_cartesian(df)
+    assert exchange_count(df) <= 2
+
+
+def test_x84_sampler_broadcasts_source_stats(spark):
+    # the per-source probability table must broadcast onto the corpus
+    # scan (it is |sources|-sized); a sort-merge join here would shuffle
+    # the whole corpus by source — the exact skew this op must not have
+    df = qmod.all_queries()["x84_weighted_bernoulli_sample"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert_no_cartesian(df)

@@ -158,3 +158,18 @@ def test_snapshot_diff_classification(spark, tmp_path):
     assert d[4]["change_type"] == "update"  # NULL -> 40 is a change
     assert d[5]["change_type"] == "insert" and d[5]["old_a"] is None
     assert len(d) == 5
+
+
+def test_precedence_merge_replay_idempotent(spark, tmp_path):
+    """At-least-once safety: re-applying the SAME batch (a foreachBatch
+    replay after a crash between merge and checkpoint commit) must leave
+    the table content unchanged — the precedence tuple makes the merge
+    idempotent, so the CDC path tolerates redelivery without markers."""
+    vt = VersionedTable(spark, str(tmp_path / "tbl"))
+    schema = "k INT, seq INT, v STRING"
+    vt.write(spark.createDataFrame([(1, 1, "a"), (2, 9, "z")], schema))
+    batch = spark.createDataFrame([(1, 5, "b"), (3, 2, "c")], schema)
+    vt.merge(batch, ["k"], precedence=["seq"])
+    first = sorted(tuple(r) for r in vt.read().collect())
+    vt.merge(batch, ["k"], precedence=["seq"])  # replay
+    assert sorted(tuple(r) for r in vt.read().collect()) == first
