@@ -3622,3 +3622,63 @@ def l15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_o_orderdate",
         )
     )
+
+
+@register(
+    "l16_changelog_replay",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderdate >= DATE '1996-06-01'
+                THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate
+    FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+    """,
+)
+def l16_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3/S7] CHANGELOG REPLAY certified — the CONSUMER side of l15's
+    CDC contract: ``apply_changeset(v0, diff(v0, v1)) == v1``. A replica
+    holding only v0 plus the change rows reconstructs v1 exactly —
+    deletes anti-joined out, inserts/updates merged in — and the
+    reconstruction is (a) gated in-engine against the stored v1
+    (count + exceptAll must both agree; a lossy diff or a wrong apply
+    raises here) and (b) hash-checked against the restatement oracle.
+    Together l15+l16 prove the changelog is complete AND sufficient:
+    nothing the diff emits is wrong, and nothing it omits is needed.
+
+    Scale shape: replay costs O(base + changes) — one anti-join shuffle
+    and one merge shuffle, both on the table key; the replica never
+    rescans the source table. This is the snapshot-replication pattern
+    (Delta CDF consumers, cross-region replicas) on plain versioned
+    parquet."""
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+    from smfg_datawarehouse_spark.transform import apply_changeset
+
+    o = t(spark, sf_dir, "orders")
+    v0 = o.where("o_orderdate < DATE '1997-01-01'").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    v1 = o.where("o_orderdate >= DATE '1995-01-01'").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") >= F.to_date(F.lit("1996-06-01")),
+            F.col("o_totalprice") * 2,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+    )
+    vt = VersionedTable(spark, _scratch_dir(spark, "l16"))
+    vt.write(v0)
+    vt.write(v1)
+    changes = vt.diff(0, 1, ["o_orderkey"]).where("change_type <> 'unchanged'")
+    rec = apply_changeset(vt.read(0), changes, ["o_orderkey"]).persist()
+    stored = vt.read(1)
+    n_rec, n_v1 = rec.count(), stored.count()
+    n_extra = rec.exceptAll(stored).count()
+    if n_rec != n_v1 or n_extra:
+        raise RuntimeError(
+            f"changelog replay diverged: reconstructed {n_rec} rows vs "
+            f"stored {n_v1}, {n_extra} rows not in v1"
+        )
+    return rec

@@ -110,6 +110,30 @@ def merge_upsert(
     )
 
 
+def apply_changeset(
+    base: DataFrame, changes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Replay a CDC changeset (``VersionedTable.diff`` output shape:
+    ``keys + change_type + new_<col>...``) onto a base snapshot — the
+    CONSUMER side of the changelog contract: ``apply_changeset(v_from,
+    diff(v_from, v_to), keys) == v_to`` row-for-row. This is how a
+    downstream replica ingests a snapshot delta without rescanning the
+    source: O(base + changes), one anti-join shuffle for the deletes and
+    one merge shuffle for the upserts, both keyed — at 100 TB the replica
+    pays for the change volume, never the table.
+
+    ``unchanged`` rows (if present) are ignored; ``delete`` keys are
+    removed; ``insert``/``update`` rows land with their ``new_`` values.
+    """
+    vals = [c[len("new_") :] for c in changes.columns if c.startswith("new_")]
+    deletes = changes.where(F.col("change_type") == "delete").select(*keys)
+    upserts = changes.where(
+        F.col("change_type").isin("insert", "update")
+    ).select(*keys, *[F.col(f"new_{c}").alias(c) for c in vals])
+    survived = base.join(deletes, keys, "left_anti")
+    return merge_upsert(survived, upserts, keys)
+
+
 def merge_into_parquet(
     spark: SparkSession, target_path: str, updates: DataFrame, keys: list[str]
 ) -> int:

@@ -173,3 +173,27 @@ def test_precedence_merge_replay_idempotent(spark, tmp_path):
     first = sorted(tuple(r) for r in vt.read().collect())
     vt.merge(batch, ["k"], precedence=["seq"])  # replay
     assert sorted(tuple(r) for r in vt.read().collect()) == first
+
+
+def test_apply_changeset_roundtrip(spark, tmp_path):
+    """apply_changeset(v0, diff(v0, v1)) == v1, whether or not the
+    changeset still carries its 'unchanged' rows."""
+    from smfg_datawarehouse_spark.transform import apply_changeset
+
+    vt = VersionedTable(spark, str(tmp_path / "tbl"))
+    schema = "k INT, a STRING, b INT"
+    vt.write(
+        spark.createDataFrame(
+            [(1, "keep", 10), (2, "upd", 20), (3, "del", 30)], schema
+        )
+    )
+    vt.write(
+        spark.createDataFrame(
+            [(1, "keep", 10), (2, "UPD", 21), (5, "ins", 50)], schema
+        )
+    )
+    want = sorted(tuple(r) for r in vt.read(1).collect())
+    full = vt.diff(0, 1, ["k"])
+    for changes in (full, full.where("change_type <> 'unchanged'")):
+        got = apply_changeset(vt.read(0), changes, ["k"])
+        assert sorted(tuple(r) for r in got.collect()) == want
