@@ -3123,10 +3123,10 @@ def x78_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cells AS (
       SELECT lang, source,
-             CAST(LEAST(strlen(text) // 100, 9) AS BIGINT) AS len_bucket,
+             CAST(LEAST(length(text) // 100, 9) AS BIGINT) AS len_bucket,
              COUNT(*) AS cell_size
       FROM documents
-      GROUP BY lang, source, LEAST(strlen(text) // 100, 9)
+      GROUP BY lang, source, LEAST(length(text) // 100, 9)
     )
     SELECT lang, source, len_bucket,
            CAST(cell_size AS BIGINT) AS cell_size,
@@ -3144,14 +3144,16 @@ def x79_k_anonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     finds identifying COMBINATIONS of attributes). Length is bucketed to
     100-char bands capped at 9 so the quasi-identifier stays
     low-cardinality (raw lengths would make every doc its own cell and
-    the report vacuous).
+    the report vacuous). Character length on both sides (Spark
+    ``F.length`` == DuckDB ``length``), per the repo's byte-vs-char
+    discipline — bands are *char* bands as named.
 
     Scale shape: one map-side-combined groupBy onto the QI-cell frame
     (|langs|·|sources|·10 rows) — corpus-linear, output tiny; the
     below-k flag is a scan expression on the aggregate."""
     d = t(spark, sf_dir, "documents")
     len_bucket = F.least(
-        F.floor(F.octet_length("text") / 100).cast("long"), F.lit(9).cast("long")
+        F.floor(F.length("text") / 100).cast("long"), F.lit(9).cast("long")
     )
     return (
         d.groupBy("lang", "source", len_bucket.alias("len_bucket"))
@@ -3236,7 +3238,7 @@ def x80_epoch_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(e.vec_id) AS DOUBLE) / COUNT(*) AS coverage,
            CAST(COUNT(DISTINCT e.label) AS BIGINT) AS n_labels,
            CAST(SUM(CASE WHEN e.vec_id IS NOT NULL
-                         THEN strlen(d.text) END) AS BIGINT) AS paired_chars
+                         THEN length(d.text) END) AS BIGINT) AS paired_chars
     FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
     GROUP BY d.source
     """,
@@ -3265,8 +3267,10 @@ def x81_embedding_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("vec_id").cast("long").alias("n_paired"),
         (F.count("vec_id").cast("double") / F.count(F.lit(1))).alias("coverage"),
         F.count_distinct("label").cast("long").alias("n_labels"),
+        # character length (== DuckDB length), not octet_length: the
+        # column is named paired_CHARS — byte-vs-char discipline
         F.sum(
-            F.when(F.col("vec_id").isNotNull(), F.octet_length("text"))
+            F.when(F.col("vec_id").isNotNull(), F.length("text"))
         ).cast("long").alias("paired_chars"),
     )
 

@@ -105,15 +105,45 @@ _CERTIFIED_R02 = {
     "x53_chunk_dedup",
 }
 
-_CERTIFIED = _CERTIFIED_R01 | _CERTIFIED_R02
+#: CORRECTNESS_r03.json greens (50/50): events/window suite, lifecycle
+#: l04-l16, streaming s01/s02, and the round-3 x additions.
+_CERTIFIED_R03 = {
+    "l04_bucketed_colocated_join", "l05_partition_pruned_lake",
+    "l06_realtime_dispatch_lifecycle", "l07_compaction_lifecycle",
+    "l08_partial_failure_rollup", "l09_schema_evolution_lifecycle",
+    "l10_incremental_agg_maintenance", "l11_dynamic_partition_overwrite",
+    "l12_time_travel_read", "l13_vacuum_lifecycle",
+    "l14_jdbc_extraction_lifecycle", "l15_snapshot_diff",
+    "l16_changelog_replay",
+    "q20_tumbling_window", "q21_sliding_window", "q22_session_window",
+    "q23_json_extraction", "q24_window_lag_running",
+    "q25_pivot_daily_events", "q26_cube_event_matrix",
+    "q27_distinct_users", "q28_incremental_watermark",
+    "q29_percentile_stats", "q30_asof_last_purchase",
+    "q32_view_purchase_conversions", "q35_data_profile",
+    "q42_rolling_hour_user_value", "q45_hourly_gap_fill",
+    "q64_event_funnel", "q65_cohort_retention", "q66_user_sessions",
+    "q67_rolling_active_users", "q68_important_parts",
+    "q69_monthly_revenue_growth", "q70_min_cost_supplier",
+    "q71_profit_by_nation_year", "q72_price_histogram",
+    "q73_time_weighted_value", "q74_moving_median",
+    "q75_running_distinct_types", "q76_mad_outliers",
+    "q77_forward_asof_conversion", "q78_unconverted_views",
+    "q81_bloom_join_pushdown", "q86_order_consistency_audit",
+    "s01_streaming_tumbling_window", "s02_streaming_stateful_totals",
+    "x55_dedup_impact_report", "x56_shingle_novelty",
+    "x61_incremental_minhash_dedup",
+}
+
+_CERTIFIED = _CERTIFIED_R01 | _CERTIFIED_R02 | _CERTIFIED_R03
 
 
 def _priority_order(names) -> list[str]:
-    """Never-driver-certified names first (as of round 3: the events
-    suite q20-q30/q32/q35/q42/q45/q64-q78 plus everything added this
-    round — x54-x66, l04, s01-s03, q79), already-certified ones last;
-    stable (registration) order within each tier. The driver samples the
-    FIRST 50 names, so keep the uncertified count ≤ 50 within a round."""
+    """Never-driver-certified names first (as of round 4: q79/q80,
+    q82-q85, q87, s03-s10, x54, x57-x60, x62-x84, plus anything added
+    this round), already-certified ones last; stable (registration)
+    order within each tier. The driver samples the FIRST 50 names, so
+    keep the uncertified count ≤ 50 within a round."""
     tier = lambda n: 1 if n in _CERTIFIED else 0  # noqa: E731
     return sorted(names, key=lambda n: tier(n))
 
@@ -3673,12 +3703,19 @@ def l16_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt.write(v1)
     changes = vt.diff(0, 1, ["o_orderkey"]).where("change_type <> 'unchanged'")
     rec = apply_changeset(vt.read(0), changes, ["o_orderkey"]).persist()
-    stored = vt.read(1)
-    n_rec, n_v1 = rec.count(), stored.count()
-    n_extra = rec.exceptAll(stored).count()
-    if n_rec != n_v1 or n_extra:
-        raise RuntimeError(
-            f"changelog replay diverged: reconstructed {n_rec} rows vs "
-            f"stored {n_v1}, {n_extra} rows not in v1"
-        )
+    try:
+        stored = vt.read(1)
+        n_rec, n_v1 = rec.count(), stored.count()
+        n_extra = rec.exceptAll(stored).count()
+        if n_rec != n_v1 or n_extra:
+            raise RuntimeError(
+                f"changelog replay diverged: reconstructed {n_rec} rows vs "
+                f"stored {n_v1}, {n_extra} rows not in v1"
+            )
+    finally:
+        # the persist only serves the two-count replay gate; release the
+        # cached partitions so repeated invocations in a long-lived app
+        # don't accumulate executor memory (the returned plan recomputes,
+        # which is fine — callers materialize once)
+        rec.unpersist()
     return rec

@@ -69,13 +69,28 @@ def compact(
     """
     n_files = max(min_files, _dir_bytes(path) // target_file_bytes or min_files)
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
+    base = path.rstrip("/")
+    tmp = base + "__compact_tmp"
+    old = base + "__compact_old"
     df.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap (local fs; object stores would use a manifest commit)
+    # Crash-safe swap via two renames (each atomic on a local/POSIX fs):
+    # rename-old-away -> rename-new-in -> delete-old. A crash in the gap
+    # leaves either the original dir or the fully-written new dir at
+    # `path` — a reader never observes an absent directory, and recovery
+    # is restoring/removing the suffixed leftovers. (Object stores have
+    # no atomic rename; there the production shape is a manifest commit —
+    # Delta/Iceberg-style — not this.)
     import shutil
 
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    if os.path.exists(old):  # leftover from a previous crashed swap
+        shutil.rmtree(old)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: restore the original dir
+        raise
+    shutil.rmtree(old)
     return path
 
 

@@ -132,7 +132,21 @@ class VersionedTable:
         n = new.select(
             *keys, *[F.col(c).alias(f"new_{c}") for c in vals]
         ).withColumn("_in_new", F.lit(True))
-        joined = o.join(n, keys, "full_outer")
+        # null-safe key equality: a row whose merge key is NULL must match
+        # itself across versions (plain `=` would misclassify it as a
+        # simultaneous delete+insert). Catalyst extracts `<=>` as an
+        # equi-join key, so this still plans as a hash/sort-merge join.
+        cond = None
+        for k in keys:
+            c = o[k].eqNullSafe(n[k])
+            cond = c if cond is None else (cond & c)
+        joined = o.join(n, cond, "full_outer").select(
+            *[F.coalesce(o[k], n[k]).alias(k) for k in keys],
+            *[f"old_{c}" for c in vals],
+            *[f"new_{c}" for c in vals],
+            "_in_old",
+            "_in_new",
+        )
         changed = F.lit(False)
         for c in vals:
             changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))

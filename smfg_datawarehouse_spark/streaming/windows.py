@@ -138,8 +138,14 @@ def run_stream_to_memory(
     drain (state-store partition sizing — see DRAIN_STATE_PARTITIONS):
     Structured Streaming pins the count into the query's checkpoint at
     start, so setting it before ``start()`` and restoring after the drain
-    cannot leak into other queries' plans — every drain here uses a fresh
-    checkpoint."""
+    cannot leak into THIS query's future plans — every drain here uses a
+    fresh checkpoint. The set-then-restore IS session-global while the
+    drain runs, though: an unrelated batch query planned concurrently on
+    the same SparkSession from another driver thread would inherit the
+    override. This engine's runners are single-threaded on the driver
+    (one query in flight per session); a multi-threaded deployment should
+    hand this function a dedicated ``spark.newSession()`` so the override
+    is scoped to that session's conf."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

@@ -102,3 +102,40 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_compact_swap_crash_safe(spark, tmp_path, monkeypatch):
+    """compact()'s swap must never leave a window where `path` is absent:
+    kill the swap at the worst point (after rename-old-away, before
+    rename-new-in fails) and assert the original dir is restored intact."""
+    import os
+
+    from smfg_datawarehouse_spark.sources import lake
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).withColumn("v", F.col("id") * 2).write.parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    real_rename = os.rename
+    def failing_rename(src, dst):
+        if src.endswith("__compact_tmp"):  # the rename-new-in step
+            raise OSError("injected crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    try:
+        lake.compact(spark, path, target_file_bytes=1 << 30)
+        raise AssertionError("expected the injected OSError to propagate")
+    except OSError:
+        pass
+    monkeypatch.undo()
+
+    # original data is back at `path` (rolled back), readable and intact
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(path + "__compact_old")
+
+    # and a clean run afterwards still compacts to one file
+    lake.compact(spark, path, target_file_bytes=1 << 30)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before

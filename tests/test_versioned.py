@@ -160,6 +160,21 @@ def test_snapshot_diff_classification(spark, tmp_path):
     assert len(d) == 5
 
 
+def test_snapshot_diff_null_key(spark, tmp_path):
+    """A row whose merge key is NULL must match itself across versions
+    (null-safe key join), not be misread as a delete+insert pair."""
+    vt = VersionedTable(spark, str(tmp_path / "tbl"))
+    schema = "k INT, v STRING"
+    vt.write(spark.createDataFrame([(None, "same"), (1, "a")], schema))
+    vt.write(spark.createDataFrame([(None, "SAME"), (1, "a")], schema))
+    d = vt.diff(0, 1, ["k"]).collect()
+    by_key = {r["k"]: r for r in d}
+    assert len(d) == 2  # NULL key produced ONE row, not delete+insert
+    assert by_key[None]["change_type"] == "update"
+    assert by_key[None]["old_v"] == "same" and by_key[None]["new_v"] == "SAME"
+    assert by_key[1]["change_type"] == "unchanged"
+
+
 def test_precedence_merge_replay_idempotent(spark, tmp_path):
     """At-least-once safety: re-applying the SAME batch (a foreachBatch
     replay after a crash between merge and checkpoint commit) must leave
