@@ -277,3 +277,196 @@ def x31_multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact pipeline shape a PIL/pyav decode slots into."""
     d = t(spark, sf_dir, "documents")
     return resize_and_sample(documents_as_assets(d))
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode, zero dependencies: PNG encode→decode round trip.
+# The decode stubs above slot a media lib in when one exists; this path
+# proves the decode plumbing with an ACTUAL codec — PNG needs only zlib
+# (stdlib): the engine synthesizes valid 8-bit grayscale PNGs (correct
+# chunk CRCs, deflate-compressed scanlines) and a separate decode stage
+# walks the chunk stream, CRC-checks IHDR, inflates every IDAT, and
+# validates the scanline byte count. The oracle predicts the generator's
+# md5-derived dimensions, so a parser that misreads the header (or skips
+# the inflate) cannot hash-match.
+# ---------------------------------------------------------------------------
+
+PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+PNG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("bit_depth", T.LongType(), True),
+        T.StructField("color_type", T.LongType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("crc_ok", T.BooleanType(), True),
+        T.StructField("idat_ok", T.BooleanType(), True),
+    ]
+)
+
+
+def encode_png_gray8(width: int, height: int, seed: int) -> bytes:
+    """A valid minimal 8-bit grayscale PNG: IHDR + one IDAT + IEND, filter
+    type 0 per scanline, pixel (r, c) = (seed·31 + r·7 + c·13) mod 256."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    for r in range(height):
+        raw.append(0)  # filter: None
+        for c in range(width):
+            raw.append((seed * 31 + r * 7 + c * 13) % 256)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_header(payload: bytes) -> dict:
+    """REAL PNG decode (no media lib): signature check, IHDR parse with
+    CRC verification, full IDAT inflate with scanline-length validation.
+    Returns NULL-ish fields (and ok=False flags) for unparseable payloads
+    — one bad asset flags, never fails, the batch (same policy as
+    :func:`decode_image_stub`)."""
+    import struct
+    import zlib
+
+    bad = {
+        "width": None, "height": None, "bit_depth": None, "color_type": None,
+        "n_pixels": None, "crc_ok": False, "idat_ok": False,
+    }
+    if not payload or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return bad
+    try:
+        pos, idat = 8, b""
+        out = dict(bad)
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos:pos + 4])
+            ctype = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + length:pos + 12 + length]
+            )
+            if ctype == b"IHDR":
+                w, h, depth, color = struct.unpack(">IIBB", data[:10])
+                out.update(
+                    width=w, height=h, bit_depth=depth, color_type=color,
+                    n_pixels=w * h,
+                    crc_ok=(zlib.crc32(ctype + data) & 0xFFFFFFFF) == crc,
+                )
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if out["width"] is not None and out["crc_ok"]:
+            raw = zlib.decompress(idat)
+            # grayscale-8: each scanline = 1 filter byte + width samples
+            out["idat_ok"] = len(raw) == out["height"] * (1 + out["width"])
+        return out
+    except Exception:
+        return bad
+
+
+def documents_as_png_assets(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL (decodable, CRC-valid) PNG per document, with
+    md5-derived dimensions — w = 8 + hex[0:2] % 32, h = 8 + hex[2:4] % 32
+    (the x31 stub's derivation, smaller range) — so the decode stage's
+    output is predictable by the SQL oracle without the oracle having to
+    decode anything. Arrow-batched; at scale this stage is where real
+    image bytes would enter from a binaryFile read instead."""
+    import hashlib
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                w = 8 + int(hx[0:2], 16) % 32
+                h = 8 + int(hx[2:4], 16) % 32
+                payloads.append(encode_png_gray8(w, h, int(doc_id)))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return (
+        docs.select("doc_id", "text").repartition(n_parts).mapInPandas(gen, PNG_SCHEMA)
+    )
+
+
+def decode_png_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched real-PNG decode stage (header + CRC + inflate)."""
+    n_parts = assets.sparkSession.sparkContext.defaultParallelism
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_png_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "bit_depth": [f["bit_depth"] for f in feats],
+                    "color_type": [f["color_type"] for f in feats],
+                    "n_pixels": [f["n_pixels"] for f in feats],
+                    "crc_ok": [f["crc_ok"] for f in feats],
+                    "idat_ok": [f["idat_ok"] for f in feats],
+                }
+            )
+
+    return assets.repartition(n_parts).mapInPandas(batches, PNG_DECODE_SCHEMA)
+
+
+_PNG_ORACLE = f"""
+    WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    dims AS (
+      SELECT doc_id,
+             8 + {_hex2('h', 1)} % 32 AS w,
+             8 + {_hex2('h', 3)} % 32 AS ht
+      FROM hashed
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(ht AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(0 AS BIGINT) AS color_type,
+           CAST(w * ht AS BIGINT) AS n_pixels,
+           TRUE AS crc_ok,
+           TRUE AS idat_ok
+    FROM dims
+"""
+
+
+@register("x89_png_decode_roundtrip", _PNG_ORACLE)
+def x89_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] REAL image decode, end to end and dependency-free: synthesize a
+    valid 8-bit grayscale PNG per document (deflate IDAT, correct chunk
+    CRCs), then DECODE it for real in a second Arrow stage — chunk walk,
+    IHDR CRC verification, full zlib inflate, scanline-count validation.
+    The oracle predicts the md5-derived dimensions independently, so the
+    round trip certifies the codec path (a misparsed header, a skipped
+    CRC, or a truncated inflate all hash-mismatch). This closes the
+    'decode is stubbed' caveat on x30/x31 with an actual codec this
+    container can run."""
+    d = t(spark, sf_dir, "documents")
+    return decode_png_assets(documents_as_png_assets(d))

@@ -1319,6 +1319,359 @@ def x59_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_rerank_topk(e, queries, k=10, coarse_k=SQ8_COARSE_K)
 
 
+# ---------------------------------------------------------------------------
+# PQ two-stage ANN: product-quantized codes + ADC coarse scan + exact rerank
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # centroids per subspace codebook
+PQ_COARSE_K = 50
+
+
+def _pq_best(sv_sql: str, cb_sub: list[tuple[int, list[float]]]):
+    """Nearest-codebook-entry struct(dist, cid) for one subspace —
+    expression-only, same literal-centroid trick as :func:`_km_assign`:
+    the codebook enters the plan as bytes, assignment is a scan-side
+    ``transform`` + ``array_min`` with zero joins/shuffles. Squared-L2
+    folds left-to-right; struct ordering breaks dist ties on lowest cid,
+    matching the oracle's ``ORDER BY dist, cid``.
+
+    Built as ONE ``F.expr`` SQL string, not nested ``F.lit`` columns: the
+    codebook is k×dim literals and constructing them as Column objects
+    costs a py4j round trip each (~1.5 s of pure driver time per
+    assignment at k=16, dim=64) — a single parsed string is one call for
+    the same Catalyst tree. ``repr(float)`` + ``D`` suffix round-trips
+    every double bit-exactly through the SQL parser."""
+    cents = ",".join(
+        f"named_struct('cid',{cid},'cv',array({','.join(f'{x!r}D' for x in cv)}))"
+        for cid, cv in cb_sub
+    )
+    return F.expr(
+        f"array_min(transform(array({cents}),"
+        "c -> named_struct("
+        f"'dist', aggregate(zip_with({sv_sql}, c.cv,"
+        " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x),"
+        "'cid', c.cid)))"
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    coarse_k: int = PQ_COARSE_K,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., IEEE TPAMI 2011 — the
+    memory-bound complement to :func:`sq8_rerank_topk`'s scalar
+    quantization): vectors are split into ``m`` subspaces, each subspace
+    gets its own ``kc``-entry codebook (deterministic Lloyd: lowest-id
+    seeds + one micro-grid update round — the same kernel/grid as
+    :func:`kmeans_lloyd`), and the corpus is stored as ``m`` small codes
+    per vector (m·log2(kc) bits ≈ 2 bytes/vector here vs 256 bytes of
+    raw doubles — a 100 TB corpus's codes fit a fraction of cluster RAM).
+
+    Search is **ADC** (asymmetric distance computation): each query
+    precomputes a (m × kc) table of exact squared-L2 distances from its
+    sub-vectors to every codebook entry, micro-quantized to int64; a
+    corpus vector's approximate distance is then the EXACT integer sum of
+    m table lookups — no float accumulation order to diverge on, so the
+    approximation is bit-reproducible and the oracle replays training,
+    encoding, ADC, and rerank end-to-end.
+
+    Plan shape at scale: codebook training touches the corpus twice
+    (assign + micro-mean, k·m·dim aggregated rows to the driver — KBs);
+    encoding is a pure scan expression (codebook literals, zero
+    shuffle); the ADC scan is ONE ``mapInPandas`` pass over the codes
+    with the per-query tables broadcast (nothing pair-shaped shuffles,
+    partial top-k per partition — :func:`brute_force_topk`'s skeleton);
+    the exact-cosine rerank touches full-precision vectors for only
+    Q×coarse_k candidates (broadcast join)."""
+    import math
+
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).persist()
+    try:
+        first = vecs.orderBy("vec_id").limit(kc).collect()
+        if not first:
+            raise ValueError("empty corpus")
+        dim = len(first[0]["v"])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        # init: sub-slices of the kc lowest-id vectors, micro-quantized
+        cb: dict[int, list[tuple[int, list[float]]]] = {
+            sub: [
+                (
+                    cid,
+                    [_quant(float(x)) for x in row.v[sub * dsub:(sub + 1) * dsub]],
+                )
+                for cid, row in enumerate(first)
+            ]
+            for sub in range(m)
+        }
+        # ONE Lloyd update round across ALL subspaces in a single job:
+        # explode each vector into (sub, sv, cid) rows scan-side, then one
+        # micro-unit mean aggregation — m·kc·dsub rows back to the driver
+        subs = [
+            F.struct(
+                F.lit(sub).alias("sub"),
+                F.slice(F.col("v"), sub * dsub + 1, dsub).alias("sv"),
+                _pq_best(f"slice(v, {sub * dsub + 1}, {dsub})", cb[sub])[
+                    "cid"
+                ].alias("cid"),
+            )
+            for sub in range(m)
+        ]
+        rows = (
+            vecs.select(F.explode(F.array(*subs)).alias("s"))
+            .select("s.sub", "s.cid", F.posexplode("s.sv").alias("dim", "val"))
+            .groupBy("sub", "cid", "dim")
+            .agg(
+                F.sum(F.floor(F.col("val") * 1000000.0 + 0.5).cast("long")).alias(
+                    "ms"
+                ),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            means.setdefault((r.sub, r.cid), {})[r.dim] = _quant(
+                float(r.ms) / 1000000.0 / r.n
+            )
+        cb = {
+            sub: [
+                (
+                    cid,
+                    [means[(sub, cid)][d] for d in range(dsub)]
+                    if (sub, cid) in means
+                    else cv,  # empty cluster keeps its previous centroid
+                )
+                for cid, cv in cb[sub]
+            ]
+            for sub in range(m)
+        }
+
+        # final encode: m scan-side code columns, zero shuffle
+        codes = vecs.select(
+            "vec_id",
+            F.array(
+                *[
+                    _pq_best(f"slice(v, {sub * dsub + 1}, {dsub})", cb[sub])[
+                        "cid"
+                    ].cast("long")
+                    for sub in range(m)
+                ]
+            ).alias("codes"),
+        )
+
+        # per-query ADC tables: exact left-to-right folds on the driver
+        # (Q·m·kc·dsub float ops — trivial), micro-quantized to int64 so
+        # the executor-side sum over subspaces is exact integer arithmetic
+        qids, qmat = _collect_matrix(queries, id_col, vec_col)
+        dt = np.empty((len(qids), m, kc), dtype=np.int64)
+        for qi in range(len(qids)):
+            for sub in range(m):
+                qoff = sub * dsub
+                for cid, cv in cb[sub]:
+                    acc = 0.0
+                    for i in range(dsub):
+                        dlt = float(qmat[qi, qoff + i]) - cv[i]
+                        acc += dlt * dlt
+                    dt[qi, sub, cid] = math.floor(acc * 1000000.0 + 0.5)
+
+        spark = corpus.sparkSession
+        bdt = spark.sparkContext.broadcast((qids, dt))
+        n_parts = spark.sparkContext.defaultParallelism
+
+        def score_partition(it):
+            ids, dtab = bdt.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+                cm = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+                approx = np.zeros((len(nid), len(ids)), dtype=np.int64)
+                for sub in range(m):
+                    # dtab[:, sub, :] is Q×kc; gather per corpus code → Q×b
+                    approx += dtab[:, sub, :][:, cm[:, sub]].T
+                # negate so _topk_rows' score-DESC order = distance ASC;
+                # int64/1e6 → double is exact at these magnitudes
+                yield _topk_rows(-(approx.astype(np.float64) / 1e6), nid, ids, coarse_k)
+
+        partial = (
+            codes.repartition(n_parts)
+            .select("vec_id", "codes")
+            .mapInPandas(score_partition, _PARTIAL_SCHEMA)
+        )
+        coarse = _global_topk(partial, coarse_k).select(
+            "query_id", "neighbor_id", (-F.col("cos_sim")).alias("adc_dist")
+        )
+        cv_ = corpus.select(
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        qv = queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        joined = cv_.join(F.broadcast(coarse), "neighbor_id").join(
+            F.broadcast(qv), "query_id"
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        norm = lambda col: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        rr = joined.select(
+            "query_id", "neighbor_id", "adc_dist",
+            (dot / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos_sim"),
+        ).where(
+            F.col("cos_sim").isNotNull()
+            & ~F.isnan("cos_sim")
+            & (F.abs("cos_sim") != float("inf"))
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            rr.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "adc_dist", "cos_sim",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+    finally:
+        # the persist only serves the bounded training collects; the
+        # returned plan re-reads the source (one extra scan) rather than
+        # pinning corpus-sized cache in a long-lived app
+        vecs.unpersist()
+
+
+_PQ_SUBV = (
+    f"SELECT vec_id, sub, list_slice(v, sub * {64 // PQ_M} + 1, "
+    f"(sub + 1) * {64 // PQ_M}) AS sv "
+    f"FROM vecs, (SELECT unnest(range({PQ_M})) AS sub)"
+)
+
+_PQ_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    subv AS ({_PQ_SUBV}),
+    c0 AS (
+      SELECT sub,
+             CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                  AS INTEGER) AS cid,
+             list_transform(sv, x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS cv
+      FROM subv
+      WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    a1 AS (
+      SELECT vec_id, sub, sv, cid FROM (
+        SELECT t.vec_id, t.sub, t.sv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
+                                  ORDER BY {_km_dist('t.sv', 'c.cv')}, c.cid) AS rn
+        FROM subv t JOIN c0 c ON c.sub = t.sub
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT sub, cid, dim,
+             CAST(SUM(CAST(floor(val * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS mean
+      FROM (SELECT sub, cid, unnest(sv) AS val,
+                   unnest(range(len(sv))) AS dim FROM a1)
+      GROUP BY sub, cid, dim
+    ),
+    c1 AS (
+      SELECT p.sub, p.cid, COALESCE(mm.cv, p.cv) AS cv
+      FROM c0 p LEFT JOIN (
+        SELECT sub, cid, list(floor(mean * 1000000.0 + 0.5) / 1000000.0
+                              ORDER BY dim) AS cv
+        FROM m1 GROUP BY sub, cid
+      ) mm ON mm.sub = p.sub AND mm.cid = p.cid
+    ),
+    codes AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT t.vec_id, t.sub, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
+                                  ORDER BY {_km_dist('t.sv', 'c.cv')}, c.cid) AS rn
+        FROM subv t JOIN c1 c ON c.sub = t.sub
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id % 25 = 0),
+    qsub AS (
+      SELECT query_id, sub, list_slice(qv, sub * {64 // PQ_M} + 1,
+                                       (sub + 1) * {64 // PQ_M}) AS qs
+      FROM q, (SELECT unnest(range({PQ_M})) AS sub)
+    ),
+    dtab AS (
+      SELECT s.query_id, c.sub, c.cid,
+             CAST(floor({_km_dist('s.qs', 'c.cv')} * 1000000.0 + 0.5)
+                  AS BIGINT) AS dmicro
+      FROM qsub s JOIN c1 c ON c.sub = s.sub
+    ),
+    adc AS (
+      SELECT d.query_id, k.vec_id AS neighbor_id,
+             CAST(SUM(d.dmicro) AS DOUBLE) / 1000000.0 AS adc_dist
+      FROM codes k JOIN dtab d ON d.sub = k.sub AND d.cid = k.cid
+      WHERE k.vec_id <> d.query_id
+      GROUP BY d.query_id, k.vec_id
+    ),
+    coarse AS (
+      SELECT query_id, neighbor_id, adc_dist FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_COARSE_K}
+    ),
+    rr AS (
+      SELECT c.query_id, c.neighbor_id, c.adc_dist,
+             {_dcos('q.qv', 't.v')} AS cos_sim
+      FROM coarse c
+      JOIN q ON q.query_id = c.query_id
+      JOIN vecs t ON t.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, cos_sim,
+           CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id, adc_dist, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM rr
+      WHERE cos_sim IS NOT NULL AND isfinite(cos_sim)
+    ) WHERE rank <= 10
+"""
+
+
+@register("x85_pq_adc_topk", _PQ_ORACLE)
+def x85_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] PRODUCT-QUANTIZATION ANN top-10 for every 25th vector: m=4
+    subspace codebooks (16 entries each, deterministic one-round Lloyd on
+    the micro-grid), int codes + exact-integer ADC coarse top-50, exact
+    double-cosine rerank. Training, encoding, the ADC table, and the
+    rerank are all replayed bit-for-bit by the oracle — the complete
+    compressed-index lifecycle is hash-certified, complementing x59's
+    scalar quantization with the sub-byte/vector memory layout a 100 TB
+    index actually ships."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 25 == 0)
+    return pq_adc_topk(e, queries, k=10)
+
+
 _SEMCON_ORACLE = f"""
     WITH vecs AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -3469,3 +3469,148 @@ def x84_weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@register(
+    "x87_domain_reweighting",
+    r"""
+    WITH tk AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), tok AS (
+      SELECT source, tokw FROM tk, UNNEST(t) AS u(tokw)
+    ), cst AS (
+      SELECT source, tokw, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, tokw
+    ), nd AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), ns AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY source
+    ), ct AS (
+      SELECT tokw, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY tokw
+    ), tot AS (
+      SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM cst
+    ), pu AS (
+      SELECT tokw, c_t, tot.n,
+             CAST(floor(CAST(c_t AS DOUBLE) / tot.n * 1e15 + 0.5)
+                  AS BIGINT) AS p_units
+      FROM ct CROSS JOIN tot
+    ), src AS (
+      SELECT cst.source,
+             CAST(SUM(cst.c_st * pu.p_units) AS DOUBLE) / 1e15 / MAX(ns.n_s)
+               AS mean_token_prob
+      FROM cst JOIN pu USING (tokw) JOIN ns ON ns.source = cst.source
+      GROUP BY cst.source
+    ), ref AS (
+      SELECT CAST(SUM(c_t * p_units) AS DOUBLE) / 1e15 / MAX(n) AS ref_prob
+      FROM pu
+    ), wts AS (
+      SELECT s.source, nd.n_docs, ns.n_s,
+             CAST(ns.n_s AS DOUBLE) / tot.n AS natural_share,
+             s.mean_token_prob,
+             greatest(0.0, (r.ref_prob - s.mean_token_prob) / r.ref_prob)
+               AS excess,
+             CAST(floor((CAST(ns.n_s AS DOUBLE) / tot.n)
+                        * (1.0 + greatest(0.0, (r.ref_prob - s.mean_token_prob)
+                                               / r.ref_prob))
+                        * 1e12 + 0.5) AS BIGINT) AS u
+      FROM src s
+      JOIN nd ON nd.source = s.source
+      JOIN ns ON ns.source = s.source
+      CROSS JOIN tot CROSS JOIN ref r
+    )
+    SELECT source, n_docs, CAST(n_s AS BIGINT) AS n_tokens,
+           natural_share, mean_token_prob, excess,
+           CAST(u AS DOUBLE) / CAST(SUM(u) OVER () AS DOUBLE) AS doremi_weight
+    FROM wts
+    """,
+)
+def x87_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] DoReMi-style PER-DOMAIN REWEIGHTING audit (Xie et al.,
+    arXiv:2305.10429): domains whose tokens fit the corpus-wide unigram
+    reference WORSE get upweighted relative to their natural share —
+    the mixture-adjustment step between x37's scoring and x67's mixture
+    application. The excess-loss proxy is RATIONAL, not transcendental
+    (repo discipline: log/exp are not bit-reproducible across engines):
+    per-domain mean token probability under the corpus unigram LM stands
+    in for negative loss, excess_s = max(0, (ref − p_s)/ref) ∈ [0, 1)
+    for the clipped excess, and the DoReMi multiplicative update with
+    η = 1 becomes weight_s ∝ natural_share_s · (1 + excess_s),
+    normalized. Same ranking signal as the published exp(η·excess)
+    update in the small-excess regime, bit-replayable everywhere.
+
+    Determinism: token probabilities on the exact femto-grid (x37's
+    convention), per-domain sums are exact integer, the weight enters a
+    pico-unit integer before the window normalization (x39's idiom) —
+    the output is a pure function of counts. Scale shape: ONE tokenize+
+    explode pass into the cached (source, token) count table (vocab-
+    sized), everything downstream is vocab- or domain-sized broadcasts;
+    no corpus-sized shuffle beyond the count groupBy."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    tok = (
+        d.repartition(n_parts)
+        .withColumn("_tk", word_tokens(F.col("text")))
+        .select("source", F.explode("_tk").alias("tokw"))
+    )
+    cst = tok.groupBy("source", "tokw").agg(F.count(F.lit(1)).alias("c_st")).cache()
+    nd = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ns = cst.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    ct = cst.groupBy("tokw").agg(F.sum("c_st").cast("long").alias("c_t"))
+    tot = cst.agg(F.sum("c_st").cast("long").alias("n"))
+    pu = ct.crossJoin(F.broadcast(tot)).select(
+        "tokw", "c_t", "n",
+        F.floor(F.col("c_t").cast("double") / F.col("n") * 1e15 + 0.5)
+        .cast("long")
+        .alias("p_units"),
+    )
+    src = (
+        cst.join(F.broadcast(pu.select("tokw", "p_units")), "tokw")
+        .join(F.broadcast(ns), "source")
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(F.col("c_st") * F.col("p_units")).cast("double")
+                / 1e15
+                / F.max("n_s")
+            ).alias("mean_token_prob")
+        )
+    )
+    ref = pu.agg(
+        (
+            F.sum(F.col("c_t") * F.col("p_units")).cast("double")
+            / 1e15
+            / F.max("n")
+        ).alias("ref_prob")
+    )
+    excess = F.greatest(
+        F.lit(0.0),
+        (F.col("ref_prob") - F.col("mean_token_prob")) / F.col("ref_prob"),
+    )
+    share = F.col("n_s").cast("double") / F.col("n")
+    u = F.floor(share * (F.lit(1.0) + excess) * 1e12 + 0.5).cast("long")
+    w = W.partitionBy()
+    return (
+        src.join(F.broadcast(nd), "source")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "source", "n_docs",
+            F.col("n_s").alias("n_tokens"),
+            share.alias("natural_share"),
+            "mean_token_prob",
+            excess.alias("excess"),
+            u.alias("u"),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "natural_share",
+            "mean_token_prob", "excess",
+            (
+                F.col("u").cast("double") / F.sum("u").over(w).cast("double")
+            ).alias("doremi_weight"),
+        )
+    )

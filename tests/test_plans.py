@@ -329,3 +329,35 @@ def test_x84_sampler_broadcasts_source_stats(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert_no_cartesian(df)
+
+
+def test_x85_pq_rerank_joins_broadcast(spark):
+    # PQ-ADC mirrors x59's skeleton: coarse candidate set (Q×50) and
+    # query vectors both broadcast for the rerank — the corpus is never
+    # shuffled pair-shaped; codebook training/encoding are scan-side
+    df = qmod.all_queries()["x85_pq_adc_topk"](spark, SF)
+    assert broadcast_join_count(df) == 2
+    assert_no_cartesian(df)
+
+
+def test_x86_substring_anchor_join_no_cartesian(spark):
+    # the anchor self-join must key on the anchor text (Σ df² candidate
+    # pattern), never degrade to a cartesian pair enumeration
+    df = qmod.all_queries()["x86_substring_dedup"](spark, SF)
+    assert_no_cartesian(df)
+
+
+def test_x87_domain_reweighting_broadcasts(spark):
+    # vocab-sized probability table and domain-sized rollups broadcast;
+    # the only corpus-sized exchange is the (source, token) count groupBy
+    df = qmod.all_queries()["x87_domain_reweighting"](spark, SF)
+    assert broadcast_join_count(df) >= 3
+    assert_no_cartesian(df)
+
+
+def test_x89_png_roundtrip_no_join(spark):
+    # generate → decode is a pure two-stage Arrow pipeline: no joins at
+    # all, one repartition exchange per mapInPandas stage
+    df = qmod.all_queries()["x89_png_decode_roundtrip"](spark, SF)
+    assert broadcast_join_count(df) == 0
+    assert_no_cartesian(df)

@@ -456,3 +456,58 @@ def test_s08_outer_join_flushes_final_window(spark):
     ).count()
     assert late_unmatched > 0
     assert out.where(F.col("user_id") < 0).count() == 0  # no heartbeat leakage
+
+
+def test_state_store_partition_pin_and_rocksdb(spark, events_dir):
+    """The 100×-state posture, declared and testable:
+
+    1. the drain's state-store partition count is pinned — Structured
+       Streaming freezes spark.sql.shuffle.partitions into the query's
+       state layout at first start, so DRAIN_STATE_PARTITIONS is a real
+       contract (certification results are partition-invariant, asserted
+       by every stream==batch test here, but the COUNT must be the
+       documented one so checkpoint-resume sizing reasoning holds);
+    2. results are state-store-provider-invariant: the same windowed agg
+       under the RocksDB provider (session.ROCKSDB_STATE_CONF — disk-
+       backed state, the provider a production state volume needs)
+       equals both the default-provider stream result and batch.
+    """
+    from smfg_datawarehouse_spark.queries import load_events
+    from smfg_datawarehouse_spark.session import ROCKSDB_STATE_CONF
+    from smfg_datawarehouse_spark.streaming.windows import DRAIN_STATE_PARTITIONS
+
+    batch = load_events(spark, SF_DIR)
+    expected = _rowset(tumbling_agg(batch, "1 hour"))
+
+    # 1. partition pin: the drain helper scopes shuffle partitions to the
+    # documented constant while the query runs
+    assert DRAIN_STATE_PARTITIONS == 8
+    stream = events_stream(spark, events_dir, watermark="10 minutes")
+    seen: dict[str, str] = {}
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+
+    q = tumbling_agg(stream, "1 hour")
+    result = run_stream_to_memory(spark, q, "pin_default_store")
+    assert _rowset(result) == expected
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig  # restored
+
+    # 2. provider swap: RocksDB state store, same drain, same result
+    prev = {}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        stream2 = events_stream(spark, events_dir, watermark="10 minutes")
+        result2 = run_stream_to_memory(
+            spark, tumbling_agg(stream2, "1 hour"), "pin_rocksdb_store"
+        )
+        assert _rowset(result2) == expected
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
