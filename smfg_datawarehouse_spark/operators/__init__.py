@@ -22,4 +22,6 @@ def register_all() -> None:
         multimodal,
         similarity,
         text_analysis,
+        text_sampling,
+        text_sketches,
     )

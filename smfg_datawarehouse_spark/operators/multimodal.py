@@ -470,3 +470,212 @@ def x89_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     container can run."""
     d = t(spark, sf_dir, "documents")
     return decode_png_assets(documents_as_png_assets(d))
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV (RIFF PCM-16) codec — the audio sibling of the PNG round trip.
+# Dependency-free like x89: synthesize a byte-valid mono PCM WAV per
+# document (RIFF/WAVE header, fmt + data chunks), then actually parse it
+# back — chunk walk driven by the embedded size fields, fmt validation,
+# int16 sample unpack — and reduce the samples to stats the oracle can
+# predict without touching a single byte (sample i = ((i·37) mod 199) − 99,
+# a full-period sawtooth, so abs-sum and peak are range() reductions in
+# SQL). A decoder that trusts offsets instead of chunk sizes, misreads
+# little-endian fields, or truncates the sample unpack cannot hash-match.
+# ---------------------------------------------------------------------------
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+WAV_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_channels", T.LongType(), True),
+        T.StructField("bit_depth", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_us", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("abs_sum", T.LongType(), True),
+        T.StructField("pcm_ok", T.BooleanType(), True),
+    ]
+)
+
+
+def encode_wav_pcm16(n_samples: int, sample_rate: int) -> bytes:
+    """A byte-valid mono 16-bit PCM WAV: RIFF size header, canonical
+    16-byte fmt chunk, data chunk of ``n_samples`` little-endian int16s
+    with sample i = ((i·37) mod 199) − 99."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", ((i * 37) % 199) - 99) for i in range(n_samples)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> dict:
+    """REAL RIFF parse: header + size validation, chunk walk by embedded
+    chunk sizes (word-aligned), fmt sanity (PCM, 16-bit), int16 unpack of
+    the data chunk, then peak/abs-sum reduction."""
+    import struct
+
+    bad = {
+        "sample_rate": None,
+        "n_channels": None,
+        "bit_depth": None,
+        "n_samples": None,
+        "duration_us": None,
+        "peak": None,
+        "abs_sum": None,
+        "pcm_ok": False,
+    }
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return bad
+        (riff_size,) = struct.unpack("<I", payload[4:8])
+        if riff_size != len(payload) - 8:
+            return bad
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            ctype = payload[pos : pos + 4]
+            (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            cdata = payload[pos + 8 : pos + 8 + csize]
+            if ctype == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", cdata[:16])
+            elif ctype == b"data":
+                data = cdata
+            pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if fmt is None or data is None or fmt[0] != 1 or fmt[5] != 16:
+            return bad
+        audio_fmt, n_ch, rate, byte_rate, block_align, bits = fmt
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data[: n * 2])
+        return {
+            "sample_rate": rate,
+            "n_channels": n_ch,
+            "bit_depth": bits,
+            "n_samples": n,
+            "duration_us": n * 1_000_000 // rate,
+            "peak": max(samples) if samples else None,
+            "abs_sum": sum(abs(s) for s in samples),
+            "pcm_ok": byte_rate == rate * n_ch * 2
+            and block_align == n_ch * 2
+            and len(data) == n * 2,
+        }
+    except Exception:
+        return bad
+
+
+def documents_as_wav_assets(docs: DataFrame) -> DataFrame:
+    """Synthesize a real decodable WAV per document with md5-derived
+    parameters: n_samples = 64 + hex[5:7] % 192, sample_rate =
+    8000·(1 + hex[7] % 3). Arrow-batched; at scale this stage is a
+    binaryFile read of actual audio objects."""
+    import hashlib
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                n = 64 + int(hx[4:6], 16) % 192
+                rate = 8000 * (1 + int(hx[6], 16) % 3)
+                payloads.append(encode_wav_pcm16(n, rate))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return (
+        docs.select("doc_id", "text").repartition(n_parts).mapInPandas(gen, WAV_SCHEMA)
+    )
+
+
+def decode_wav_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched real-WAV decode stage (chunk walk + sample unpack)."""
+    n_parts = assets.sparkSession.sparkContext.defaultParallelism
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_wav_pcm16(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    **{
+                        k: [f[k] for f in feats]
+                        for k in (
+                            "sample_rate",
+                            "n_channels",
+                            "bit_depth",
+                            "n_samples",
+                            "duration_us",
+                            "peak",
+                            "abs_sum",
+                            "pcm_ok",
+                        )
+                    },
+                }
+            )
+
+    return assets.repartition(n_parts).mapInPandas(batches, WAV_DECODE_SCHEMA)
+
+
+_WAV_ORACLE = f"""
+    WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    dims AS (
+      SELECT doc_id,
+             64 + {_hex2('h', 5)} % 192 AS n,
+             8000 * (1 + ({_HEX.format(h='h', i=7)}) % 3) AS rate
+      FROM hashed
+    ),
+    samples AS (
+      SELECT doc_id, ((i * 37) % 199) - 99 AS s
+      FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM dims)
+    ),
+    stats AS (
+      SELECT doc_id, CAST(MAX(s) AS BIGINT) AS peak,
+             CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum
+      FROM samples GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id,
+           CAST(d.rate AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16 AS BIGINT) AS bit_depth,
+           CAST(d.n AS BIGINT) AS n_samples,
+           CAST(d.n * 1000000 // d.rate AS BIGINT) AS duration_us,
+           s.peak, s.abs_sum, TRUE AS pcm_ok
+    FROM dims d JOIN stats s USING (doc_id)
+"""
+
+
+@register("x91_wav_decode_roundtrip", _WAV_ORACLE)
+def x91_wav_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] REAL audio decode, end to end and dependency-free — the WAV
+    sibling of x89's PNG round trip: synthesize a byte-valid mono PCM-16
+    WAV per document, then parse it back for real (RIFF size check, chunk
+    walk by embedded sizes with word alignment, fmt validation, full
+    int16 unpack) and reduce samples to peak/abs-sum. The oracle predicts
+    every output column from the md5-derived parameters and the sawtooth
+    closed form via a range() reduction — it never sees a byte, so a
+    wrong endianness, a mis-walked chunk, or a truncated unpack cannot
+    match. Covers the audio leg of the multimodal surface (x30's
+    image/video stubs; reference has no audio path — LLM-pipeline
+    extension per BASELINE.json)."""
+    d = t(spark, sf_dir, "documents")
+    return decode_wav_assets(documents_as_wav_assets(d))

@@ -1292,521 +1292,6 @@ def x46_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# count-min sketch frequency estimation (portable md5 hash rows)
-# ---------------------------------------------------------------------------
-
-CMS_D = 4  # hash rows
-CMS_W = 256  # buckets per row
-
-
-def _cms_buckets(tok: Column, d_rows: int = CMS_D, width: int = CMS_W) -> Column:
-    """Array of the token's bucket per CMS hash row — portable
-    ``md5('cms{d}:' || tok)`` 32-bit prefix mod width, identical in any
-    engine (same family as the MinHash signatures in dedup.py)."""
-    return F.array(
-        *[
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), tok)), 1, 8), 16, 10
-            ).cast("bigint")
-            % width
-            for d in range(d_rows)
-        ]
-    )
-
-
-def cms_heavy_hitters(
-    docs: DataFrame,
-    text_col: str = "text",
-    d_rows: int = CMS_D,
-    width: int = CMS_W,
-    top_k: int = 20,
-) -> DataFrame:
-    """Count-min sketch token-frequency estimation, evaluated against the
-    exact counts for the corpus's top-k tokens (Cormode/Muthukrishnan '05).
-
-    The sketch is the 100 TB path for frequency queries: counter state is
-    a FIXED d×w grid (here 4×256 longs) regardless of vocabulary size —
-    one groupBy over (row, bucket) whose output always fits in a broadcast,
-    where the exact per-token count's shuffle grows with the vocabulary.
-    Estimates only ever over-count (min over rows bounds the collision
-    error), so ``overcount`` ≥ 0 is a structural invariant the oracle
-    re-checks. The exact side here is the *evaluation harness* (same
-    pattern as x12 IVF recall / x14 MinHash error / x47 HLL gate).
-    """
-    toks = docs.select(F.explode(word_tokens(F.col(text_col))).alias("tok"))
-    # counters: one pass, posexplode the D bucket ids per token occurrence
-    counters = (
-        toks.select(F.posexplode(_cms_buckets(F.col("tok"), d_rows, width)).alias("d", "bucket"))
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
-    w = W.orderBy(F.col("exact_cnt").desc(), F.col("tok"))
-    top = (
-        exact.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= top_k).drop("rn")
-    )
-    est = (
-        top.select(
-            "tok",
-            "exact_cnt",
-            F.posexplode(_cms_buckets(F.col("tok"), d_rows, width)).alias("d", "bucket"),
-        )
-        .join(F.broadcast(counters), ["d", "bucket"])
-        .groupBy("tok", "exact_cnt")
-        .agg(F.min("cnt").cast("long").alias("est_cnt"))
-    )
-    return est.select(
-        "tok",
-        "exact_cnt",
-        "est_cnt",
-        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overcount"),
-    )
-
-
-_CMS_ORACLE = f"""
-    WITH toks AS (
-      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                    w -> w <> '')) AS tok
-      FROM documents
-    ),
-    ds AS (SELECT unnest(range({CMS_D})) AS d),
-    buck AS (
-      SELECT tok, d,
-             ('0x' || substring(md5('cms' || d || ':' || tok), 1, 8))::BIGINT
-               % {CMS_W} AS bucket
-      FROM toks CROSS JOIN ds
-    ),
-    counters AS (SELECT d, bucket, count(*) AS cnt FROM buck GROUP BY 1, 2),
-    exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok),
-    top AS (
-      SELECT tok, exact_cnt FROM (
-        SELECT tok, exact_cnt,
-               ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, tok) AS rn
-        FROM exact
-      ) WHERE rn <= 20
-    ),
-    est AS (
-      SELECT t.tok, t.exact_cnt, CAST(min(c.cnt) AS BIGINT) AS est_cnt
-      FROM top t CROSS JOIN ds
-      JOIN counters c
-        ON c.d = ds.d
-       AND c.bucket = ('0x' || substring(md5('cms' || ds.d || ':' || t.tok), 1, 8))::BIGINT
-                      % {CMS_W}
-      GROUP BY 1, 2
-    )
-    SELECT tok, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount FROM est
-"""
-
-
-@register("x49_cms_heavy_hitters", _CMS_ORACLE)
-def x49_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[X] Count-min sketch frequency estimates vs exact counts for the
-    corpus's top-20 tokens — the fixed-memory frequency sketch for 100 TB
-    vocabularies, with its accuracy gate."""
-    return cms_heavy_hitters(t(spark, sf_dir, "documents"))
-
-
-# ---------------------------------------------------------------------------
-# TF-IDF sparse cosine near-duplicates (embedding-free)
-# ---------------------------------------------------------------------------
-
-
-def tfidf_cosine_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.3,
-    df_cap: int | None = None,
-    prefix_filter: bool = True,
-    _return_candidates: bool = False,
-) -> DataFrame:
-    """Document pairs with TF-IDF cosine ≥ threshold — near-dup detection
-    with NO embedding column, pure sparse algebra on the token inverted
-    index.
-
-    weight(doc, tok) = tf · (N/df) — rational idf (no transcendental log),
-    so weights are bit-identical across engines. Tokens with document
-    frequency above ``df_cap`` (default ``max(64, ⌈√N⌉)``, the same skew
-    guard as jaccard_pairs) are pruned from the vocabulary BEFORE
-    weighting: this is simultaneously classic stopword pruning (high-df
-    tokens carry ~zero idf weight) and the bound that keeps the
-    inverted-index self-join's Σ df² candidate cost from detonating on
-    boilerplate corpora.
-
-    **Prefix filtering** (``prefix_filter=True``, All-Pairs — Bayardo,
-    Ma & Srikant, WWW'07): beyond the df cap, mid-frequency tokens still
-    drive Σ df². Process each doc's tokens in a fixed global order
-    (df DESC, tok — frequent first) accumulating
-    ``b = Σ ŵ(d,t)·maxw(t)`` over the unit-normalized weights, where
-    ``maxw(t)`` is the corpus-wide max normalized weight of ``t``. A
-    token is INDEXED only once ``b ≥ threshold``; for any pair with
-    cos ≥ threshold the LATEST shared token in the global order is
-    provably indexed on BOTH sides (if it sat in either doc's unindexed
-    prefix, every earlier shared token would too, bounding the dot by
-    ``b < threshold``) — so joining indexed×indexed rows is lossless
-    while the frequent-token prefix never enters the candidate join.
-    The indexing decision deflates the threshold by 1e-9 to absorb
-    float rounding in ``b``/``maxw`` (the exactness of the RESULT never
-    depends on the bound — candidates are re-verified in full).
-
-    Verification recomputes each candidate pair's dot over the COMPLETE
-    weight rows; dots and norms accumulate via exact DECIMAL sums (the
-    repo's dsum convention) so the cosine — and the threshold cut —
-    hash-match the uncapped-arithmetic oracle.
-    """
-    from smfg_datawarehouse_spark.queries import dsum
-
-    n_docs = docs.count()
-    if df_cap is None:
-        import math
-
-        df_cap = max(64, math.isqrt(n_docs) + 1)
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_tokens(F.col(text_col))).alias("tok"),
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") <= df_cap
-    )
-    # (doc, tok, wgt, df) — cached: norms, maxw, the prefix window, and
-    # verification all re-read this instead of replaying tokenize+tf
-    wgt = (
-        tf.join(F.broadcast(dft), "tok")
-        .select(
-            "doc_id",
-            "tok",
-            (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("wgt"),
-            "df",
-        )
-        .cache()
-    )
-    # NOTE (decimal-tie class): wgt is a COMPUTED double, so the dsum
-    # DECIMAL(30,6) casts here carry the same latent half-up-vs-half-even
-    # tie risk x65's mean_quality hit (BASELINE.md) — no fixture value
-    # currently lands on a .0000005 boundary (verified bit-exact at
-    # sf0.001/0.01/0.1). If a fixture regeneration ever hash-fails x50,
-    # convert these sums to x08-style micro-unit accumulation on BOTH
-    # engines rather than debugging the candidate pipeline.
-    nrm = wgt.groupBy("doc_id").agg(
-        F.sqrt(dsum(F.col("wgt") * F.col("wgt"))).alias("nrm")
-    )
-
-    if prefix_filter:
-        # unit-normalized weights (cosine space, where the bound lives)
-        wn = wgt.join(F.broadcast(nrm), "doc_id").select(
-            "doc_id", "tok", "df", (F.col("wgt") / F.col("nrm")).alias("wn")
-        )
-        maxw = wn.groupBy("tok").agg(F.max("wn").alias("maxw"))
-        win = W.partitionBy("doc_id").orderBy(F.col("df").desc(), "tok")
-        indexed = (
-            wn.join(F.broadcast(maxw), "tok")
-            .withColumn("b", F.sum(F.col("wn") * F.col("maxw")).over(win))
-            .where(F.col("b") >= threshold * (1.0 - 1e-9))
-            .select("doc_id", "tok")
-        )
-        cand = (
-            indexed.alias("a")
-            .join(
-                indexed.alias("b"),
-                (F.col("a.tok") == F.col("b.tok"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-        )
-        if _return_candidates:
-            return cand
-        wa = wgt.select(
-            F.col("doc_id").alias("doc_a"), "tok", F.col("wgt").alias("wgt_a")
-        )
-        wb = wgt.select(
-            F.col("doc_id").alias("_wb_doc"),
-            F.col("tok").alias("tok_b"),
-            F.col("wgt").alias("wgt_b"),
-        )
-        dots = (
-            cand.join(wa, "doc_a")
-            .join(
-                wb,
-                (F.col("doc_b") == F.col("_wb_doc"))
-                & (F.col("tok") == F.col("tok_b")),
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(dsum(F.col("wgt_a") * F.col("wgt_b")).alias("dot"))
-        )
-    else:
-        if _return_candidates:
-            return (
-                wgt.alias("a")
-                .join(wgt.alias("b"), "tok")
-                .where(F.col("a.doc_id") < F.col("b.doc_id"))
-                .select(
-                    F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                )
-                .distinct()
-            )
-        dots = (
-            wgt.alias("a")
-            .join(wgt.alias("b"), "tok")
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .groupBy(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .agg(dsum(F.col("a.wgt") * F.col("b.wgt")).alias("dot"))
-        )
-    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
-    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
-    return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
-    )
-
-
-_TFIDF_ORACLE = r"""
-    WITH n_t AS (SELECT count(*) AS n FROM documents),
-    cap_t AS (
-      -- floor(sqrt(n)) + 1 == Python math.isqrt(n) + 1 (exact for n < 2^52)
-      SELECT greatest(64, CAST(floor(sqrt(n)) AS BIGINT) + 1) AS cap FROM n_t
-    ),
-    toks AS (
-      SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                    w -> w <> '')) AS tok
-      FROM documents
-    ),
-    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-    dft AS (
-      SELECT tok, count(*) AS df FROM tf GROUP BY 1
-      HAVING count(*) <= (SELECT cap FROM cap_t)
-    ),
-    w AS (
-      SELECT doc_id, tok,
-             tf * (CAST((SELECT n FROM n_t) AS DOUBLE) / df) AS wgt
-      FROM tf JOIN dft USING (tok)
-    ),
-    nrm AS (
-      SELECT doc_id,
-             sqrt(CAST(SUM(CAST(wgt * wgt AS DECIMAL(30,6))) AS DOUBLE)) AS nrm
-      FROM w GROUP BY 1
-    ),
-    dots AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(SUM(CAST(a.wgt * b.wgt AS DECIMAL(30,6))) AS DOUBLE) AS dot
-      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b, dot / (x.nrm * y.nrm) AS cos_sim
-    FROM dots
-    JOIN nrm x ON x.doc_id = doc_a
-    JOIN nrm y ON y.doc_id = doc_b
-    WHERE dot / (x.nrm * y.nrm) >= 0.3
-"""
-
-
-@register("x50_tfidf_cosine_pairs", _TFIDF_ORACLE)
-def x50_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[X] Embedding-free near-dup detection: TF-IDF sparse cosine over the
-    df-capped inverted index (rational idf, exact-decimal accumulation)."""
-    return tfidf_cosine_pairs(t(spark, sf_dir, "documents"))
-
-
-# ---------------------------------------------------------------------------
-# Bloom-filter membership / decontamination sketch (portable md5 bits)
-# ---------------------------------------------------------------------------
-
-BLOOM_M = 2048  # bits
-BLOOM_K = 4  # hash functions
-
-
-def _bloom_bits(tok: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
-    """The token's DISTINCT Bloom bit positions as ``array<bigint>``:
-    Kirsch–Mitzenmacher double hashing — ONE md5, its two 32-bit prefix
-    words (a, b) derive all k positions as ``(a + j·b) mod m`` (preserves
-    the asymptotic false-positive rate, ESA'06). One hash evaluation per
-    token instead of k, and a k× smaller codegen footprint. Distinct
-    matters: rows may collide on a bit, and membership means *every
-    distinct position* is set."""
-    h = F.md5(tok)
-    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
-    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
-    return F.array_distinct(F.array(*[(a + F.lit(j) * b) % m for j in range(k)]))
-
-
-def bloom_contamination(
-    docs: DataFrame,
-    train_source: str,
-    text_col: str = "text",
-    source_col: str = "source",
-    m: int = BLOOM_M,
-    k: int = BLOOM_K,
-) -> DataFrame:
-    """Benchmark-decontamination membership sketch (Bloom '70): build a
-    Bloom filter over the training source's token vocabulary, probe every
-    OTHER source's tokens through it, and report Bloom hits next to exact
-    membership per source.
-
-    At 100 TB the filter — at most ``m`` set-bit rows regardless of
-    vocabulary size — broadcasts to every probe task, replacing the
-    vocabulary-sized shuffle an exact semi-join needs; the exact side here
-    is the evaluation harness (x12/x14/x47/x49 pattern). Structural
-    invariant the oracle re-checks: Bloom filters have NO false negatives,
-    so ``bloom_hits ≥ exact_hits`` for every source and ``false_pos =
-    bloom_hits − exact_hits ≥ 0`` measures the m/k operating point.
-
-    Membership unit is the word BIGRAM (decontamination granularity —
-    unigram vocabularies are near-fully shared across any same-language
-    sources, bigrams discriminate); at ~715 train bigrams × k=4 into
-    m=2048 bits the filter runs at ~0.75 load, a real false-positive
-    regime the eval actually exercises.
-    """
-    from smfg_datawarehouse_spark.functions import word_shingles
-
-    # cached: the distinct (source, bigram) set feeds FOUR consumers
-    # (filter build, probe, exact membership, totals) — without the cache
-    # each replays the corpus explode+distinct. Repartition BEFORE the
-    # explode: a compact source (one scan split) would otherwise shingle
-    # the whole corpus in one task (same pitfall shingle_sets documents).
-    # Bigrams come from arrays_zip over two slices — one vectorized pass
-    # per doc — instead of a per-position transform() lambda: higher-order
-    # functions run INTERPRETED in Spark, and at millions of bigrams the
-    # per-element lambda overhead dominates (measured ~3× on this op).
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    tk = word_tokens(F.col(text_col))
-    pairs = F.when(
-        F.size(tk) >= 2,
-        F.arrays_zip(
-            F.slice(tk, 1, F.size(tk) - 1).alias("w1"),
-            F.slice(tk, 2, F.size(tk) - 1).alias("w2"),
-        ),
-    )
-    toks = (
-        docs.repartition(n_parts)
-        .select(F.col(source_col).alias("source"), F.explode(pairs).alias("z"))
-        .select(
-            "source",
-            F.concat(F.col("z.w1"), F.lit(" "), F.col("z.w2")).alias("tok"),
-        )
-        .distinct()
-        .cache()
-    )
-    train = toks.where(F.col("source") == train_source).select("tok").distinct()
-    bits = (
-        train.select(F.explode(_bloom_bits(F.col("tok"), k, m)).alias("bit"))
-        .distinct()
-        .withColumn("_in", F.lit(1))
-    )
-    # ONE pass over the probe set computes every metric: explode the bit
-    # array (materialized once per token), mark set bits via a broadcast
-    # left join, fold back to a per-token bloom_hit flag, attach exact
-    # membership via a broadcast train-marker join, and aggregate all
-    # three counters in a single per-source groupBy. One probe branch and
-    # two broadcast joins instead of three probe branches + a shuffle
-    # semi-join — a much smaller plan to compile AND execute.
-    probe = toks.where(F.col("source") != train_source)
-    per_token = (
-        probe.withColumn("_bits", _bloom_bits(F.col("tok"), k, m))
-        .select(
-            "source",
-            "tok",
-            F.size("_bits").alias("n_bits"),
-            F.explode("_bits").alias("bit"),
-        )
-        .join(F.broadcast(bits), "bit", "left")
-        .groupBy("source", "tok", "n_bits")
-        .agg(F.sum("_in").alias("n_matched"))
-        .withColumn(
-            "bloom_hit",
-            (F.coalesce(F.col("n_matched"), F.lit(0)) == F.col("n_bits")).cast("long"),
-        )
-        .join(
-            F.broadcast(train.withColumn("_tr", F.lit(1))), "tok", "left"
-        )
-    )
-    return per_token.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.sum("bloom_hit").cast("long").alias("bloom_hits"),
-        F.sum(F.coalesce(F.col("_tr"), F.lit(0))).cast("long").alias("exact_hits"),
-        (F.sum("bloom_hit") - F.sum(F.coalesce(F.col("_tr"), F.lit(0))))
-        .cast("long")
-        .alias("false_pos"),
-    )
-
-
-_BLOOM_BIT = (
-    "(('0x' || substring(md5(tok), 1, 8))::BIGINT"
-    f" + j * ('0x' || substring(md5(tok), 9, 8))::BIGINT) % {BLOOM_M}"
-)
-
-_BLOOM_ORACLE = f"""
-    WITH tkl AS (
-      SELECT source,
-             list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                         w -> w <> '') AS tk
-      FROM documents
-    ),
-    toks AS (
-      SELECT DISTINCT source, tk[i] || ' ' || tk[i + 1] AS tok
-      FROM tkl, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
-    ),
-    train AS (SELECT DISTINCT tok FROM toks WHERE source = 'src0'),
-    js AS (SELECT unnest(range({BLOOM_K})) AS j),
-    bits AS (
-      SELECT DISTINCT {_BLOOM_BIT} AS bit FROM train CROSS JOIN js
-    ),
-    probe AS (SELECT source, tok FROM toks WHERE source <> 'src0'),
-    probe_bits AS (
-      SELECT DISTINCT source, tok, {_BLOOM_BIT} AS bit FROM probe CROSS JOIN js
-    ),
-    nb AS (SELECT source, tok, count(*) AS n_bits FROM probe_bits GROUP BY 1, 2),
-    hit AS (
-      SELECT pb.source, pb.tok, count(*) AS n_matched
-      FROM probe_bits pb JOIN bits b ON pb.bit = b.bit
-      GROUP BY 1, 2
-    ),
-    bloom AS (
-      SELECT h.source, CAST(count(*) AS BIGINT) AS bloom_hits
-      FROM hit h JOIN nb ON nb.source = h.source AND nb.tok = h.tok
-      WHERE h.n_matched = nb.n_bits
-      GROUP BY 1
-    ),
-    exact AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS exact_hits
-      FROM probe WHERE tok IN (SELECT tok FROM train)
-      GROUP BY 1
-    ),
-    totals AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM probe GROUP BY 1
-    )
-    SELECT t.source, t.n_tokens,
-           COALESCE(b.bloom_hits, 0) AS bloom_hits,
-           COALESCE(e.exact_hits, 0) AS exact_hits,
-           COALESCE(b.bloom_hits, 0) - COALESCE(e.exact_hits, 0) AS false_pos
-    FROM totals t
-    LEFT JOIN bloom b USING (source)
-    LEFT JOIN exact e USING (source)
-"""
-
-
-@register("x51_bloom_contamination", _BLOOM_ORACLE)
-def x51_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[X] Bloom-filter decontamination probe: per non-train source, token
-    vocabulary hits against a Bloom filter built on src0's vocabulary,
-    next to exact membership — no-false-negative invariant oracle-checked."""
-    return bloom_contamination(t(spark, sf_dir, "documents"), "src0")
-
-
 _CHUNK_SQL = r"""
     WITH tk AS (
       SELECT doc_id,
@@ -2023,113 +1508,6 @@ def x60_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DSIR_BUCKETS = 1024
-
-
-@register(
-    "x62_dsir_importance_weights",
-    rf"""
-    WITH tk AS (
-      SELECT doc_id, lang,
-             list_filter(regexp_split_to_array(lower(text), '\s+'),
-                         w -> w <> '') AS t
-      FROM documents
-    ), tok AS (
-      SELECT doc_id, lang, i - 1 AS pos,
-             ('0x' || substring(md5(t[i]), 1, 8))::BIGINT % {DSIR_BUCKETS}
-               AS bucket
-      FROM tk, unnest(range(1, len(t) + 1)) AS u(i)
-    ), counts AS (
-      SELECT bucket,
-             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
-             COUNT(*) AS cr
-      FROM tok GROUP BY bucket
-    ), tot AS (
-      SELECT SUM(ct) AS t_tot, SUM(cr) AS r_tot FROM counts
-    ), wts AS (
-      SELECT bucket,
-             CAST((ct + 1) * (r_tot + {DSIR_BUCKETS}) AS DOUBLE)
-               / CAST((cr + 1) * (t_tot + {DSIR_BUCKETS}) AS DOUBLE) AS w
-      FROM counts, tot
-    ), perdoc AS (
-      SELECT tok.doc_id, list(w ORDER BY pos) AS ws
-      FROM tok JOIN wts USING (bucket) GROUP BY tok.doc_id
-    )
-    SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
-           list_reduce(ws, (a, b) -> a * b) AS importance
-    FROM perdoc
-    """,
-)
-def x62_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[X] DSIR-style importance-sampling weights (Xie et al. 2023,
-    arXiv:2302.03169): documents are scored by how much more likely their
-    hashed-unigram features are under the TARGET distribution (here the
-    ``lang='en'`` slice stands in for the high-quality target corpus) than
-    under the RAW distribution. Per-bucket weight is the add-one-smoothed
-    likelihood ratio ((c_t+1)/(T+B)) / ((c_r+1)/(R+B)) — kept as ONE
-    division of exact integer products so it is engine-exact — and a
-    document's importance is the positional-order product of its tokens'
-    bucket weights (the likelihood ratio of the whole doc under the
-    hashed unigram model), folded left-to-right identically in both
-    engines. This is the data-selection op that picks pretraining docs
-    matching a target domain without training a classifier.
-
-    Scale shape: the bucket table is FIXED-width (B=1024 rows regardless
-    of corpus size) — counts aggregate map-side, the weight table
-    broadcasts back into the token stream, and the per-doc product is one
-    doc-keyed shuffle. Two linear corpus passes, nothing vocabulary- or
-    pair-shaped. The hash family is the engine-portable md5-prefix used by
-    MinHash (dedup.py)."""
-    d = t(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
-    tok = (
-        d.repartition(n_parts)
-        .select(
-            "doc_id",
-            "lang",
-            F.posexplode(word_tokens(F.col("text"))).alias("pos", "tok"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "pos",
-            (
-                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-                % DSIR_BUCKETS
-            ).alias("bucket"),
-        )
-    )
-    counts = tok.groupBy("bucket").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
-    )
-    tot = counts.agg(
-        F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
-    )
-    wts = counts.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        (
-            ((F.col("ct") + 1) * (F.col("r_tot") + DSIR_BUCKETS)).cast("double")
-            / ((F.col("cr") + 1) * (F.col("t_tot") + DSIR_BUCKETS)).cast("double")
-        ).alias("w"),
-    )
-    perdoc = (
-        tok.join(F.broadcast(wts), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("pw"))
-    )
-    importance = F.aggregate(
-        F.transform(F.col("pw"), lambda s: s["w"]),
-        F.lit(1.0),
-        lambda acc, x: acc * x,
-    )
-    return perdoc.select(
-        "doc_id",
-        F.size("pw").cast("long").alias("n_tokens"),
-        importance.alias("importance"),
-    )
-
-
 @register(
     "x65_corpus_datacard",
     r"""
@@ -2253,150 +1631,6 @@ def x65_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).cast("double")
             / F.count(F.lit(1))
         ).alias("gopher_pass_rate"),
-    )
-
-
-@register(
-    "x66_group_split_by_source",
-    """
-    WITH s AS (
-      SELECT doc_id, source, n_chars,
-             CASE WHEN md5(source) < 'c' THEN 'train' ELSE 'heldout' END
-               AS split
-      FROM documents
-    )
-    SELECT split, source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM s GROUP BY split, source
-    """,
-)
-def x66_group_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[X] GROUP-wise train/heldout split: the split key is the SOURCE
-    hash, not the document hash — every document of a source lands in the
-    same partition, which is what prevents group leakage when near-
-    duplicate documents cluster within sources (a doc-level split like
-    x29 would put one copy in train and its sibling in eval). The
-    sklearn-GroupShuffleSplit analogue at corpus scale; same md5-prefix
-    convention as x29 so both splits are reproducible, join-free,
-    scan-side expressions. Emits per-(split, source) stats — the
-    group-integrity certificate is that each source appears under exactly
-    ONE split."""
-    d = t(spark, sf_dir, "documents")
-    # group by source alone (split is functionally dependent on it), then
-    # derive the split from the aggregated row: md5 runs once per SOURCE,
-    # not once per document, and one-split-per-source holds structurally
-    split = F.when(F.md5(F.col("source")) < "c", "train").otherwise("heldout")
-    return (
-        d.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-        .select(split.alias("split"), "source", "n_docs", "total_chars")
-    )
-
-
-@register(
-    "x67_mixture_sampling_apply",
-    r"""
-    WITH tk AS (
-      SELECT doc_id, source,
-             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                  w -> w <> '')) AS BIGINT) AS n
-      FROM documents
-    ), s AS (
-      SELECT source, CAST(SUM(n) AS BIGINT) AS n_s,
-             CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM tk GROUP BY source
-    ), tot AS (
-      SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s
-    ), r AS (
-      SELECT s.source, s.n_docs,
-             CAST(floor(sqrt(CAST(s.n_s AS DOUBLE) / tot.n) * 1e12 + 0.5)
-                  AS BIGINT) AS u
-      FROM s CROSS JOIN tot
-    ), r2 AS (
-      SELECT source, n_docs,
-             CAST(u * 1000000 // (SELECT MAX(u) FROM r) AS BIGINT)
-               AS rate_milli
-      FROM r
-    ), adm AS (
-      SELECT d.source,
-             CAST(SUM(CASE WHEN ('0x' || substring(
-                      md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-                      % 1000000 < r2.rate_milli
-                  THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
-      FROM documents d JOIN r2 USING (source)
-      GROUP BY d.source
-    )
-    SELECT r2.source, r2.n_docs, r2.rate_milli, adm.n_admitted
-    FROM r2 JOIN adm USING (source)
-    """,
-)
-def x67_mixture_sampling_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[X] APPLY a temperature-scaled source mixture: x39 computes the
-    target weights; this operator turns them into per-source admission
-    RATES (largest source keeps everything, smaller sources are
-    down-sampled proportionally to their sqrt-share — rate_milli =
-    u_s·10⁶ ÷ max(u), integer arithmetic so both engines agree exactly)
-    and then ADMITS documents deterministically: a doc survives iff
-    ``md5('mix:'‖doc_id)₃₂ mod 10⁶ < rate_milli`` — the salted-hash
-    Bernoulli gate that makes the sample reproducible run-over-run and
-    engine-portable, with no RNG state to coordinate across executors.
-
-    Scale shape: pass 1 is the per-source token rollup; the global
-    normalizer and max run as UNPARTITIONED WINDOWS over that
-    |sources|-row aggregate (not as joins back to re-derived sub-aggs —
-    each such join re-executes the corpus rollup lineage), so the corpus
-    is tokenized exactly once. The finished rate table broadcasts into
-    pass 2's pure scan — the corpus shuffles ZERO rows, and the admit
-    decision runs inside whole-stage codegen. This is the missing link
-    between weight COMPUTATION (x39) and split/dedup machinery: the
-    operator a 100 TB mixing run executes once per source epoch."""
-    d = t(spark, sf_dir, "documents")
-    tk = d.select(
-        "doc_id", "source", F.size(word_tokens(F.col("text"))).cast("long").alias("n")
-    )
-    s = tk.groupBy("source").agg(
-        F.sum("n").cast("long").alias("n_s"),
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-    )
-    # the window frame is the whole |sources|-row aggregate — one tiny
-    # single-partition pass, never the corpus
-    wall = W.partitionBy()
-    u = F.floor(
-        F.sqrt(F.col("n_s").cast("double") / F.sum("n_s").over(wall)) * 1e12 + 0.5
-    ).cast("long")
-    r2 = (
-        s.select("source", "n_docs", u.alias("u"))
-        .select(
-            "source",
-            "n_docs",
-            F.expr("u * 1000000 DIV max(u) OVER ()").cast("long").alias("rate_milli"),
-        )
-    )
-    h = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 1000000
-    )
-    # n_docs/rate_milli ride along the broadcast and come back out via
-    # max() (functionally dependent on source) — r2's lineage runs ONCE,
-    # with no second join
-    return (
-        d.select("doc_id", "source")
-        .join(F.broadcast(r2), "source")
-        .groupBy("source")
-        .agg(
-            F.max("n_docs").cast("long").alias("n_docs"),
-            F.max("rate_milli").cast("long").alias("rate_milli"),
-            F.sum((h < F.col("rate_milli")).cast("long")).cast("long").alias("n_admitted"),
-        )
-        .select("source", "n_docs", "rate_milli", "n_admitted")
     )
 
 
@@ -2665,72 +1899,6 @@ def x71_containment_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_X72_S = 16  # shard count
-
-
-@register(
-    "x72_shard_layout_plan",
-    f"""
-    WITH tk AS (
-      SELECT doc_id,
-             ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-               % {_X72_S} AS shard,
-             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                  w -> w <> '')) AS BIGINT) AS n
-      FROM documents
-    ), s AS (
-      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(n) AS BIGINT) AS n_tokens
-      FROM tk GROUP BY shard
-    ), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM s)
-    SELECT shard, n_docs, n_tokens,
-           CAST(n_tokens * {_X72_S} AS DOUBLE) / tot.t AS load_ratio
-    FROM s CROSS JOIN tot
-    """,
-)
-def x72_shard_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[X/S2] Hash-shard LAYOUT PLANNING: before a 100 TB corpus is
-    written, assign every document to one of S shards by salted md5 and
-    report each shard's document count, token mass, and load ratio
-    (shard tokens ÷ ideal share) — the balance check that decides
-    whether hash sharding suffices or a skew-aware planner (x44-style
-    packing, q44-style salting) is needed before the write fan-out.
-    Deterministic hash → the plan is reproducible and the oracle replays
-    it exactly; load_ratio is one divide of exact integers.
-
-    Plan shape: one tokenizing scan + one |S|-row rollup; the global
-    total attaches via an unpartitioned window over those S rows (same
-    tiny-aggregate pattern as x67), so the corpus is scanned once."""
-    d = t(spark, sf_dir, "documents")
-    shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _X72_S
-    )
-    tk = d.select(
-        shard.alias("shard"),
-        F.size(word_tokens(F.col("text"))).cast("long").alias("n"),
-    )
-    s = tk.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n").cast("long").alias("n_tokens"),
-    )
-    wall = W.partitionBy()
-    return s.select(
-        "shard",
-        "n_docs",
-        "n_tokens",
-        (
-            (F.col("n_tokens") * _X72_S).cast("double") / F.sum("n_tokens").over(wall)
-        ).alias("load_ratio"),
-    )
-
-
 _LETTERS = "abcdefghijklmnopqrstuvwxyz"
 _X73_N_SQL = " + ".join(
     f"(strlen(t) - strlen(replace(t, '{c}', '')))" for c in _LETTERS
@@ -2872,68 +2040,6 @@ def x74_eval_leakage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("coverage"),
         )
-    )
-
-
-@register(
-    "x75_source_quota_topk",
-    r"""
-    WITH feats AS (
-      SELECT doc_id, source,
-             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                  w -> w <> '')) AS BIGINT) AS n_tokens,
-             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
-               AS n_alpha,
-             CAST(length(text) AS BIGINT) AS n_chars
-      FROM documents
-    ), sc AS (
-      SELECT doc_id, source, n_tokens,
-             0.4 * (CAST(n_alpha AS DOUBLE) / n_chars)
-               + 0.6 * (CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0) AS score
-      FROM feats
-    ), rk AS (
-      SELECT doc_id, source, n_tokens, score,
-             ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY score DESC, doc_id) AS rk
-      FROM sc
-    )
-    SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, n_tokens, score
-    FROM rk WHERE rk <= 10
-    """,
-)
-def x75_source_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[X/§2.6] Per-source CURATION QUOTA: keep each source's top-k
-    documents by quality score (fixed 0.4·alpha_ratio + 0.6·length_norm
-    — a rational, transcendental-free composite), deterministic
-    tie-break on doc_id — the per-domain cap that keeps one giant
-    crawl domain from swamping a training mix even after x67's
-    rate-based sampling (quota selects the BEST n, sampling keeps a
-    random-but-reproducible fraction; real pipelines run both).
-
-    Scale shape: scoring is a pure scan expression; the per-source
-    window shuffles on source — and because k ≪ group size, Spark
-    plans the rank filter with partial top-k pushed BELOW the final
-    sort within each partition (window + filter, no global sort). At
-    extreme per-source skew, q44's salting composes in front."""
-    d = t(spark, sf_dir, "documents")
-    txt = F.col("text")
-    n_chars = F.length(txt).cast("long")
-    n_alpha = F.length(F.regexp_replace(F.lower(txt), "[^a-z]", "")).cast("long")
-    score = (
-        F.lit(0.4) * (n_alpha.cast("double") / n_chars)
-        + F.lit(0.6) * (F.least(n_chars, F.lit(500)).cast("double") / F.lit(500.0))
-    )
-    sc = d.select(
-        "doc_id",
-        "source",
-        F.size(word_tokens(txt)).cast("long").alias("n_tokens"),
-        score.alias("score"),
-    )
-    w = W.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
-    return (
-        sc.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
-        .select("source", "rank", "doc_id", "n_tokens", "score")
     )
 
 
@@ -3163,73 +2269,6 @@ def x79_k_anonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x80_epoch_budget_plan",
-    r"""
-    WITH tk AS (
-      SELECT source,
-             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                  w -> w <> '')) AS BIGINT) AS n
-      FROM documents
-    ), s AS (
-      SELECT source, CAST(SUM(n) AS BIGINT) AS n_s FROM tk GROUP BY source
-    ), tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s),
-    q AS (
-      SELECT s.source, s.n_s,
-             CAST(floor(sqrt(CAST(s.n_s AS DOUBLE) / tot.n) * 1e12 + 0.5)
-                  AS BIGINT) AS u
-      FROM s CROSS JOIN tot
-    )
-    SELECT source, n_s AS natural_tokens,
-           CAST((1000000 * u) // SUM(u) OVER () AS BIGINT) AS alloc_tokens,
-           CAST((1000000 * u) // SUM(u) OVER () AS DOUBLE) / n_s AS epochs,
-           (1000000 * u) // SUM(u) OVER () > n_s AS repeats_data
-    FROM q
-    """,
-)
-def x80_epoch_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[X/§2.6] EPOCH/REPETITION PLAN for a token budget under the x39
-    temperature mix: allocating a fixed budget (B = 1M tokens here) by
-    the α=0.5 temperature weights tells each source how many tokens it
-    contributes — and dividing by its natural mass gives its EPOCH count
-    (>1 ⇒ the source repeats; data-constrained scaling work shows value
-    decays after ~4 epochs, so `repeats_data` sources are where a mix
-    silently over-trains). Composes x39 (weights) with x41 (budget):
-    the decision artifact a 100 TB mix planner actually reads.
-
-    Determinism: the weight share is x39's pico-quantized integer ``u``;
-    the allocation is PURE INTEGER floor division (B·u // Σu) — no
-    double normalizer — and epochs is one double division of exact
-    ints. Scale shape: one corpus scan → |sources| rows; every window
-    runs on that tiny frame."""
-    d = t(spark, sf_dir, "documents")
-    tk = d.select(
-        "source", F.size(word_tokens(F.col("text"))).cast("long").alias("n")
-    )
-    s = tk.groupBy("source").agg(F.sum("n").cast("long").alias("n_s"))
-    tot = s.agg(F.sum("n_s").cast("long").alias("n"))
-    u = F.floor(
-        F.sqrt(F.col("n_s").cast("double") / F.col("n")) * 1e12 + 0.5
-    ).cast("long")
-    w = W.partitionBy()
-    q = (
-        s.join(F.broadcast(tot))
-        .select("source", "n_s", u.alias("u"))
-        .withColumn("su", F.sum("u").over(w))
-    )
-    # EXACT integer floor division (Spark `div`), matching DuckDB's `//`
-    # on BIGINTs — a double divide + floor would lose bits above 2^53
-    # (B·u reaches 1e18) and drift off the oracle by ±1 token.
-    alloc_int = F.expr("(CAST(1000000 AS BIGINT) * u) div su").cast("long")
-    return q.select(
-        "source",
-        F.col("n_s").alias("natural_tokens"),
-        alloc_int.alias("alloc_tokens"),
-        (alloc_int.cast("double") / F.col("n_s")).alias("epochs"),
-        (alloc_int > F.col("n_s")).alias("repeats_data"),
-    )
-
-
-@register(
     "x81_embedding_alignment",
     """
     SELECT d.source,
@@ -3391,87 +2430,6 @@ def x83_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x84_weighted_bernoulli_sample",
-    """
-    WITH s AS (
-      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
-    ),
-    m AS (SELECT MIN(n_docs) AS n_min FROM s),
-    p AS (
-      SELECT source, n_docs, CAST(n_min AS DOUBLE) / n_docs AS p_target
-      FROM s CROSS JOIN m
-    ),
-    u AS (
-      SELECT source,
-             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-               / 4294967296.0 AS u
-      FROM documents
-    )
-    SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs, p.p_target,
-           CAST(SUM(CASE WHEN u.u < p.p_target THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_sampled,
-           CAST(SUM(CASE WHEN u.u < p.p_target THEN 1 ELSE 0 END) AS DOUBLE)
-             / p.n_docs AS achieved_rate
-    FROM u JOIN p USING (source)
-    GROUP BY p.source, p.n_docs, p.p_target
-    """,
-)
-def x84_weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[X] REPRODUCIBLE WEIGHTED DOWNSAMPLING — the one-pass rebalancing
-    stage that evens out a source-skewed corpus: each source's inclusion
-    probability is ``n_min / n_source`` (level every source down to the
-    smallest's share), and each document's inclusion decision is a pure
-    function of its id — ``u(doc_id) < p(source)`` with u the portable
-    md5 32-bit-prefix uniform (x29's split hash). No RNG state, no seed
-    plumbing: the SAME doc ids survive on any cluster, any partitioning,
-    any retry — which is what makes a 100 TB sampling stage auditable and
-    resumable (re-running a failed partition cannot change the sample).
-    Output is the per-source audit row: target probability vs achieved
-    rate (exact counts, certified), the report a curation run logs before
-    committing the sampled corpus.
-
-    Determinism: p_target is ONE int/int double division; u is one
-    division of an exact 32-bit integer; the comparison and counts are
-    exact — bit-identical in any engine. Scale shape: one
-    map-side-combined groupBy for the source stats (≤ |sources| rows), a
-    broadcast join back onto the corpus scan, one more tiny rollup —
-    corpus-linear, single data shuffle, no skew sensitivity (the decision
-    needs only the row itself plus a broadcast scalar per source)."""
-    d = t(spark, sf_dir, "documents")
-    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    m = s.agg(F.min("n_docs").alias("n_min"))
-    p = s.crossJoin(F.broadcast(m)).select(
-        "source",
-        "n_docs",
-        (F.col("n_min").cast("double") / F.col("n_docs")).alias("p_target"),
-    )
-    u = d.select(
-        "source",
-        (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-            ).cast("long")
-            / F.lit(4294967296.0)
-        ).alias("u"),
-    )
-    hit = F.when(F.col("u") < F.col("p_target"), 1).otherwise(0)
-    return (
-        u.join(F.broadcast(p), "source")
-        .groupBy("source", "n_docs", "p_target")
-        .agg(F.sum(hit).cast("long").alias("n_sampled"))
-        .select(
-            "source",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            "p_target",
-            "n_sampled",
-            (F.col("n_sampled").cast("double") / F.col("n_docs")).alias(
-                "achieved_rate"
-            ),
-        )
-    )
-
-
-@register(
     "x87_domain_reweighting",
     r"""
     WITH tk AS (
@@ -3614,3 +2572,135 @@ def x87_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doremi_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate n-gram coverage — the C4/CCNet boilerplate
+# signal (Raffel et al. 1910.10683 §2.2 removed spans repeated across the
+# corpus; CCNet 1911.00359 drops paragraph-level duplicates the same way):
+# a token k-gram occurring in many DISTINCT documents is template/menu/
+# footer material, and a document largely made of such grams carries
+# little novel signal. Distinct from x32 (repetition WITHIN a doc), x90
+# (exact self-repeat spans), and x53 (chunk-level cross-doc dedup): this
+# measures how much of each doc is corpus-wide boilerplate.
+# ---------------------------------------------------------------------------
+
+BOILER_K = 3  # token k-gram width
+BOILER_DF_FRAC = 0.01  # gram is boilerplate when df >= max(2, ceil(frac·n_docs))
+
+
+def boilerplate_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = BOILER_K,
+    df_frac: float = BOILER_DF_FRAC,
+) -> DataFrame:
+    """Per-document fraction of token k-gram windows whose gram occurs in
+    ≥ max(2, ceil(df_frac·n_docs)) DISTINCT documents. The threshold is
+    proportional to corpus size — the definition that survives a 1000×
+    scale-up (an absolute df would silently reclassify everything).
+
+    Shape: positional windows explode token-linearly; gram df is one
+    hash-keyed groupBy (distinct doc counting); the boilerplate set joins
+    back to windows on the gram key (keyed shuffle — the set is
+    corpus-dependent, so no broadcast assumption); rollup is doc-keyed.
+    The n_docs total is a one-row broadcast. No Python UDFs."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(n_parts)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_tokens(F.col(text_col)).alias("tk"),
+        )
+        .where(F.size("tk") >= k)
+    )
+    windows = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+                lambda p: F.array_join(F.slice(F.col("tk"), p, k), "\x1f"),
+            )
+        ).alias("s"),
+    )
+    n_docs = toks.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = windows.groupBy("s").agg(
+        F.count_distinct("doc_id").alias("gram_df")
+    )
+    boiler = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .where(
+            F.col("gram_df")
+            >= F.greatest(
+                F.lit(2), F.ceil(F.lit(df_frac) * F.col("n_docs"))
+            )
+        )
+        .select("s")
+    )
+    return (
+        windows.join(boiler.withColumn("is_boiler", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.coalesce(F.sum("is_boiler"), F.lit(0))
+            .cast("long")
+            .alias("n_boiler_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_boiler_windows",
+            (
+                F.col("n_boiler_windows").cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+_BOILER_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents
+    ),
+    eligible AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= {BOILER_K}),
+    windows AS (
+      SELECT doc_id,
+             list_aggregate(list_slice(tk, pos, pos + {BOILER_K - 1}),
+                            'string_agg', chr(31)) AS s
+      FROM (SELECT doc_id, tk,
+                   unnest(range(1, len(tk) - {BOILER_K - 2})) AS pos
+            FROM eligible)
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM eligible),
+    boiler AS (
+      SELECT s FROM windows CROSS JOIN nd
+      GROUP BY s, n_docs
+      HAVING COUNT(DISTINCT doc_id)
+             >= GREATEST(2, CAST(CEIL({BOILER_DF_FRAC} * n_docs) AS BIGINT))
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler_windows,
+           CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+    FROM windows w LEFT JOIN (SELECT DISTINCT s FROM boiler) b USING (s)
+    GROUP BY w.doc_id
+"""
+
+
+@register("x92_boilerplate_coverage", _BOILER_ORACLE)
+def x92_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Corpus-boilerplate coverage per document — C4 §2.2 / CCNet's
+    cross-document repeated-span removal as a measurable per-doc signal:
+    the fraction of a doc's token 3-gram windows whose gram appears in
+    ≥ max(2, ceil(1% of docs)) distinct documents. Proportional df
+    threshold (scale-invariant), distinct-doc counting (a doc spamming a
+    gram doesn't promote it), exact left-join coverage. Reference has no
+    text pipeline; LLM-pipeline extension per BASELINE.json."""
+    d = t(spark, sf_dir, "documents")
+    return boilerplate_coverage(d)

@@ -1,0 +1,552 @@
+"""Sampling / mixture operators [X]: the data-mixture side of the
+LLM-pipeline surface — DSIR importance weights, group-wise splits,
+temperature-mixture application, shard layout planning, per-source
+quota top-k, epoch/repetition budgeting, and weighted reproducible
+Bernoulli sampling (SURVEY.md §2.12).
+
+Moved verbatim out of ``text_analysis.py`` (pure move, no behavior
+change) — that module keeps the scan-statistics / quality families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from smfg_datawarehouse_spark.functions import word_tokens
+from smfg_datawarehouse_spark.queries import register, t
+
+DSIR_BUCKETS = 1024
+
+
+@register(
+    "x62_dsir_importance_weights",
+    rf"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, lang, i - 1 AS pos,
+             ('0x' || substring(md5(t[i]), 1, 8))::BIGINT % {DSIR_BUCKETS}
+               AS bucket
+      FROM tk, unnest(range(1, len(t) + 1)) AS u(i)
+    ), counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cr
+      FROM tok GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(ct) AS t_tot, SUM(cr) AS r_tot FROM counts
+    ), wts AS (
+      SELECT bucket,
+             CAST((ct + 1) * (r_tot + {DSIR_BUCKETS}) AS DOUBLE)
+               / CAST((cr + 1) * (t_tot + {DSIR_BUCKETS}) AS DOUBLE) AS w
+      FROM counts, tot
+    ), perdoc AS (
+      SELECT tok.doc_id, list(w ORDER BY pos) AS ws
+      FROM tok JOIN wts USING (bucket) GROUP BY tok.doc_id
+    )
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           list_reduce(ws, (a, b) -> a * b) AS importance
+    FROM perdoc
+    """,
+)
+def x62_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] DSIR-style importance-sampling weights (Xie et al. 2023,
+    arXiv:2302.03169): documents are scored by how much more likely their
+    hashed-unigram features are under the TARGET distribution (here the
+    ``lang='en'`` slice stands in for the high-quality target corpus) than
+    under the RAW distribution. Per-bucket weight is the add-one-smoothed
+    likelihood ratio ((c_t+1)/(T+B)) / ((c_r+1)/(R+B)) — kept as ONE
+    division of exact integer products so it is engine-exact — and a
+    document's importance is the positional-order product of its tokens'
+    bucket weights (the likelihood ratio of the whole doc under the
+    hashed unigram model), folded left-to-right identically in both
+    engines. This is the data-selection op that picks pretraining docs
+    matching a target domain without training a classifier.
+
+    Scale shape: the bucket table is FIXED-width (B=1024 rows regardless
+    of corpus size) — counts aggregate map-side, the weight table
+    broadcasts back into the token stream, and the per-doc product is one
+    doc-keyed shuffle. Two linear corpus passes, nothing vocabulary- or
+    pair-shaped. The hash family is the engine-portable md5-prefix used by
+    MinHash (dedup.py)."""
+    d = t(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    tok = (
+        d.repartition(n_parts)
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(word_tokens(F.col("text"))).alias("pos", "tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "pos",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    counts = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
+    )
+    wts = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            ((F.col("ct") + 1) * (F.col("r_tot") + DSIR_BUCKETS)).cast("double")
+            / ((F.col("cr") + 1) * (F.col("t_tot") + DSIR_BUCKETS)).cast("double")
+        ).alias("w"),
+    )
+    perdoc = (
+        tok.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("pw"))
+    )
+    importance = F.aggregate(
+        F.transform(F.col("pw"), lambda s: s["w"]),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return perdoc.select(
+        "doc_id",
+        F.size("pw").cast("long").alias("n_tokens"),
+        importance.alias("importance"),
+    )
+
+
+
+@register(
+    "x66_group_split_by_source",
+    """
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN md5(source) < 'c' THEN 'train' ELSE 'heldout' END
+               AS split
+      FROM documents
+    )
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split, source
+    """,
+)
+def x66_group_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] GROUP-wise train/heldout split: the split key is the SOURCE
+    hash, not the document hash — every document of a source lands in the
+    same partition, which is what prevents group leakage when near-
+    duplicate documents cluster within sources (a doc-level split like
+    x29 would put one copy in train and its sibling in eval). The
+    sklearn-GroupShuffleSplit analogue at corpus scale; same md5-prefix
+    convention as x29 so both splits are reproducible, join-free,
+    scan-side expressions. Emits per-(split, source) stats — the
+    group-integrity certificate is that each source appears under exactly
+    ONE split."""
+    d = t(spark, sf_dir, "documents")
+    # group by source alone (split is functionally dependent on it), then
+    # derive the split from the aggregated row: md5 runs once per SOURCE,
+    # not once per document, and one-split-per-source holds structurally
+    split = F.when(F.md5(F.col("source")) < "c", "train").otherwise("heldout")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(split.alias("split"), "source", "n_docs", "total_chars")
+    )
+
+
+@register(
+    "x67_mixture_sampling_apply",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n
+      FROM documents
+    ), s AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_s,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM tk GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s
+    ), r AS (
+      SELECT s.source, s.n_docs,
+             CAST(floor(sqrt(CAST(s.n_s AS DOUBLE) / tot.n) * 1e12 + 0.5)
+                  AS BIGINT) AS u
+      FROM s CROSS JOIN tot
+    ), r2 AS (
+      SELECT source, n_docs,
+             CAST(u * 1000000 // (SELECT MAX(u) FROM r) AS BIGINT)
+               AS rate_milli
+      FROM r
+    ), adm AS (
+      SELECT d.source,
+             CAST(SUM(CASE WHEN ('0x' || substring(
+                      md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 1000000 < r2.rate_milli
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+      FROM documents d JOIN r2 USING (source)
+      GROUP BY d.source
+    )
+    SELECT r2.source, r2.n_docs, r2.rate_milli, adm.n_admitted
+    FROM r2 JOIN adm USING (source)
+    """,
+)
+def x67_mixture_sampling_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] APPLY a temperature-scaled source mixture: x39 computes the
+    target weights; this operator turns them into per-source admission
+    RATES (largest source keeps everything, smaller sources are
+    down-sampled proportionally to their sqrt-share — rate_milli =
+    u_s·10⁶ ÷ max(u), integer arithmetic so both engines agree exactly)
+    and then ADMITS documents deterministically: a doc survives iff
+    ``md5('mix:'‖doc_id)₃₂ mod 10⁶ < rate_milli`` — the salted-hash
+    Bernoulli gate that makes the sample reproducible run-over-run and
+    engine-portable, with no RNG state to coordinate across executors.
+
+    Scale shape: pass 1 is the per-source token rollup; the global
+    normalizer and max run as UNPARTITIONED WINDOWS over that
+    |sources|-row aggregate (not as joins back to re-derived sub-aggs —
+    each such join re-executes the corpus rollup lineage), so the corpus
+    is tokenized exactly once. The finished rate table broadcasts into
+    pass 2's pure scan — the corpus shuffles ZERO rows, and the admit
+    decision runs inside whole-stage codegen. This is the missing link
+    between weight COMPUTATION (x39) and split/dedup machinery: the
+    operator a 100 TB mixing run executes once per source epoch."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", "source", F.size(word_tokens(F.col("text"))).cast("long").alias("n")
+    )
+    s = tk.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    # the window frame is the whole |sources|-row aggregate — one tiny
+    # single-partition pass, never the corpus
+    wall = W.partitionBy()
+    u = F.floor(
+        F.sqrt(F.col("n_s").cast("double") / F.sum("n_s").over(wall)) * 1e12 + 0.5
+    ).cast("long")
+    r2 = (
+        s.select("source", "n_docs", u.alias("u"))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("u * 1000000 DIV max(u) OVER ()").cast("long").alias("rate_milli"),
+        )
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    # n_docs/rate_milli ride along the broadcast and come back out via
+    # max() (functionally dependent on source) — r2's lineage runs ONCE,
+    # with no second join
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(r2), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.max("rate_milli").cast("long").alias("rate_milli"),
+            F.sum((h < F.col("rate_milli")).cast("long")).cast("long").alias("n_admitted"),
+        )
+        .select("source", "n_docs", "rate_milli", "n_admitted")
+    )
+
+
+
+_X72_S = 16  # shard count
+
+
+@register(
+    "x72_shard_layout_plan",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             ('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_X72_S} AS shard,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n
+      FROM documents
+    ), s AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM tk GROUP BY shard
+    ), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM s)
+    SELECT shard, n_docs, n_tokens,
+           CAST(n_tokens * {_X72_S} AS DOUBLE) / tot.t AS load_ratio
+    FROM s CROSS JOIN tot
+    """,
+)
+def x72_shard_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/S2] Hash-shard LAYOUT PLANNING: before a 100 TB corpus is
+    written, assign every document to one of S shards by salted md5 and
+    report each shard's document count, token mass, and load ratio
+    (shard tokens ÷ ideal share) — the balance check that decides
+    whether hash sharding suffices or a skew-aware planner (x44-style
+    packing, q44-style salting) is needed before the write fan-out.
+    Deterministic hash → the plan is reproducible and the oracle replays
+    it exactly; load_ratio is one divide of exact integers.
+
+    Plan shape: one tokenizing scan + one |S|-row rollup; the global
+    total attaches via an unpartitioned window over those S rows (same
+    tiny-aggregate pattern as x67), so the corpus is scanned once."""
+    d = t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _X72_S
+    )
+    tk = d.select(
+        shard.alias("shard"),
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n"),
+    )
+    s = tk.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    wall = W.partitionBy()
+    return s.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        (
+            (F.col("n_tokens") * _X72_S).cast("double") / F.sum("n_tokens").over(wall)
+        ).alias("load_ratio"),
+    )
+
+
+
+@register(
+    "x75_source_quota_topk",
+    r"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
+               AS n_alpha,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ), sc AS (
+      SELECT doc_id, source, n_tokens,
+             0.4 * (CAST(n_alpha AS DOUBLE) / n_chars)
+               + 0.6 * (CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0) AS score
+      FROM feats
+    ), rk AS (
+      SELECT doc_id, source, n_tokens, score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM sc
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, n_tokens, score
+    FROM rk WHERE rk <= 10
+    """,
+)
+def x75_source_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] Per-source CURATION QUOTA: keep each source's top-k
+    documents by quality score (fixed 0.4·alpha_ratio + 0.6·length_norm
+    — a rational, transcendental-free composite), deterministic
+    tie-break on doc_id — the per-domain cap that keeps one giant
+    crawl domain from swamping a training mix even after x67's
+    rate-based sampling (quota selects the BEST n, sampling keeps a
+    random-but-reproducible fraction; real pipelines run both).
+
+    Scale shape: scoring is a pure scan expression; the per-source
+    window shuffles on source — and because k ≪ group size, Spark
+    plans the rank filter with partial top-k pushed BELOW the final
+    sort within each partition (window + filter, no global sort). At
+    extreme per-source skew, q44's salting composes in front."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_chars = F.length(txt).cast("long")
+    n_alpha = F.length(F.regexp_replace(F.lower(txt), "[^a-z]", "")).cast("long")
+    score = (
+        F.lit(0.4) * (n_alpha.cast("double") / n_chars)
+        + F.lit(0.6) * (F.least(n_chars, F.lit(500)).cast("double") / F.lit(500.0))
+    )
+    sc = d.select(
+        "doc_id",
+        "source",
+        F.size(word_tokens(txt)).cast("long").alias("n_tokens"),
+        score.alias("score"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("source", "rank", "doc_id", "n_tokens", "score")
+    )
+
+
+
+@register(
+    "x80_epoch_budget_plan",
+    r"""
+    WITH tk AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n
+      FROM documents
+    ), s AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_s FROM tk GROUP BY source
+    ), tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s),
+    q AS (
+      SELECT s.source, s.n_s,
+             CAST(floor(sqrt(CAST(s.n_s AS DOUBLE) / tot.n) * 1e12 + 0.5)
+                  AS BIGINT) AS u
+      FROM s CROSS JOIN tot
+    )
+    SELECT source, n_s AS natural_tokens,
+           CAST((1000000 * u) // SUM(u) OVER () AS BIGINT) AS alloc_tokens,
+           CAST((1000000 * u) // SUM(u) OVER () AS DOUBLE) / n_s AS epochs,
+           (1000000 * u) // SUM(u) OVER () > n_s AS repeats_data
+    FROM q
+    """,
+)
+def x80_epoch_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] EPOCH/REPETITION PLAN for a token budget under the x39
+    temperature mix: allocating a fixed budget (B = 1M tokens here) by
+    the α=0.5 temperature weights tells each source how many tokens it
+    contributes — and dividing by its natural mass gives its EPOCH count
+    (>1 ⇒ the source repeats; data-constrained scaling work shows value
+    decays after ~4 epochs, so `repeats_data` sources are where a mix
+    silently over-trains). Composes x39 (weights) with x41 (budget):
+    the decision artifact a 100 TB mix planner actually reads.
+
+    Determinism: the weight share is x39's pico-quantized integer ``u``;
+    the allocation is PURE INTEGER floor division (B·u // Σu) — no
+    double normalizer — and epochs is one double division of exact
+    ints. Scale shape: one corpus scan → |sources| rows; every window
+    runs on that tiny frame."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "source", F.size(word_tokens(F.col("text"))).cast("long").alias("n")
+    )
+    s = tk.groupBy("source").agg(F.sum("n").cast("long").alias("n_s"))
+    tot = s.agg(F.sum("n_s").cast("long").alias("n"))
+    u = F.floor(
+        F.sqrt(F.col("n_s").cast("double") / F.col("n")) * 1e12 + 0.5
+    ).cast("long")
+    w = W.partitionBy()
+    q = (
+        s.join(F.broadcast(tot))
+        .select("source", "n_s", u.alias("u"))
+        .withColumn("su", F.sum("u").over(w))
+    )
+    # EXACT integer floor division (Spark `div`), matching DuckDB's `//`
+    # on BIGINTs — a double divide + floor would lose bits above 2^53
+    # (B·u reaches 1e18) and drift off the oracle by ±1 token.
+    alloc_int = F.expr("(CAST(1000000 AS BIGINT) * u) div su").cast("long")
+    return q.select(
+        "source",
+        F.col("n_s").alias("natural_tokens"),
+        alloc_int.alias("alloc_tokens"),
+        (alloc_int.cast("double") / F.col("n_s")).alias("epochs"),
+        (alloc_int > F.col("n_s")).alias("repeats_data"),
+    )
+
+
+
+@register(
+    "x84_weighted_bernoulli_sample",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(n_docs) AS n_min FROM s),
+    p AS (
+      SELECT source, n_docs, CAST(n_min AS DOUBLE) / n_docs AS p_target
+      FROM s CROSS JOIN m
+    ),
+    u AS (
+      SELECT source,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs, p.p_target,
+           CAST(SUM(CASE WHEN u.u < p.p_target THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN u.u < p.p_target THEN 1 ELSE 0 END) AS DOUBLE)
+             / p.n_docs AS achieved_rate
+    FROM u JOIN p USING (source)
+    GROUP BY p.source, p.n_docs, p.p_target
+    """,
+)
+def x84_weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] REPRODUCIBLE WEIGHTED DOWNSAMPLING — the one-pass rebalancing
+    stage that evens out a source-skewed corpus: each source's inclusion
+    probability is ``n_min / n_source`` (level every source down to the
+    smallest's share), and each document's inclusion decision is a pure
+    function of its id — ``u(doc_id) < p(source)`` with u the portable
+    md5 32-bit-prefix uniform (x29's split hash). No RNG state, no seed
+    plumbing: the SAME doc ids survive on any cluster, any partitioning,
+    any retry — which is what makes a 100 TB sampling stage auditable and
+    resumable (re-running a failed partition cannot change the sample).
+    Output is the per-source audit row: target probability vs achieved
+    rate (exact counts, certified), the report a curation run logs before
+    committing the sampled corpus.
+
+    Determinism: p_target is ONE int/int double division; u is one
+    division of an exact 32-bit integer; the comparison and counts are
+    exact — bit-identical in any engine. Scale shape: one
+    map-side-combined groupBy for the source stats (≤ |sources| rows), a
+    broadcast join back onto the corpus scan, one more tiny rollup —
+    corpus-linear, single data shuffle, no skew sensitivity (the decision
+    needs only the row itself plus a broadcast scalar per source)."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    m = s.agg(F.min("n_docs").alias("n_min"))
+    p = s.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_docs",
+        (F.col("n_min").cast("double") / F.col("n_docs")).alias("p_target"),
+    )
+    u = d.select(
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    hit = F.when(F.col("u") < F.col("p_target"), 1).otherwise(0)
+    return (
+        u.join(F.broadcast(p), "source")
+        .groupBy("source", "n_docs", "p_target")
+        .agg(F.sum(hit).cast("long").alias("n_sampled"))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "p_target",
+            "n_sampled",
+            (F.col("n_sampled").cast("double") / F.col("n_docs")).alias(
+                "achieved_rate"
+            ),
+        )
+    )
+
+
+

@@ -1,0 +1,534 @@
+"""Frequency/membership sketches and sparse-vector similarity [X]:
+count-min sketch heavy hitters, TF-IDF cosine near-duplicates, and
+Bloom-filter decontamination — the portable-hash (md5) sketch family,
+each certified against an exact oracle replay (SURVEY.md §2.12).
+
+Moved verbatim out of ``text_analysis.py`` (pure move, no behavior
+change) — that module keeps the scan-statistics / quality / sampling
+query families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from smfg_datawarehouse_spark.functions import word_tokens
+from smfg_datawarehouse_spark.queries import register, t
+
+# ---------------------------------------------------------------------------
+# count-min sketch frequency estimation (portable md5 hash rows)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # buckets per row
+
+
+def _cms_buckets(tok: Column, d_rows: int = CMS_D, width: int = CMS_W) -> Column:
+    """Array of the token's bucket per CMS hash row — portable
+    ``md5('cms{d}:' || tok)`` 32-bit prefix mod width, identical in any
+    engine (same family as the MinHash signatures in dedup.py)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), tok)), 1, 8), 16, 10
+            ).cast("bigint")
+            % width
+            for d in range(d_rows)
+        ]
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    d_rows: int = CMS_D,
+    width: int = CMS_W,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-min sketch token-frequency estimation, evaluated against the
+    exact counts for the corpus's top-k tokens (Cormode/Muthukrishnan '05).
+
+    The sketch is the 100 TB path for frequency queries: counter state is
+    a FIXED d×w grid (here 4×256 longs) regardless of vocabulary size —
+    one groupBy over (row, bucket) whose output always fits in a broadcast,
+    where the exact per-token count's shuffle grows with the vocabulary.
+    Estimates only ever over-count (min over rows bounds the collision
+    error), so ``overcount`` ≥ 0 is a structural invariant the oracle
+    re-checks. The exact side here is the *evaluation harness* (same
+    pattern as x12 IVF recall / x14 MinHash error / x47 HLL gate).
+    """
+    toks = docs.select(F.explode(word_tokens(F.col(text_col))).alias("tok"))
+    # counters: one pass, posexplode the D bucket ids per token occurrence
+    counters = (
+        toks.select(F.posexplode(_cms_buckets(F.col("tok"), d_rows, width)).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    w = W.orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+    top = (
+        exact.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= top_k).drop("rn")
+    )
+    est = (
+        top.select(
+            "tok",
+            "exact_cnt",
+            F.posexplode(_cms_buckets(F.col("tok"), d_rows, width)).alias("d", "bucket"),
+        )
+        .join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").cast("long").alias("est_cnt"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    w -> w <> '')) AS tok
+      FROM documents
+    ),
+    ds AS (SELECT unnest(range({CMS_D})) AS d),
+    buck AS (
+      SELECT tok, d,
+             ('0x' || substring(md5('cms' || d || ':' || tok), 1, 8))::BIGINT
+               % {CMS_W} AS bucket
+      FROM toks CROSS JOIN ds
+    ),
+    counters AS (SELECT d, bucket, count(*) AS cnt FROM buck GROUP BY 1, 2),
+    exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok),
+    top AS (
+      SELECT tok, exact_cnt FROM (
+        SELECT tok, exact_cnt,
+               ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, tok) AS rn
+        FROM exact
+      ) WHERE rn <= 20
+    ),
+    est AS (
+      SELECT t.tok, t.exact_cnt, CAST(min(c.cnt) AS BIGINT) AS est_cnt
+      FROM top t CROSS JOIN ds
+      JOIN counters c
+        ON c.d = ds.d
+       AND c.bucket = ('0x' || substring(md5('cms' || ds.d || ':' || t.tok), 1, 8))::BIGINT
+                      % {CMS_W}
+      GROUP BY 1, 2
+    )
+    SELECT tok, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount FROM est
+"""
+
+
+@register("x49_cms_heavy_hitters", _CMS_ORACLE)
+def x49_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Count-min sketch frequency estimates vs exact counts for the
+    corpus's top-20 tokens — the fixed-memory frequency sketch for 100 TB
+    vocabularies, with its accuracy gate."""
+    return cms_heavy_hitters(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF sparse cosine near-duplicates (embedding-free)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    df_cap: int | None = None,
+    prefix_filter: bool = True,
+    _return_candidates: bool = False,
+) -> DataFrame:
+    """Document pairs with TF-IDF cosine ≥ threshold — near-dup detection
+    with NO embedding column, pure sparse algebra on the token inverted
+    index.
+
+    weight(doc, tok) = tf · (N/df) — rational idf (no transcendental log),
+    so weights are bit-identical across engines. Tokens with document
+    frequency above ``df_cap`` (default ``max(64, ⌈√N⌉)``, the same skew
+    guard as jaccard_pairs) are pruned from the vocabulary BEFORE
+    weighting: this is simultaneously classic stopword pruning (high-df
+    tokens carry ~zero idf weight) and the bound that keeps the
+    inverted-index self-join's Σ df² candidate cost from detonating on
+    boilerplate corpora.
+
+    **Prefix filtering** (``prefix_filter=True``, All-Pairs — Bayardo,
+    Ma & Srikant, WWW'07): beyond the df cap, mid-frequency tokens still
+    drive Σ df². Process each doc's tokens in a fixed global order
+    (df DESC, tok — frequent first) accumulating
+    ``b = Σ ŵ(d,t)·maxw(t)`` over the unit-normalized weights, where
+    ``maxw(t)`` is the corpus-wide max normalized weight of ``t``. A
+    token is INDEXED only once ``b ≥ threshold``; for any pair with
+    cos ≥ threshold the LATEST shared token in the global order is
+    provably indexed on BOTH sides (if it sat in either doc's unindexed
+    prefix, every earlier shared token would too, bounding the dot by
+    ``b < threshold``) — so joining indexed×indexed rows is lossless
+    while the frequent-token prefix never enters the candidate join.
+    The indexing decision deflates the threshold by 1e-9 to absorb
+    float rounding in ``b``/``maxw`` (the exactness of the RESULT never
+    depends on the bound — candidates are re-verified in full).
+
+    Verification recomputes each candidate pair's dot over the COMPLETE
+    weight rows; dots and norms accumulate via exact DECIMAL sums (the
+    repo's dsum convention) so the cosine — and the threshold cut —
+    hash-match the uncapped-arithmetic oracle.
+    """
+    from smfg_datawarehouse_spark.queries import dsum
+
+    n_docs = docs.count()
+    if df_cap is None:
+        import math
+
+        df_cap = max(64, math.isqrt(n_docs) + 1)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= df_cap
+    )
+    # (doc, tok, wgt, df) — cached: norms, maxw, the prefix window, and
+    # verification all re-read this instead of replaying tokenize+tf
+    wgt = (
+        tf.join(F.broadcast(dft), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("wgt"),
+            "df",
+        )
+        .cache()
+    )
+    # NOTE (decimal-tie class): wgt is a COMPUTED double, so the dsum
+    # DECIMAL(30,6) casts here carry the same latent half-up-vs-half-even
+    # tie risk x65's mean_quality hit (BASELINE.md) — no fixture value
+    # currently lands on a .0000005 boundary (verified bit-exact at
+    # sf0.001/0.01/0.1). If a fixture regeneration ever hash-fails x50,
+    # convert these sums to x08-style micro-unit accumulation on BOTH
+    # engines rather than debugging the candidate pipeline.
+    nrm = wgt.groupBy("doc_id").agg(
+        F.sqrt(dsum(F.col("wgt") * F.col("wgt"))).alias("nrm")
+    )
+
+    if prefix_filter:
+        # unit-normalized weights (cosine space, where the bound lives)
+        wn = wgt.join(F.broadcast(nrm), "doc_id").select(
+            "doc_id", "tok", "df", (F.col("wgt") / F.col("nrm")).alias("wn")
+        )
+        maxw = wn.groupBy("tok").agg(F.max("wn").alias("maxw"))
+        win = W.partitionBy("doc_id").orderBy(F.col("df").desc(), "tok")
+        indexed = (
+            wn.join(F.broadcast(maxw), "tok")
+            .withColumn("b", F.sum(F.col("wn") * F.col("maxw")).over(win))
+            .where(F.col("b") >= threshold * (1.0 - 1e-9))
+            .select("doc_id", "tok")
+        )
+        cand = (
+            indexed.alias("a")
+            .join(
+                indexed.alias("b"),
+                (F.col("a.tok") == F.col("b.tok"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        if _return_candidates:
+            return cand
+        wa = wgt.select(
+            F.col("doc_id").alias("doc_a"), "tok", F.col("wgt").alias("wgt_a")
+        )
+        wb = wgt.select(
+            F.col("doc_id").alias("_wb_doc"),
+            F.col("tok").alias("tok_b"),
+            F.col("wgt").alias("wgt_b"),
+        )
+        dots = (
+            cand.join(wa, "doc_a")
+            .join(
+                wb,
+                (F.col("doc_b") == F.col("_wb_doc"))
+                & (F.col("tok") == F.col("tok_b")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(dsum(F.col("wgt_a") * F.col("wgt_b")).alias("dot"))
+        )
+    else:
+        if _return_candidates:
+            return (
+                wgt.alias("a")
+                .join(wgt.alias("b"), "tok")
+                .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+        dots = (
+            wgt.alias("a")
+            .join(wgt.alias("b"), "tok")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(dsum(F.col("a.wgt") * F.col("b.wgt")).alias("dot"))
+        )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+_TFIDF_ORACLE = r"""
+    WITH n_t AS (SELECT count(*) AS n FROM documents),
+    cap_t AS (
+      -- floor(sqrt(n)) + 1 == Python math.isqrt(n) + 1 (exact for n < 2^52)
+      SELECT greatest(64, CAST(floor(sqrt(n)) AS BIGINT) + 1) AS cap FROM n_t
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    w -> w <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dft AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1
+      HAVING count(*) <= (SELECT cap FROM cap_t)
+    ),
+    w AS (
+      SELECT doc_id, tok,
+             tf * (CAST((SELECT n FROM n_t) AS DOUBLE) / df) AS wgt
+      FROM tf JOIN dft USING (tok)
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(wgt * wgt AS DECIMAL(30,6))) AS DOUBLE)) AS nrm
+      FROM w GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(a.wgt * b.wgt AS DECIMAL(30,6))) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, dot / (x.nrm * y.nrm) AS cos_sim
+    FROM dots
+    JOIN nrm x ON x.doc_id = doc_a
+    JOIN nrm y ON y.doc_id = doc_b
+    WHERE dot / (x.nrm * y.nrm) >= 0.3
+"""
+
+
+@register("x50_tfidf_cosine_pairs", _TFIDF_ORACLE)
+def x50_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Embedding-free near-dup detection: TF-IDF sparse cosine over the
+    df-capped inverted index (rational idf, exact-decimal accumulation)."""
+    return tfidf_cosine_pairs(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership / decontamination sketch (portable md5 bits)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 2048  # bits
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_bits(tok: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
+    """The token's DISTINCT Bloom bit positions as ``array<bigint>``:
+    Kirsch–Mitzenmacher double hashing — ONE md5, its two 32-bit prefix
+    words (a, b) derive all k positions as ``(a + j·b) mod m`` (preserves
+    the asymptotic false-positive rate, ESA'06). One hash evaluation per
+    token instead of k, and a k× smaller codegen footprint. Distinct
+    matters: rows may collide on a bit, and membership means *every
+    distinct position* is set."""
+    h = F.md5(tok)
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    return F.array_distinct(F.array(*[(a + F.lit(j) * b) % m for j in range(k)]))
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    train_source: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Benchmark-decontamination membership sketch (Bloom '70): build a
+    Bloom filter over the training source's token vocabulary, probe every
+    OTHER source's tokens through it, and report Bloom hits next to exact
+    membership per source.
+
+    At 100 TB the filter — at most ``m`` set-bit rows regardless of
+    vocabulary size — broadcasts to every probe task, replacing the
+    vocabulary-sized shuffle an exact semi-join needs; the exact side here
+    is the evaluation harness (x12/x14/x47/x49 pattern). Structural
+    invariant the oracle re-checks: Bloom filters have NO false negatives,
+    so ``bloom_hits ≥ exact_hits`` for every source and ``false_pos =
+    bloom_hits − exact_hits ≥ 0`` measures the m/k operating point.
+
+    Membership unit is the word BIGRAM (decontamination granularity —
+    unigram vocabularies are near-fully shared across any same-language
+    sources, bigrams discriminate); at ~715 train bigrams × k=4 into
+    m=2048 bits the filter runs at ~0.75 load, a real false-positive
+    regime the eval actually exercises.
+    """
+    from smfg_datawarehouse_spark.functions import word_shingles
+
+    # cached: the distinct (source, bigram) set feeds FOUR consumers
+    # (filter build, probe, exact membership, totals) — without the cache
+    # each replays the corpus explode+distinct. Repartition BEFORE the
+    # explode: a compact source (one scan split) would otherwise shingle
+    # the whole corpus in one task (same pitfall shingle_sets documents).
+    # Bigrams come from arrays_zip over two slices — one vectorized pass
+    # per doc — instead of a per-position transform() lambda: higher-order
+    # functions run INTERPRETED in Spark, and at millions of bigrams the
+    # per-element lambda overhead dominates (measured ~3× on this op).
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    tk = word_tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(tk) >= 2,
+        F.arrays_zip(
+            F.slice(tk, 1, F.size(tk) - 1).alias("w1"),
+            F.slice(tk, 2, F.size(tk) - 1).alias("w2"),
+        ),
+    )
+    toks = (
+        docs.repartition(n_parts)
+        .select(F.col(source_col).alias("source"), F.explode(pairs).alias("z"))
+        .select(
+            "source",
+            F.concat(F.col("z.w1"), F.lit(" "), F.col("z.w2")).alias("tok"),
+        )
+        .distinct()
+        .cache()
+    )
+    train = toks.where(F.col("source") == train_source).select("tok").distinct()
+    bits = (
+        train.select(F.explode(_bloom_bits(F.col("tok"), k, m)).alias("bit"))
+        .distinct()
+        .withColumn("_in", F.lit(1))
+    )
+    # ONE pass over the probe set computes every metric: explode the bit
+    # array (materialized once per token), mark set bits via a broadcast
+    # left join, fold back to a per-token bloom_hit flag, attach exact
+    # membership via a broadcast train-marker join, and aggregate all
+    # three counters in a single per-source groupBy. One probe branch and
+    # two broadcast joins instead of three probe branches + a shuffle
+    # semi-join — a much smaller plan to compile AND execute.
+    probe = toks.where(F.col("source") != train_source)
+    per_token = (
+        probe.withColumn("_bits", _bloom_bits(F.col("tok"), k, m))
+        .select(
+            "source",
+            "tok",
+            F.size("_bits").alias("n_bits"),
+            F.explode("_bits").alias("bit"),
+        )
+        .join(F.broadcast(bits), "bit", "left")
+        .groupBy("source", "tok", "n_bits")
+        .agg(F.sum("_in").alias("n_matched"))
+        .withColumn(
+            "bloom_hit",
+            (F.coalesce(F.col("n_matched"), F.lit(0)) == F.col("n_bits")).cast("long"),
+        )
+        .join(
+            F.broadcast(train.withColumn("_tr", F.lit(1))), "tok", "left"
+        )
+    )
+    return per_token.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("bloom_hit").cast("long").alias("bloom_hits"),
+        F.sum(F.coalesce(F.col("_tr"), F.lit(0))).cast("long").alias("exact_hits"),
+        (F.sum("bloom_hit") - F.sum(F.coalesce(F.col("_tr"), F.lit(0))))
+        .cast("long")
+        .alias("false_pos"),
+    )
+
+
+_BLOOM_BIT = (
+    "(('0x' || substring(md5(tok), 1, 8))::BIGINT"
+    f" + j * ('0x' || substring(md5(tok), 9, 8))::BIGINT) % {BLOOM_M}"
+)
+
+_BLOOM_ORACLE = f"""
+    WITH tkl AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         w -> w <> '') AS tk
+      FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT source, tk[i] || ' ' || tk[i + 1] AS tok
+      FROM tkl, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+    ),
+    train AS (SELECT DISTINCT tok FROM toks WHERE source = 'src0'),
+    js AS (SELECT unnest(range({BLOOM_K})) AS j),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_BIT} AS bit FROM train CROSS JOIN js
+    ),
+    probe AS (SELECT source, tok FROM toks WHERE source <> 'src0'),
+    probe_bits AS (
+      SELECT DISTINCT source, tok, {_BLOOM_BIT} AS bit FROM probe CROSS JOIN js
+    ),
+    nb AS (SELECT source, tok, count(*) AS n_bits FROM probe_bits GROUP BY 1, 2),
+    hit AS (
+      SELECT pb.source, pb.tok, count(*) AS n_matched
+      FROM probe_bits pb JOIN bits b ON pb.bit = b.bit
+      GROUP BY 1, 2
+    ),
+    bloom AS (
+      SELECT h.source, CAST(count(*) AS BIGINT) AS bloom_hits
+      FROM hit h JOIN nb ON nb.source = h.source AND nb.tok = h.tok
+      WHERE h.n_matched = nb.n_bits
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS exact_hits
+      FROM probe WHERE tok IN (SELECT tok FROM train)
+      GROUP BY 1
+    ),
+    totals AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM probe GROUP BY 1
+    )
+    SELECT t.source, t.n_tokens,
+           COALESCE(b.bloom_hits, 0) AS bloom_hits,
+           COALESCE(e.exact_hits, 0) AS exact_hits,
+           COALESCE(b.bloom_hits, 0) - COALESCE(e.exact_hits, 0) AS false_pos
+    FROM totals t
+    LEFT JOIN bloom b USING (source)
+    LEFT JOIN exact e USING (source)
+"""
+
+
+@register("x51_bloom_contamination", _BLOOM_ORACLE)
+def x51_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Bloom-filter decontamination probe: per non-train source, token
+    vocabulary hits against a Bloom filter built on src0's vocabulary,
+    next to exact membership — no-false-negative invariant oracle-checked."""
+    return bloom_contamination(t(spark, sf_dir, "documents"), "src0")
+
+

@@ -3719,3 +3719,176 @@ def l16_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which is fine — callers materialize once)
         rec.unpersist()
     return rec
+
+
+@register(
+    "l17_manifest_commit_lifecycle",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def l17_manifest_commit_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S3/S7] MANIFEST-COMMIT table lifecycle — the object-store-safe
+    commit protocol (Delta/Iceberg's core on plain parquet;
+    ``sources/manifest.py``), certifying the production answer to the
+    compaction race ``lake.compact`` documents: data files are immutable,
+    a commit is an atomic single-object CURRENT swap, and compaction
+    never deletes what a reader might hold.
+
+    Lifecycle, each transition gated in-engine (raise loudly, never
+    hash-fail mysteriously):
+
+    1. ``write`` (orders before 1996) → ``append`` (the rest): manifest
+       v2 must reference both batches' files.
+    2. ``compact()`` → v3 with strictly fewer files; the PRE-compaction
+       snapshot ``read(2)`` must still return identical counts AFTER the
+       compaction commit — snapshot isolation, the property a directory
+       swap cannot give.
+    3. ``vacuum(keep_last=1)`` must remove exactly the files v3 does not
+       reference, after which ``read(2)`` must fail (retention expired)
+       while ``read()`` still serves v3.
+
+    The returned priority rollup over the post-vacuum table hash-matches
+    the oracle over the raw fixture — the whole commit/compact/vacuum
+    chain is content-preserving."""
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
+
+    tmp = _scratch_dir(spark, "l17")
+    mt = ManifestTable(spark, os.path.join(tmp, "orders_mt"))
+    o = t(spark, sf_dir, "orders")
+    mt.write(o.where("o_orderdate < DATE '1996-01-01'").repartition(4))
+    v2 = mt.append(o.where("o_orderdate >= DATE '1996-01-01'").repartition(4))
+    files_v2 = set(mt.manifest(v2))
+    if len(files_v2) < 8:
+        raise RuntimeError(f"append manifest lists {len(files_v2)} files, expected >=8")
+    n_v2 = mt.read(v2).count()
+    v3 = mt.compact(target_file_bytes=10 * 1024 * 1024 * 1024)
+    files_v3 = set(mt.manifest(v3))
+    if not (len(files_v3) == 1 and files_v3.isdisjoint(files_v2)):
+        raise RuntimeError("compaction must commit one fresh file, touching none")
+    # snapshot isolation: the pre-compaction manifest still fully readable
+    if mt.read(v2).count() != n_v2:
+        raise RuntimeError("pre-compaction snapshot changed under compaction")
+    removed = set(mt.vacuum(keep_last=1))
+    if removed != files_v2:
+        raise RuntimeError(f"vacuum removed {removed ^ files_v2} unexpectedly")
+    try:
+        mt.read(v2).count()
+        raise RuntimeError("expired snapshot v2 still readable after vacuum")
+    except Exception as exc:
+        if isinstance(exc, RuntimeError):
+            raise
+        pass  # expected: v2's files are gone
+    return (
+        mt.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "l18_zonemap_pruned_scan",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def l18_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2/S3] Sorted export with a per-file ZONE MAP, then a pruned
+    range scan (``sources/lake.write_sorted_with_zonemap`` /
+    ``read_zonemap_pruned``): orders are range-partitioned and sorted by
+    o_orderdate into 8 files whose min/max zones are collected at write
+    time; a one-year predicate then reads ONLY the files whose zone
+    intersects it. The engine RAISES unless pruning actually skipped
+    files (the property being certified — a zone map that never skips is
+    a no-op), the exact predicate is re-applied after pruning (zone maps
+    are conservative), and the rollup hash-matches a plain filtered scan
+    of the raw fixture. This is the file-granularity layout/skipping
+    discipline that turns a 100 TB time-range query into a 1% read;
+    within each chosen file, parquet row-group stats (tight, because
+    sorted) let Spark's reader skip further. Reference intent: the
+    consolidated ordered extract of ``staging_data_extraction.py:30-80``,
+    re-done so the ordering pays off at read time."""
+    from smfg_datawarehouse_spark.sources.lake import (
+        read_zonemap_pruned,
+        write_sorted_with_zonemap,
+    )
+
+    tmp = _scratch_dir(spark, "l18")
+    path = os.path.join(tmp, "orders_sorted")
+    o = t(spark, sf_dir, "orders")
+    zonemap = write_sorted_with_zonemap(o, path, "o_orderdate", n_files=8)
+    import datetime
+
+    # fixture o_orderdate is parquet timestamp — bound with the same type
+    lo = datetime.datetime(1996, 1, 1)
+    end = datetime.datetime(1997, 1, 1)
+    hi = end - datetime.timedelta(microseconds=1)
+    pruned, n_read, n_total = read_zonemap_pruned(spark, zonemap, lo, hi)
+    if n_read >= n_total:
+        raise RuntimeError(
+            f"zone map skipped nothing ({n_read}/{n_total} files read)"
+        )
+    return (
+        pruned.where(
+            (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(end))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "l19_salted_skew_join",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def l19_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/J2 skew tier] SALTED equi-join certified identical to the
+    plain join (``functions/skew.salted_join``): the fact side salts each
+    row into one of 8 sub-keys by deterministic ``xxhash64`` (replay- and
+    partition-invariant — retries salt identically), the dim side is
+    exploded ×8, and the join runs on (key, salt) so one hot key's rows
+    spread across 8 tasks instead of stalling one straggler. The oracle
+    is the UNSALTED join — the whole point is bit-identical results with
+    a bounded per-task key volume. This is the manual fallback tier for
+    the skew AQE can't fix (e.g. a downstream groupBy on the hot key, or
+    engines/stages where AQE skew-split doesn't apply); the engine's
+    default path stays plain + AQE. Uniform fixture keys don't exercise
+    the *imbalance*, so ``tests/test_skew.py`` additionally pins behavior
+    under a forced hot key; this query certifies end-to-end value
+    equality through the driver contract."""
+    from smfg_datawarehouse_spark.functions.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_partkey"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, o, ["l_orderkey"], salt_from=F.col("l_partkey"), buckets=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )

@@ -1,0 +1,170 @@
+"""Manifest-committed parquet tables — the OBJECT-STORE-safe commit
+protocol (Delta/Iceberg's core idea on plain parquet).
+
+:mod:`.lake`'s ``compact()`` swaps directories with rename — atomic
+enough on a POSIX local fs, but object stores have no atomic directory
+rename, and even locally a reader listing the directory mid-swap races
+the writer. Table formats solve this with an indirection: data files are
+IMMUTABLE and never renamed or deleted by a commit; what changes is a
+tiny MANIFEST (the list of files that make up the table), and the only
+mutation in the whole protocol is an atomic single-object swap of the
+``CURRENT`` pointer (``os.replace`` here; a conditional PUT / ETag swap
+on S3/GCS). Readers resolve CURRENT → manifest → file list once, then
+read a consistent snapshot no matter what commits land meanwhile:
+
+- ``write(df)``  — stage new files under ``data/batch-N/``, write
+  ``manifest/v{N}.json`` naming (prior files +) new files, swap CURRENT.
+  A crash before the swap leaves orphan files readers never see.
+- ``append(df)`` — same, manifest = previous manifest's files + staged.
+- ``compact()``  — rewrite the CURRENT file set into size-targeted
+  files, commit a manifest naming only the new files. The OLD files
+  stay on disk, so an in-flight reader of the old manifest is
+  unaffected — the compaction race :func:`.lake.compact` documents is
+  structurally gone.
+- ``vacuum()``   — delete files referenced by NO retained manifest;
+  the only destructive step, explicitly decoupled from commits.
+
+Scale: manifests are file lists (KBs per thousand files — at true table
+scale this becomes a manifest tree like Iceberg's, same protocol);
+commits are O(1) driver-side metadata; data reads/writes stay fully
+distributed. Reference intent: the DW load stage's transactional table
+(``1. Metadata Creation.sql:133,146``), re-expressed as the commit
+protocol modern lakehouse formats actually use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ManifestTable:
+    """Parquet table with manifest commits and snapshot-isolated reads."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # -- commit protocol ---------------------------------------------------
+
+    def _current_path(self) -> str:
+        return os.path.join(self.path, "manifest", "CURRENT")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._current_path()) as fh:
+                return int(json.load(fh)["version"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, "manifest", f"v{version}.json")
+
+    def manifest(self, version: int | None = None) -> list[str]:
+        """File list (relative paths) of a committed snapshot."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return []
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)["files"]
+
+    def _commit(self, files: list[str]) -> int:
+        """Write manifest v{N+1} then atomically swap CURRENT to it.
+
+        The swap is the ONLY mutation of shared state: ``os.replace`` is
+        atomic on POSIX (object stores: conditional PUT). Everything
+        before it is invisible to readers; a crash at any point leaves
+        the previous snapshot intact and readable."""
+        v = (self.current_version() or 0) + 1
+        with open(self._manifest_path(v), "w") as fh:
+            json.dump({"version": v, "files": sorted(files)}, fh)
+        tmp = self._current_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v}, fh)
+        os.replace(tmp, self._current_path())
+        return v
+
+    def _stage(self, df: DataFrame, batch: int) -> list[str]:
+        """Write df's files under data/batch-{batch}/ (immutable once
+        committed); return their table-relative paths."""
+        rel = os.path.join("data", f"batch-{batch}")
+        out = os.path.join(self.path, rel)
+        df.write.mode("overwrite").parquet(out)
+        return [
+            os.path.join(rel, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+
+    # -- table operations --------------------------------------------------
+
+    def write(self, df: DataFrame) -> int:
+        """Replace the table content (manifest = the staged files only)."""
+        return self._commit(self._stage(df, (self.current_version() or 0) + 1))
+
+    def append(self, df: DataFrame) -> int:
+        """Append (manifest = previous files + staged files)."""
+        prior = self.manifest()
+        return self._commit(
+            prior + self._stage(df, (self.current_version() or 0) + 1)
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: resolve a manifest once, read exactly its files.
+        Immune to concurrent commits (their files are disjoint) and to
+        compaction (old files persist until vacuum)."""
+        files = self.manifest(version)
+        if not files:
+            raise FileNotFoundError(f"no committed snapshot in {self.path}")
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
+    def compact(self, target_file_bytes: int = 256 * 1024 * 1024) -> int:
+        """Rewrite the current file set into size-targeted files and
+        commit a manifest of ONLY the new files. Old files remain on disk
+        for in-flight readers; space is reclaimed by :meth:`vacuum`."""
+        files = self.manifest()
+        total = sum(
+            os.path.getsize(os.path.join(self.path, f)) for f in files
+        )
+        n_files = max(1, total // target_file_bytes)
+        df = self.read().coalesce(int(n_files))
+        return self._commit(self._stage(df, (self.current_version() or 0) + 1))
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Delete data files referenced by none of the last ``keep_last``
+        manifests (and drop older manifests). Returns removed rel-paths.
+        The only destructive operation; runs strictly AFTER commits, so a
+        reader that resolved a retained manifest never loses a file."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        keep_versions = [v for v in range(cur - keep_last + 1, cur + 1) if v >= 1]
+        referenced: set[str] = set()
+        for v in keep_versions:
+            referenced.update(self.manifest(v))
+        removed = []
+        data_root = os.path.join(self.path, "data")
+        for sub in sorted(os.listdir(data_root)):
+            subdir = os.path.join(data_root, sub)
+            for f in sorted(os.listdir(subdir)):
+                rel = os.path.join("data", sub, f)
+                if f.endswith(".parquet") and rel not in referenced:
+                    os.remove(os.path.join(self.path, rel))
+                    removed.append(rel)
+            if not any(fn.endswith(".parquet") for fn in os.listdir(subdir)):
+                # only marker/_SUCCESS debris left — drop the batch dir
+                import shutil
+
+                shutil.rmtree(subdir)
+        for name in os.listdir(os.path.join(self.path, "manifest")):
+            if name.startswith("v") and name.endswith(".json"):
+                v = int(name[1:-5])
+                if v not in keep_versions:
+                    os.remove(os.path.join(self.path, "manifest", name))
+        return removed

@@ -97,7 +97,7 @@ def test_tfidf_prefix_filter_bounds_candidates(spark):
     prefix filter proves the shared token can't reach the threshold
     (b = Σ ŵ·maxw « t) and never indexes it — zero candidates. Results
     must be identical either way (lossless)."""
-    from smfg_datawarehouse_spark.operators.text_analysis import (
+    from smfg_datawarehouse_spark.operators.text_sketches import (
         tfidf_cosine_pairs,
     )
 

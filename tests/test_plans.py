@@ -361,3 +361,29 @@ def test_x89_png_roundtrip_no_join(spark):
     df = qmod.all_queries()["x89_png_decode_roundtrip"](spark, SF)
     assert broadcast_join_count(df) == 0
     assert_no_cartesian(df)
+
+
+def test_x90_intra_repeat_self_join_keyed(spark):
+    # the in-doc position self-join must key on (doc_id, anchor) — the
+    # occ²-bounded candidate pattern — never a positional cross product
+    df = qmod.all_queries()["x90_intra_doc_repetition"](spark, SF)
+    assert_no_cartesian(df)
+
+
+def test_x91_wav_roundtrip_no_join(spark):
+    # synth → decode is the same pure two-stage Arrow pipeline as x89
+    df = qmod.all_queries()["x91_wav_decode_roundtrip"](spark, SF)
+    assert broadcast_join_count(df) == 0
+    assert_no_cartesian(df)
+
+
+def test_x92_boilerplate_join_keyed_on_gram(spark):
+    # windows↔boilerplate-set join is keyed on the gram; the n_docs
+    # total is the only (one-row) broadcast
+    df = qmod.all_queries()["x92_boilerplate_coverage"](spark, SF)
+    assert_no_cartesian(df)
+
+
+def test_l19_salted_join_result_plan_no_cartesian(spark):
+    df = qmod.all_queries()["l19_salted_skew_join"](spark, SF)
+    assert_no_cartesian(df)

@@ -220,7 +220,7 @@ def test_epoch_budget_conservation(spark):
     terms ≤ B) and must be near-complete (shortfall < n_sources, the
     max total floor loss) — the invariant that makes the plan a real
     allocation instead of an estimate."""
-    from smfg_datawarehouse_spark.operators.text_analysis import (
+    from smfg_datawarehouse_spark.operators.text_sampling import (
         x80_epoch_budget_plan,
     )
 
