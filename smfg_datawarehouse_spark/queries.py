@@ -3892,3 +3892,306 @@ def l19_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         dsum(F.col("l_quantity")).alias("sum_qty"),
     )
+
+
+_PROFILE_NUM = [
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_totalprice", "o_totalprice"),
+    ("o_orderdate", "unix_micros(CAST(o_orderdate AS TIMESTAMP))"),
+]
+_PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
+
+
+@register(
+    "q88_table_profile",
+    """
+    SELECT 'o_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(epoch_us(o_orderdate)) AS DOUBLE),
+           CAST(MAX(epoch_us(o_orderdate)) AS DOUBLE), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def q88_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S4/A4] TABLE PROFILER — the ANALYZE/data-card pass every
+    warehouse runs before trusting a table (per-column null count, exact
+    distinct cardinality, min/max): one row per column of ``orders``,
+    computed in a SINGLE scan-side aggregation then unpivoted with
+    ``stack``. Numeric and timestamp columns report min/max as doubles
+    (timestamps as epoch microseconds — exact below 2^53, and immune to
+    the cross-engine double→string formatting divergence a stringly
+    profile would hit); string columns report binary-collation min/max
+    strings. Exact ``count_distinct`` here because the oracle must
+    replay it; the 100 TB path swaps in ``approx_count_distinct``
+    (within-5%% gate certified by x47) without changing the output
+    schema. Reference parity: the metadata/config catalog surface (S4)
+    describes declared shape; this describes the DATA."""
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, expr in _PROFILE_NUM:
+        c = F.expr(expr)
+        aggs += [
+            F.count(c).alias(f"{name}_nn"),
+            F.count_distinct(c).alias(f"{name}_nd"),
+            F.min(c).cast("double").alias(f"{name}_min"),
+            F.max(c).cast("double").alias(f"{name}_max"),
+        ]
+    for name in _PROFILE_STR:
+        c = F.col(name)
+        aggs += [
+            F.count(c).alias(f"{name}_nn"),
+            F.count_distinct(c).alias(f"{name}_nd"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+        ]
+    prof = o.agg(*aggs)
+    parts = []
+    for name, _ in _PROFILE_NUM:
+        parts.append(
+            f"'{name}', n_rows, n_rows - {name}_nn, {name}_nd, "
+            f"{name}_min, {name}_max, CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for name in _PROFILE_STR:
+        parts.append(
+            f"'{name}', n_rows, n_rows - {name}_nn, {name}_nd, "
+            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), {name}_min, {name}_max"
+        )
+    n = len(parts)
+    return prof.select(
+        F.expr(
+            f"stack({n}, " + ", ".join(parts) + ") AS "
+            "(column_name, n_rows, n_nulls, n_distinct, "
+            "min_num, max_num, min_str, max_str)"
+        )
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_num", "max_num", "min_str", "max_str",
+    )
+
+
+@register(
+    "q89_dq_rule_audit",
+    """
+    SELECT 'orders_totalprice_positive' AS rule_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'orders_orderdate_bounds',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderdate IS NULL
+                OR o_orderdate < TIMESTAMP '1990-01-01'
+                OR o_orderdate >= TIMESTAMP '2010-01-01')
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+             WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           (SELECT CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+              FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             (SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber
+              HAVING COUNT(*) > 1))
+    """,
+)
+def q89_dq_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4/A2 extension] DECLARATIVE DATA-QUALITY RULE AUDIT (the Deequ /
+    dbt-test shape): six constraint classes — positivity, not-null,
+    domain bounds, range, referential integrity, key uniqueness —
+    evaluated as ONE row per rule with checked/violation counts, the
+    artifact a load pipeline gates promotion on (reference intent: the
+    FK-integrity checks of the metadata catalog, J4/q09, generalized to
+    a rule VOCABULARY). Scale shape: the three orders rules share one
+    conditional-aggregation scan and the lineitem range rule one more;
+    referential integrity is a broadcast-anti-join count; uniqueness is
+    one groupBy on the key. Violations are COUNTED, not materialized —
+    at 100 TB the row-level violation sample is a LIMITed side output,
+    never a driver collect."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    o_stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            ).otherwise(0)
+        ).alias("v_price"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "v_cust"
+        ),
+        F.sum(
+            F.when(
+                F.col("o_orderdate").isNull()
+                | (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2010-01-01").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("v_date"),
+    )
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            ).otherwise(0)
+        ).alias("v_qty"),
+    )
+    orphans = (
+        li.join(
+            F.broadcast(o.select(F.col("o_orderkey").alias("l_orderkey"))),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v_fk"))
+    )
+    keys = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    key_stats = keys.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("v_pk"),
+    )
+    joined = (
+        o_stats.crossJoin(F.broadcast(li_stats.withColumnRenamed("n", "n_li")))
+        .crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(key_stats))
+    )
+    return joined.select(
+        F.expr(
+            "stack(6, "
+            "'orders_totalprice_positive', n, v_price, "
+            "'orders_custkey_not_null', n, v_cust, "
+            "'orders_orderdate_bounds', n, v_date, "
+            "'lineitem_quantity_range', n_li, v_qty, "
+            "'lineitem_fk_orders', n_li, v_fk, "
+            "'lineitem_pk_unique', n_keys, v_pk"
+            ") AS (rule_id, n_checked, n_violations)"
+        )
+    ).select(
+        "rule_id",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )
+
+
+@register(
+    "l20_join_view_maintenance",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_dsum_sql('l_extendedprice')} AS total_extended
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def l20_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S7/T1] INCREMENTAL JOIN-VIEW MAINTENANCE — the delta rule
+    Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB applied to a MATERIALIZED join view,
+    certified against full recomputation. l10 maintains an AGGREGATE
+    incrementally; this maintains a row-level JOIN view — the other
+    half of incremental view maintenance, and the one that saves a full
+    fact-×-fact recompute when both sides receive appends (at 100 TB the
+    delta joins touch |Δ| rows, not |A|+|B|).
+
+    Lifecycle: V₀ = A₀⋈B₀ is WRITTEN to parquet (the standing view);
+    both sides then receive appends (orders after 1998-01-01; lineitem
+    rows with odd partkey); the maintenance reads V₀ back and unions the
+    three delta joins. Gate, in-engine: the maintained view must be
+    multiset-identical to the from-scratch join (count equality +
+    exceptAll empty — raise, never hash-fail mysteriously). The returned
+    priority rollup over the MAINTAINED view hash-matches the oracle's
+    full join, so the certification chain covers write→read→delta→union.
+    Delta splits are deterministic predicates (date, key parity) —
+    replay-safe."""
+    proj = ["o_orderkey", "o_orderpriority", "l_linenumber", "l_extendedprice"]
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    a0 = o.where(F.col("o_orderdate") < cut)
+    da = o.where(F.col("o_orderdate") >= cut)
+    b0 = li.where(F.col("l_partkey") % 2 == 0)
+    db = li.where(F.col("l_partkey") % 2 == 1)
+
+    def jv(a, b):
+        return a.join(
+            b, a["o_orderkey"] == b["l_orderkey"], "inner"
+        ).select(*proj)
+
+    tmp = _scratch_dir(spark, "l20")
+    v0_path = os.path.join(tmp, "join_view")
+    jv(a0, b0).write.mode("overwrite").parquet(v0_path)
+    v1 = (
+        spark.read.parquet(v0_path)
+        .unionByName(jv(da, b0))
+        .unionByName(jv(a0, db))
+        .unionByName(jv(da, db))
+    )
+    full = jv(o, li)
+    n_v1, n_full = v1.count(), full.count()
+    if n_v1 != n_full:
+        raise RuntimeError(f"maintained view {n_v1} rows vs recompute {n_full}")
+    if v1.exceptAll(full).limit(1).count() != 0:
+        raise RuntimeError("maintained view diverges from recomputation")
+    return v1.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        dsum(F.col("l_extendedprice")).alias("total_extended"),
+    )
