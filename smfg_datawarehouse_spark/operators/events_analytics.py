@@ -908,7 +908,11 @@ def s01_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _drain_stream(
-    spark: SparkSession, streaming_df: DataFrame, tag: str, output_mode: str
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    tag: str,
+    output_mode: str,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Drain via ``run_stream_to_memory`` under a FIXED per-tag sink name,
     dropping the previous run's memory table first — repeated
@@ -919,7 +923,9 @@ def _drain_stream(
 
     name = f"{tag}_mem"
     spark.catalog.dropTempView(name)
-    return run_stream_to_memory(spark, streaming_df, name, output_mode)
+    return run_stream_to_memory(
+        spark, streaming_df, name, output_mode, progress_sink=progress_sink
+    )
 
 
 def _stage_events_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
@@ -1693,3 +1699,163 @@ def s10_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     if vt.current_version() is None:
         raise RuntimeError("s10 drain landed no snapshot")
     return vt.read().select("event_id", "user_id", "ts", "event_type", "value")
+
+
+@register(
+    "s11_streaming_late_data_drop",
+    f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {_dsum_sql('value')} AS total_value
+    FROM events, mx
+    WHERE NOT (event_id % 11 = 0 AND ts < mx.m - INTERVAL 2 HOUR)
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def s11_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2] WATERMARK LATE-DATA DROP certified — the semantics every other
+    streaming query merely declares. Append-mode tumbling aggregation over
+    a THREE-file staged arrival (``maxFilesPerTrigger=1``, file order
+    pinned by mtime):
+
+    1. ``0_ontime`` — every non-late row (incl. the global max ``ts``);
+       processed at watermark 0, nothing evicted yet.
+    2. ``1_heartbeat`` — one marker row AT the max ``ts`` (its window end
+       exceeds the final watermark, so it is state that is discarded at
+       stop, never output). Its batch runs with watermark = max(ts) −
+       30 min, so its COMMIT evicts-and-emits every window whose end ≤
+       that watermark — finalizing them.
+    3. ``2_late`` — the late set (``event_id % 11 = 0`` and ``ts`` >2 h
+       below max): every row targets an ALREADY-FINALIZED window and is
+       dropped by the watermark filter. The drain asserts, from the
+       query's own operator metrics, that ``numRowsDroppedByWatermark``
+       equals the late set's distinct (window, event_type) GROUP count —
+       the metric counts rows reaching the state store, i.e. map-side
+       partials, one per group per scan partition, and the
+       ``coalesce(1)``-staged late file reads as a single partition. A
+       merge-instead-of-drop or double-emit regression fails loudly, not
+       just via the hash.
+
+    Empirically pinned Spark semantics this encodes (and the miniature in
+    ``tests/test_streaming`` re-asserts): a below-watermark row is
+    dropped ONLY if its window was evicted in a PRIOR batch; until then
+    it still merges (Spark trades stricter dropping for not discarding
+    data the sink has not seen). Append emits a window exactly once, when
+    the batch-start watermark passes its end; windows still above the
+    final watermark are never output. Hence the oracle: non-late rows
+    only, windows with end ≤ max(ts) − 30 min. Boundary note: emission
+    uses ≤ on a millisecond-truncated watermark; window ends are exact
+    hours while the watermark carries the fixture's sub-second noise, so
+    the equality case cannot arise here.
+
+    Scale shape: identical to s01/s09 (window+type keyed state, one
+    shuffle); the watermark is precisely what BOUNDS that state at 100 TB
+    — without the drop path certified, unbounded-state regressions ship
+    silently. Reference parity: REALTIME cadence loads
+    (reference/dag/SMFG_DW_ETL_DAG.py REALTIME branch) with out-of-order
+    arrival tolerance made explicit."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from smfg_datawarehouse_spark.queries import _scratch_dir, load_events
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src = _scratch_dir(spark, "s11")
+    raw = _os.path.join(src, "raw")
+    _os.makedirs(raw, exist_ok=True)
+    ev = load_events(spark, sf_dir)
+    mx = ev.agg(F.max("ts")).first()[0]
+    late_cut = F.lit(mx) - F.expr("INTERVAL 2 HOURS")
+    is_late = (F.col("event_id") % 11 == 0) & (F.col("ts") < late_cut)
+    n_late_groups = (
+        ev.where(is_late)
+        .select(F.window("ts", "1 hour"), "event_type")
+        .distinct()
+        .count()
+    )
+    heartbeat = spark.createDataFrame(
+        [(-1, mx, -1, "heartbeat", 0.0, None)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).select(*ev.columns)
+
+    def _stage(df: DataFrame, name: str, mtime: float) -> None:
+        stage = _os.path.join(src, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in _os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(raw, f"{name}.parquet")
+        _shutil.copy(_os.path.join(stage, part), dst)
+        _os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    _stage(ev.where(~is_late), "0_ontime", now - 600)
+    _stage(heartbeat, "1_heartbeat", now - 300)
+    _stage(ev.where(is_late), "2_late", now)
+
+    stream = events_stream(
+        spark, raw, watermark="30 minutes", max_files_per_trigger=1
+    )
+    progress: list = []
+    out = _drain_stream(
+        spark, tumbling_agg(stream, "1 hour"), "s11", "append", progress
+    )
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0) or 0
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    if dropped != n_late_groups:
+        raise RuntimeError(
+            f"s11 expected {n_late_groups} late partial-aggregate groups "
+            f"dropped by watermark, operator metrics report {dropped}"
+        )
+    return out
+
+
+@register(
+    "s12_streaming_semi_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = v.user_id
+          AND p.ts >= v.ts
+          AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def s12_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/§2.3] STREAM-STREAM LEFT SEMI JOIN certified: the
+    "converted views" set — each view with ≥1 same-user purchase inside
+    30 minutes emits EXACTLY ONCE — drained with AvailableNow in append
+    mode and hash-checked against the batch EXISTS oracle. This is the
+    third stream-stream join shape after inner (s03) and left outer
+    (s08): semi emits eagerly on first match like inner (no
+    watermark-wait, no heartbeats), but must additionally NOT re-emit on
+    later matches — the at-most-once state bookkeeping this certifies
+    (an inner-join-plus-dropDuplicates would pay a second stateful
+    operator for the same semantics).
+
+    Scale shape: user-keyed join state bounded by the 30-minute time
+    bound + watermark, exactly like s03; the semi form also never
+    carries purchase columns through the shuffle. Reference parity:
+    REALTIME cadence conversions feed (SMFG_DW_ETL_DAG.py), reduced to
+    the distinct-converted-views feed a funnel dashboard reads."""
+    from smfg_datawarehouse_spark.streaming.joins import (
+        view_purchase_converted_views,
+    )
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s12"))
+    return _drain_stream(
+        spark, view_purchase_converted_views(stream), "s12", "append"
+    )

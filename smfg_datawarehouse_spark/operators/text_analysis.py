@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from smfg_datawarehouse_spark.functions import word_tokens
+from smfg_datawarehouse_spark.functions import ordered_concat_ws, word_tokens
 from smfg_datawarehouse_spark.queries import davg, register, t
 
 _STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
@@ -2704,3 +2704,92 @@ def x92_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     text pipeline; LLM-pipeline extension per BASELINE.json."""
     d = t(spark, sf_dir, "documents")
     return boilerplate_coverage(d)
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = 5,
+    postings_cap: int = 20,
+    top_terms: int = 100,
+) -> DataFrame:
+    """Inverted index head: per term, document frequency, total term
+    frequency, and the first ``postings_cap`` postings ("doc_id:tf",
+    ascending doc_id) — the IR structure a retrieval/dedup pipeline
+    builds over a corpus, with the honest head-truncation a 100 TB
+    postings list needs (cap documented in the column name; full
+    postings shard by term in production, they are never one row).
+
+    Scale shape: explode → (term, doc) map-side-combined count → ONE
+    term-keyed shuffle that feeds BOTH the window pass (df / total_tf /
+    per-term rank) and the ordered-concat rollup (same key, Catalyst
+    reuses the partitioning). Top-terms selection is
+    TakeOrderedAndProject, not a global sort."""
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.col(text_col))).alias("term")
+    )
+    td = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    w = W.partitionBy("term")
+    ranked = td.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).cast("long").alias("df"),
+        F.sum("tf").over(w).cast("long").alias("total_tf"),
+    )
+    return (
+        ranked.where(F.col("rn") <= postings_cap)
+        .groupBy("term", "df", "total_tf")
+        .agg(
+            ordered_concat_ws(
+                ",",
+                F.col("doc_id"),
+                F.concat_ws(":", F.col("doc_id"), F.col("tf")),
+            ).alias("postings_head")
+        )
+        .where(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), "term")
+        .limit(top_terms)
+    )
+
+
+@register(
+    "x93_inverted_index",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                w -> w <> '')) AS term
+      FROM documents
+    ), td AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY term, doc_id
+    ), ranked AS (
+      SELECT term, doc_id, tf,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+             CAST(SUM(tf) OVER (PARTITION BY term) AS BIGINT) AS total_tf
+      FROM td
+    )
+    SELECT term, df, total_tf,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+             AS postings_head
+    FROM ranked
+    WHERE rn <= 20 AND df >= 5
+    GROUP BY term, df, total_tf
+    ORDER BY df DESC, term
+    LIMIT 100
+    """,
+)
+def x93_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] INVERTED-INDEX HEAD over the documents corpus: top-100 terms
+    by document frequency with exact df / total tf and the first 20
+    "doc_id:tf" postings per term — see :func:`build_inverted_index`.
+    The ordered postings string uses the A1 ordered GROUP_CONCAT
+    (reference parity: Group_concat with intra-group ORDER BY,
+    reference/source_code/.../transformation_utility) applied to the IR
+    posting-list shape retrieval and near-dup tooling consume."""
+    return build_inverted_index(t(spark, sf_dir, "documents"))

@@ -4195,3 +4195,258 @@ def l20_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         dsum(F.col("l_extendedprice")).alias("total_extended"),
     )
+
+
+@register(
+    "q90_last_touch_attribution",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view','click') THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts,
+             last_value(CASE WHEN event_type IN ('view','click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type
+      FROM events
+    )
+    SELECT CASE WHEN touch_ts IS NOT NULL
+                 AND touch_ts >= ts - INTERVAL 7 DAY
+                THEN touch_type ELSE 'direct' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {_dsum_sql('value')} AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q90_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/A4] LAST-TOUCH REVENUE ATTRIBUTION — the marketing-analytics
+    classic: each purchase's value is credited to the channel (view or
+    click) of the user's most recent PRECEDING touch within a 7-day
+    lookback, else to 'direct'. One pass, no self-join: two
+    ``last(..., ignorenulls=True)`` window expressions over the same
+    (user, ts, event_id)-ordered frame pick the touch's timestamp and
+    type from the same row (their NULL masks are identical), so the pair
+    is always consistent — the asof-join shape (q30/q77) expressed as a
+    running window.
+
+    Scale shape: ONE user-keyed shuffle for the window, then a map-side-
+    combined rollup onto ≤3 channel rows. The 7-day constraint is a
+    per-row comparison, not a range-join. Determinism: ties broken by
+    event_id in the window order; interval arithmetic is exact timestamp
+    math in both engines."""
+    e = load_events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type").isin("view", "click"), True)
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(F.when(touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    purchases = seq.where(F.col("event_type") == "purchase")
+    channel = F.when(
+        F.col("touch_ts").isNotNull()
+        & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+        F.col("touch_type"),
+    ).otherwise(F.lit("direct"))
+    return purchases.groupBy(channel.alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        dsum(F.col("value")).alias("attributed_value"),
+    )
+
+
+@register(
+    "q91_ab_welch_ttest",
+    """
+    WITH assigned AS (
+      SELECT event_type,
+             CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_us
+      FROM events
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(CASE WHEN variant = 'A' THEN 1 END) AS BIGINT) AS n_a,
+             CAST(COUNT(CASE WHEN variant = 'B' THEN 1 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 'A' THEN CAST(v_us AS DECIMAL(38,0)) END) AS DOUBLE) AS s_a,
+             CAST(SUM(CASE WHEN variant = 'B' THEN CAST(v_us AS DECIMAL(38,0)) END) AS DOUBLE) AS s_b,
+             CAST(SUM(CASE WHEN variant = 'A' THEN CAST(v_us * v_us AS DECIMAL(38,0)) END) AS DOUBLE) AS q_a,
+             CAST(SUM(CASE WHEN variant = 'B' THEN CAST(v_us * v_us AS DECIMAL(38,0)) END) AS DOUBLE) AS q_b
+      FROM assigned GROUP BY event_type
+      HAVING COUNT(CASE WHEN variant = 'A' THEN 1 END) > 1
+         AND COUNT(CASE WHEN variant = 'B' THEN 1 END) > 1
+    )
+    SELECT event_type, n_a, n_b,
+           s_a / n_a / 1000000.0 AS mean_a,
+           s_b / n_b / 1000000.0 AS mean_b,
+           (s_a / n_a - s_b / n_b)
+             / sqrt((q_a - s_a * (s_a / n_a)) / (n_a - 1) / n_a
+                    + (q_b - s_b * (s_b / n_b)) / (n_b - 1) / n_b)
+             AS welch_t
+    FROM stats
+    """,
+)
+def q91_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4 extension] A/B EXPERIMENT READOUT with Welch's t-statistic —
+    the experimentation-platform aggregate every growth team runs:
+    deterministic 50/50 variant assignment from a salted-free md5 of
+    user_id (the portable-uniform idiom x84/x67 use — partition- and
+    retry-invariant, identically replayable in the oracle), per-metric
+    (event_type) group sizes, means, and the Welch t statistic for the
+    A-vs-B mean gap under unequal variances.
+
+    Exactness discipline: the metric is first fixed to integer
+    MICRO-units (q85's convention), so the per-variant sums and
+    sums-of-squares are EXACT DECIMAL(38,0) integers in both engines;
+    the only floating-point steps are the final identical double
+    expressions (means, pooled variance, sqrt — IEEE-correctly-rounded
+    in both), which therefore reproduce bit-for-bit. Scale shape: one
+    map-side-combined conditional aggregation; no shuffle beyond the
+    |event_type|-sized rollup. Variance uses the one-pass
+    (Σx² − Σx·mean)/(n−1) form on exact integer sums — no catastrophic
+    cancellation because the sums are exact before the subtraction."""
+    e = load_events(spark, sf_dir)
+    u = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    assigned = e.select(
+        "event_type",
+        F.when(u % 2 == 0, "A").otherwise("B").alias("variant"),
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("v_us"),
+    )
+    dec = "decimal(38,0)"
+    is_a, is_b = F.col("variant") == "A", F.col("variant") == "B"
+    stats = (
+        assigned.groupBy("event_type")
+        .agg(
+            F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+            F.count(F.when(is_b, 1)).cast("long").alias("n_b"),
+            F.sum(F.when(is_a, F.col("v_us").cast(dec))).cast("double").alias("s_a"),
+            F.sum(F.when(is_b, F.col("v_us").cast(dec))).cast("double").alias("s_b"),
+            F.sum(F.when(is_a, (F.col("v_us") * F.col("v_us")).cast(dec)))
+            .cast("double")
+            .alias("q_a"),
+            F.sum(F.when(is_b, (F.col("v_us") * F.col("v_us")).cast(dec)))
+            .cast("double")
+            .alias("q_b"),
+        )
+        .where((F.col("n_a") > 1) & (F.col("n_b") > 1))
+    )
+    return stats.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.col("s_a") / F.col("n_a") / 1000000.0).alias("mean_a"),
+        (F.col("s_b") / F.col("n_b") / 1000000.0).alias("mean_b"),
+        (
+            (F.col("s_a") / F.col("n_a") - F.col("s_b") / F.col("n_b"))
+            / F.sqrt(
+                (F.col("q_a") - F.col("s_a") * (F.col("s_a") / F.col("n_a")))
+                / (F.col("n_a") - 1)
+                / F.col("n_a")
+                + (F.col("q_b") - F.col("s_b") * (F.col("s_b") / F.col("n_b")))
+                / (F.col("n_b") - 1)
+                / F.col("n_b")
+            )
+        ).alias("welch_t"),
+    )
+
+
+@register(
+    "l21_subject_erasure",
+    """
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    WHERE c_custkey % 53 <> 0
+    GROUP BY c_nationkey
+    """,
+)
+def l21_subject_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S7/J3] RIGHT-TO-BE-FORGOTTEN lifecycle (GDPR Art. 17 erasure) on
+    the versioned lake — the compliance workflow every real warehouse
+    must support, certified end-to-end:
+
+    1. v0 = the full customer snapshot (contains the subjects).
+    2. v1 = v0 anti-joined against the erasure set (``c_custkey % 53 = 0``
+       — in production, the DSR queue); the deletion is a NEW atomic
+       snapshot, so readers never see a half-deleted table.
+    3. ``diff(0, 1)`` must be exactly |subjects| deletes and ZERO
+       inserts/updates (survivors classify as ``unchanged``) — the
+       erasure manifest (counted only; the certification never
+       re-materializes subject PII outside the table).
+    4. ``vacuum(keep_last=1)`` physically destroys v0 — erasure is not
+       erasure while an old snapshot still serves the data; time travel
+       to v0 must now RAISE (asserted), and the erasure set anti-joined
+       against the surviving snapshot must be empty (asserted).
+
+    The returned per-nation rollup reads the post-vacuum table from
+    storage and hash-checks against the oracle's filtered aggregate — a
+    vacuum that deleted v1 files, or an anti-join that dropped the wrong
+    rows, fails the hash; a retained subject or readable v0 raises.
+
+    Scale shape: the erasure set is a broadcast anti-join (DSR queues are
+    tiny vs the table); the rewrite is one full-table scan+write — the
+    honest cost of physical erasure on immutable files, the same
+    copy-on-write price Delta/Iceberg DELETE pays. Reference parity: the
+    curated-zone delete path the reference declares but never built
+    (reference/dag/SMFG_DW_ETL_DAG.py load stage)."""
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+
+    c = t(spark, sf_dir, "customer")
+    subjects = c.where(F.col("c_custkey") % 53 == 0).select("c_custkey")
+    n_subjects = subjects.count()
+
+    vt = VersionedTable(spark, _scratch_dir(spark, "l21"))
+    vt.write(c)
+    survivors = c.join(F.broadcast(subjects), "c_custkey", "left_anti")
+    vt.write(survivors)
+
+    changes = vt.diff(0, 1, ["c_custkey"])
+    n_deletes = changes.where(F.col("change_type") == "delete").count()
+    n_mutations = changes.where(
+        F.col("change_type").isin("insert", "update")
+    ).count()
+    if n_deletes != n_subjects or n_mutations != 0:
+        raise RuntimeError(
+            f"erasure changelog wrong: {n_deletes} deletes (want {n_subjects}),"
+            f" {n_mutations} inserts/updates (want 0)"
+        )
+
+    removed = vt.vacuum(keep_last=1)
+    if removed != [0] or vt.versions() != [1]:
+        raise RuntimeError(
+            f"vacuum kept wrong versions: removed={removed}, left={vt.versions()}"
+        )
+    try:
+        vt.read(version=0)
+    except FileNotFoundError:
+        pass
+    else:
+        raise RuntimeError("erased v0 snapshot is still readable")
+
+    current = vt.read()
+    leaked = current.join(F.broadcast(subjects), "c_custkey", "left_semi")
+    if leaked.limit(1).count() != 0:
+        raise RuntimeError("subject rows survived erasure")
+    return current.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        dsum(F.col("c_acctbal")).alias("total_acctbal"),
+    )

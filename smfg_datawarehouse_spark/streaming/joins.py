@@ -85,6 +85,43 @@ def view_purchase_conversions_outer(
     )
 
 
+def view_purchase_converted_views(
+    events: DataFrame, within: str = "30 minutes"
+) -> DataFrame:
+    """LEFT SEMI variant of :func:`view_purchase_conversions`: each view
+    that has AT LEAST ONE purchase by the same user within ``within``
+    emits exactly once, with no purchase columns — the deduplicated
+    "converted views" set (the inner join would emit one row per
+    matching purchase).
+
+    In streaming, semi joins emit EAGERLY like inner joins — a view row
+    surfaces the moment its first matching purchase arrives; only the
+    at-most-once bookkeeping (don't re-emit on later matches) is extra
+    state, and the time bound + watermark evicts it just like the inner
+    join's. No unmatched-side wait exists (unmatched views simply never
+    emit), so an AvailableNow drain needs no heartbeat machinery."""
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        "left_semi",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+    )
+
+
 def enrich_with_dimension(
     events: DataFrame, dim: DataFrame, key: str = "user_id"
 ) -> DataFrame:

@@ -129,6 +129,7 @@ def run_stream_to_memory(
     query_name: str,
     output_mode: str = "complete",
     state_partitions: int | None = DRAIN_STATE_PARTITIONS,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Drain a streaming query with Trigger.AvailableNow into a memory
     sink; returns the result table. Complete output mode for windowed aggs
@@ -145,7 +146,13 @@ def run_stream_to_memory(
     override. This engine's runners are single-threaded on the driver
     (one query in flight per session); a multi-threaded deployment should
     hand this function a dedicated ``spark.newSession()`` so the override
-    is scoped to that session's conf."""
+    is scoped to that session's conf.
+
+    ``progress_sink``: pass a list to receive the query's per-micro-batch
+    ``StreamingQueryProgress`` dicts after the drain — the handle itself
+    is gone once the query terminates, and watermark-semantics
+    certifications (late-drop counts, batch boundaries) need the
+    operator metrics, not just the sink table."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -164,6 +171,8 @@ def run_stream_to_memory(
             raise TimeoutError(
                 f"streaming drain '{query_name}' did not terminate within 600s"
             )
+        if progress_sink is not None:
+            progress_sink.extend(q.recentProgress)
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -511,3 +511,99 @@ def test_state_store_partition_pin_and_rocksdb(spark, events_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_watermark_drop_only_after_eviction(spark, tmp_path):
+    """Miniature pin of the empirically-established late-data semantics
+    s11_streaming_late_data_drop relies on (Spark would be free to
+    tighten this; the certification oracle depends on it):
+
+    - a below-watermark row whose window is STILL IN STATE merges (batch
+      1: 10:30 joins the [10,11) window even though wm=12:30 > 11:00);
+    - once the window has been EVICTED-AND-EMITTED (end ≤ batch-start
+      watermark, append mode), a later row for it is dropped and counted
+      in numRowsDroppedByWatermark (batch 2: 10:45);
+    - windows whose end exceeds the final watermark are never output
+      ([13,14) stays in state, discarded at stop).
+    """
+    import datetime
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    D = datetime.datetime
+    now = time.time()
+
+    def stage(rows, name, mtime):
+        st = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(st))
+        part = next(f for f in os.listdir(st) if f.endswith(".parquet"))
+        dst = raw / f"{name}.parquet"
+        shutil.copy(st / part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    stage([(D(2024, 1, 1, 10, 0), 1), (D(2024, 1, 1, 13, 0), 100)], "0_seed", now - 400)
+    stage([(D(2024, 1, 1, 10, 30), 2)], "1_late_unevicted", now - 300)
+    stage([(D(2024, 1, 1, 10, 45), 4)], "2_late_evicted", now - 200)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(raw))
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("s"))
+        .select(F.col("w.start").alias("ws"), "s")
+    )
+    progress: list = []
+    out = run_stream_to_memory(
+        spark, agg, "wm_semantics_mem", "append", progress_sink=progress
+    )
+    rows = [(r["ws"], r["s"]) for r in out.collect()]
+    # exactly one emitted window: [10,11) with the merged (not dropped)
+    # 10:30 row and without the post-eviction 10:45 row
+    assert rows == [(D(2024, 1, 1, 10, 0), 3)]
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0) or 0
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1
+
+
+def test_stream_stream_semi_join_equals_batch(spark, events_dir):
+    """LEFT SEMI stream-stream join: converted views emit exactly once
+    (no per-purchase duplication) and equal the batch semi join."""
+    from smfg_datawarehouse_spark.queries import load_events
+    from smfg_datawarehouse_spark.streaming.joins import (
+        view_purchase_converted_views,
+    )
+
+    batch = load_events(spark, SF_DIR)
+    expected = _rowset(view_purchase_converted_views(batch))
+    # semi join semantics sanity: no view_id appears twice
+    ids = [r[1] for r in expected]
+    assert len(ids) == len(set(ids))
+
+    stream = events_stream(spark, events_dir, watermark="10 minutes")
+    out = view_purchase_converted_views(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_semi_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _rowset(spark.table("ss_semi_join")) == expected
