@@ -1859,3 +1859,208 @@ def s12_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(
         spark, view_purchase_converted_views(stream), "s12", "append"
     )
+
+
+@register(
+    "x94_theta_sketch_set_ops",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      FROM events GROUP BY user_id
+    ), pairs AS (
+      SELECT 'view' AS a_type, 'purchase' AS b_type,
+             CAST(SUM(has_view) AS BIGINT) AS n_a,
+             CAST(SUM(has_purchase) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN has_view = 1 OR has_purchase = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+             CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+             CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff
+      FROM per_user
+      UNION ALL
+      SELECT 'click', 'purchase',
+             CAST(SUM(has_click) AS BIGINT), CAST(SUM(has_purchase) AS BIGINT),
+             CAST(SUM(CASE WHEN has_click = 1 OR has_purchase = 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM per_user
+      UNION ALL
+      SELECT 'view', 'click',
+             CAST(SUM(has_view) AS BIGINT), CAST(SUM(has_click) AS BIGINT),
+             CAST(SUM(CASE WHEN has_view = 1 OR has_click = 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN has_view = 1 AND has_click = 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN has_view = 1 AND has_click = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM per_user
+    )
+    SELECT a_type, b_type, n_a, n_b, n_union, n_inter, n_diff,
+           TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+    FROM pairs
+    """,
+)
+def x94_theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] THETA-SKETCH SET ALGEBRA (Datasketches, Spark 4.1 native):
+    distinct-user union / intersection / difference across event-type
+    audiences estimated from MERGEABLE compact sketches — the 100 TB
+    audience-overlap primitive ("viewed AND purchased", "clicked but
+    never bought") that replaces an exact user-level join+groupBy with
+    KB-sized commutative state. Unlike HLL (x47, union-only), theta
+    sketches close under ∩ and \\ — that is exactly what this certifies.
+
+    Shape: ONE pass builds a sketch per event type (partial sketches
+    merge associatively map-side, the property that makes this a
+    single-shuffle plan at any scale); a 3-row broadcast self-join forms
+    the audience pairs; ``theta_union/intersection/difference`` +
+    ``theta_sketch_estimate`` are pure scalar ops on the binary
+    sketches. The exact counterparts come from one per-user flag rollup.
+
+    Gate honesty (x47's pattern — estimates themselves are
+    engine-specific and not emitted): each estimate must land within
+    5% of exact PLUS 2% of the pair's union size — theta set-op error
+    scales with the SAMPLING BASE (the union), so a tiny intersection
+    of two big sets legitimately carries absolute error proportional to
+    the union; a bare relative gate would flag exactly the cases the
+    sketch is documented to be weakest on. Sketches are hash-sampling
+    deterministic and merge order-invariant, so the flags are stable.
+    Below 2^12 retained entries the sketch is exact-mode and the gate is
+    trivially tight (fixture scale); at 100 TB the same plan runs in
+    estimation mode with ~1.6% rsd."""
+    e = t(spark, sf_dir, "events")
+    sk = (
+        e.where(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    a = sk.select(
+        F.col("event_type").alias("a_type"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("b_type"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(F.broadcast(b), F.lit(True)).where(
+        ((F.col("a_type") == "view") & (F.col("b_type") == "purchase"))
+        | ((F.col("a_type") == "click") & (F.col("b_type") == "purchase"))
+        | ((F.col("a_type") == "view") & (F.col("b_type") == "click"))
+    )
+    est = pairs.select(
+        "a_type",
+        "b_type",
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_inter"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_diff"),
+    )
+    flags = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("has_view"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("has_click"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "has_purchase"
+        ),
+    )
+    def _exact(a_col: str, b_col: str, a_name: str, b_name: str) -> DataFrame:
+        ha, hb = F.col(a_col), F.col(b_col)
+        return flags.agg(
+            F.lit(a_name).alias("a_type"),
+            F.lit(b_name).alias("b_type"),
+            F.sum(ha).cast("long").alias("n_a"),
+            F.sum(hb).cast("long").alias("n_b"),
+            F.sum(((ha == 1) | (hb == 1)).cast("int")).cast("long").alias("n_union"),
+            F.sum(((ha == 1) & (hb == 1)).cast("int")).cast("long").alias("n_inter"),
+            F.sum(((ha == 1) & (hb == 0)).cast("int")).cast("long").alias("n_diff"),
+        )
+    exact = (
+        _exact("has_view", "has_purchase", "view", "purchase")
+        .unionByName(_exact("has_click", "has_purchase", "click", "purchase"))
+        .unionByName(_exact("has_view", "has_click", "view", "click"))
+    )
+    def _ok(est_col: str, exact_col: str):
+        return (
+            F.abs(F.col(est_col) - F.col(exact_col))
+            <= 0.05 * F.col(exact_col) + 0.02 * F.col("n_union")
+        )
+    return (
+        exact.join(F.broadcast(est), ["a_type", "b_type"])
+        .select(
+            "a_type", "b_type", "n_a", "n_b", "n_union", "n_inter", "n_diff",
+            _ok("est_union", "n_union").alias("union_ok"),
+            _ok("est_inter", "n_inter").alias("inter_ok"),
+            _ok("est_diff", "n_diff").alias("diff_ok"),
+        )
+    )
+
+
+@register(
+    "x95_kll_quantile_rollup",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+             AS n_days,
+           quantile_cont(value, 0.5) AS exact_p50,
+           quantile_cont(value, 0.9) AS exact_p90,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+    FROM events
+    """,
+)
+def x95_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] KLL QUANTILE-SKETCH ROLLUP (Datasketches, Spark 4.1 native):
+    per-DAY KLL sketches of the value metric merged into one corpus
+    sketch whose p50/p90 estimates are rank-gated against the exact
+    distribution — the MERGEABILITY demo exact percentiles cannot do:
+    a 100 TB deployment sketches each partition/day once (KB state,
+    single pass), then answers any later quantile query — over any
+    day range — by merging sketches, never rescanning data. q29/x52
+    compute percentiles per query; this certifies the
+    precompute-and-merge path.
+
+    Shape: one map-side-combined groupBy(day) builds ~31 sketches; the
+    day-level sketches collect into ONE array row (bounded by the day
+    count, not data volume) and fold through the scalar
+    ``kll_sketch_merge_double`` with an ``aggregate`` lambda — the same
+    merge a hierarchical (hourly→daily→monthly) rollup tree applies.
+    Gate: the merged sketch's quantile estimates are checked by TRUE
+    RANK — count(value ≤ estimate)/n must sit within KLL's documented
+    ±3% rank error of the target rank (k=200, 99% confidence ≈ 1.65%);
+    the estimate itself is sketch-library-specific and not emitted
+    (x47's pattern). Exact p50/p90 use the same interpolation expression
+    as q29, so they reproduce bit-exactly cross-engine."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.kll_sketch_agg_double("value", 200).alias("sk"))
+    merged = daily.agg(F.collect_list("sk").alias("sks")).select(
+        F.expr(
+            "aggregate(slice(sks, 2, greatest(size(sks) - 1, 0)), sks[0], "
+            "(a, x) -> kll_sketch_merge_double(a, x))"
+        ).alias("sk"),
+        F.size(F.col("sks")).cast("long").alias("n_days"),
+    )
+    est = merged.select(
+        "n_days",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("e50"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)).alias("e90"),
+    )
+    stats = e.crossJoin(F.broadcast(est)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.first("n_days").alias("n_days"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.9)").alias("exact_p90"),
+        F.sum((F.col("value") <= F.col("e50")).cast("int")).alias("le50"),
+        F.sum((F.col("value") <= F.col("e90")).cast("int")).alias("le90"),
+    )
+    return stats.select(
+        "n_rows",
+        "n_days",
+        "exact_p50",
+        "exact_p90",
+        (
+            F.abs(F.col("le50") / F.col("n_rows") - 0.5) <= F.lit(0.03)
+        ).alias("p50_rank_ok"),
+        (
+            F.abs(F.col("le90") / F.col("n_rows") - 0.9) <= F.lit(0.03)
+        ).alias("p90_rank_ok"),
+    )

@@ -2793,3 +2793,119 @@ def x93_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference/source_code/.../transformation_utility) applied to the IR
     posting-list shape retrieval and near-dup tooling consume."""
     return build_inverted_index(t(spark, sf_dir, "documents"))
+
+
+def token_chunking_udtf(chunk_tokens: int = 32):
+    """PyArrow-native UDTF (Spark 4.1 ``arrow_udtf``) that explodes each
+    document into fixed-size token-window chunks — the context-window
+    chunking step every LLM training / RAG ingestion pipeline runs over
+    the corpus. One output row per chunk: (doc_id, chunk_idx,
+    chunk_text, n_tokens), last chunk ragged.
+
+    Vectorization contract (the repo's no-row-at-a-time rule applied to
+    the UDTF surface): tokenization is an Arrow ``split_pattern_regex``
+    kernel; chunk boundaries are O(#chunks) integer "offset surgery" in
+    numpy (arange/repeat, no python loop over rows); chunk strings are
+    rebuilt with the ``binary_join`` list kernel — string BYTES are
+    never touched per-row in Python. This is the fourth Arrow escape
+    hatch after pandas_udf / mapInPandas / applyInPandas(WithState)
+    (SURVEY §2.11): a TABLE function, so the explode happens inside the
+    UDTF without a separate explode() stage."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udtf
+
+    K = int(chunk_tokens)
+
+    @arrow_udtf(
+        returnType=(
+            "doc_id bigint, chunk_idx bigint, chunk_text string, "
+            "n_tokens bigint"
+        )
+    )
+    class TokenChunks:
+        def eval(self, batch):
+            import pyarrow.compute as pc
+
+            texts = batch.column("text")
+            doc_ids = np.asarray(batch.column("doc_id"))
+            splits = pc.split_pattern_regex(texts, r"\s+")
+            flat = pc.list_flatten(splits)
+            parents = np.asarray(pc.list_parent_indices(splits))
+            mask = np.asarray(pc.not_equal(flat, ""))
+            toks = flat.filter(pa.array(mask))
+            par = parents[mask]
+            n_docs = len(texts)
+            n_tok = np.bincount(par, minlength=n_docs)  # tokens per doc
+            n_chunks = -(-n_tok // K)  # ceil; 0 for empty docs
+            total = int(n_chunks.sum())
+            if total == 0:
+                yield pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "chunk_idx": pa.array([], pa.int64()),
+                        "chunk_text": pa.array([], pa.string()),
+                        "n_tokens": pa.array([], pa.int64()),
+                    }
+                )
+                return
+            starts = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+            within = np.arange(total) - np.repeat(starts, n_chunks)  # 0-based
+            doc_tok = np.repeat(n_tok, n_chunks)
+            doc_off = np.repeat(
+                np.concatenate(([0], np.cumsum(n_tok)[:-1])), n_chunks
+            )
+            ends = doc_off + np.minimum((within + 1) * K, doc_tok)
+            offsets = np.concatenate(([0], ends)).astype(np.int32)
+            chunk_lists = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), toks
+            )
+            yield pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.repeat(doc_ids, n_chunks), pa.int64()
+                    ),
+                    "chunk_idx": pa.array(within, pa.int64()),
+                    "chunk_text": pc.binary_join(chunk_lists, " "),
+                    "n_tokens": pa.array(np.diff(offsets), pa.int64()),
+                }
+            )
+
+    return TokenChunks
+
+
+@register(
+    "x96_token_chunking_udtf",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')
+               AS arr
+      FROM documents
+    ), c AS (
+      SELECT doc_id, arr,
+             unnest(generate_series(
+               1, CAST(ceil(array_length(arr) / 32.0) AS BIGINT))) AS i
+      FROM raw
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS chunk_idx,
+           array_to_string(
+             list_slice(arr, (i - 1) * 32 + 1,
+                        LEAST(i * 32, array_length(arr))), ' ')
+             AS chunk_text,
+           CAST(LEAST(i * 32, array_length(arr)) - (i - 1) * 32 AS BIGINT)
+             AS n_tokens
+    FROM c
+    """,
+)
+def x96_token_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.11] CONTEXT-WINDOW CHUNKING as a PyArrow-native TABLE
+    function: every document exploded into 32-token chunks (ragged
+    tail) through :func:`token_chunking_udtf` — certified against a
+    DuckDB list-slice replay of the same windows. See the builder for
+    the vectorization contract; at 100 TB this runs embarrassingly
+    parallel (no shuffle at all — the UDTF consumes scan partitions
+    and multiplies rows in place)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_chunking_udtf(32)(docs.asTable())

@@ -4450,3 +4450,40 @@ def l21_subject_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         dsum(F.col("c_acctbal")).alias("total_acctbal"),
     )
+
+
+@register(
+    "q92_lateral_top_orders",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+    ) o
+    """,
+)
+def q92_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/§2.5] CORRELATED LATERAL SUBQUERY surface (ANSI lateral
+    join, Spark ≥3.2): top-3 orders by value per customer expressed as
+    the per-row dependent subquery a SQL-first user writes — the same
+    semantics q06's window-function form computes, here certifying the
+    LATERAL + correlated ORDER BY/LIMIT path through Catalyst's
+    decorrelation (it rewrites to a ranked window/join under the hood,
+    so the plan scales like q06, NOT like N per-customer scans).
+    Customers with no orders emit nothing (inner lateral). Ties broken
+    by o_orderkey, so the top-3 set is deterministic. The oracle runs
+    the IDENTICAL text in DuckDB — the query string itself is the
+    portable artifact here."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) o
+        """
+    )
