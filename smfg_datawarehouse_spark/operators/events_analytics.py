@@ -2064,3 +2064,116 @@ def x95_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("le90") / F.col("n_rows") - 0.9) <= F.lit(0.03)
         ).alias("p90_rank_ok"),
     )
+
+
+@register(
+    "s13_state_store_introspection",
+    f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {_dsum_sql('value')} AS total_value
+    FROM events, mx
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > mx.m - INTERVAL 30 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def s13_state_store_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2] STATE-STORE INTROSPECTION certified (Spark 4 ``statestore``
+    batch data source): after an append-mode tumbling drain, the
+    checkpoint's live state is read back AS A DATAFRAME and hash-checked
+    against the batch prediction of exactly which windows must still be
+    resident — those whose end exceeds the final watermark (max(ts) −
+    30 min); everything older was evicted-and-emitted. The aggregation
+    BUFFER itself is decoded: ``value.count`` is the running count and
+    ``value.sum`` the decimal(38,6) partial of the _dsum convention, so
+    the state's numbers — not just its keys — are certified.
+
+    This is the production debugging surface for stateful streaming
+    (why is state growing? which keys are resident? is the watermark
+    where I think it is?) — at 100 TB you diagnose a misbehaving
+    always-on query by QUERYING its checkpoint, not by replaying it.
+    Completes the streaming-state story: s01/s09 certify emitted
+    results, s11 certifies what gets dropped, this certifies what
+    REMAINS. The buffer field layout (count/sum/isEmpty) is the Spark 4
+    aggregation-buffer ABI — pinned deliberately, a silent ABI change
+    should fail this cert."""
+    import os as _os
+
+    from smfg_datawarehouse_spark.queries import _scratch_dir
+    from smfg_datawarehouse_spark.streaming.windows import (
+        DRAIN_STATE_PARTITIONS,
+        events_stream,
+    )
+
+    src = _scratch_dir(spark, "s13")
+    raw = _stage_events_dir(spark, sf_dir, "s13_raw")
+    ckpt = _os.path.join(src, "ckpt")
+    stream = events_stream(spark, raw, watermark="30 minutes")
+    agg = tumbling_agg(stream, "1 hour")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(DRAIN_STATE_PARTITIONS)
+    )
+    try:
+        spark.catalog.dropTempView("s13_mem")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("s13_mem")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("s13 drain did not terminate within 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("cnt"),
+        F.col("value.sum").cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q93_variant_extraction",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q93_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.10] VARIANT semi-structured type (Spark 4): the props JSON
+    column is parsed ONCE into the binary VARIANT encoding and fields
+    are extracted with typed ``variant_get`` paths — the
+    open-schema ingestion shape that replaces per-query
+    ``get_json_object`` string re-parsing (q23's path; at 100 TB the
+    parse cost is paid once at ingestion, and VARIANT's binary form
+    supports shredded columnar pushdown, not N regex passes). The
+    per-type rollup of the extracted integer certifies parse + typed
+    path extraction against DuckDB's native JSON extraction."""
+    e = t(spark, sf_dir, "events")
+    v = e.where(F.col("props").isNotNull()).select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )

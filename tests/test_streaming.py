@@ -607,3 +607,41 @@ def test_stream_stream_semi_join_equals_batch(spark, events_dir):
     )
     q.awaitTermination(180)
     assert _rowset(spark.table("ss_semi_join")) == expected
+
+
+def test_transform_with_state_v2_equals_batch(spark, events_dir):
+    """transformWithStateInPandas (arbitrary-stateful v2) must equal the
+    batch GROUP BY and the v1 applyInPandasWithState path. The v2 worker
+    protocol requires protobuf — absent in some sandboxes, so this is an
+    env-gated certification (same pattern as the PIL decode test)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.queries import load_events
+    from smfg_datawarehouse_spark.streaming.stateful import (
+        running_user_totals_v2,
+    )
+
+    batch = load_events(spark, SF_DIR)
+    expected = _rowset(
+        batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long"))
+            .cast("long")
+            .alias("total_micros"),
+        )
+    )
+    stream = events_stream(spark, events_dir, watermark="10 minutes")
+    drained = run_stream_to_memory(
+        spark, running_user_totals_v2(stream), "tws_v2_mem", "update"
+    )
+    final = (
+        drained.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_micros")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_micros").alias("total_micros"),
+        )
+    )
+    assert _rowset(final) == expected
