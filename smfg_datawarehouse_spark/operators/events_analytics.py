@@ -2177,3 +2177,93 @@ def q93_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+@register(
+    "q94_rolling_trend_slope",
+    """
+    WITH base AS (
+      SELECT event_id, event_type, ts,
+             (epoch_us(ts) - (SELECT MIN(epoch_us(ts)) FROM events))
+               // 1000000 AS x,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS y
+      FROM events
+    ), win AS (
+      SELECT event_id, event_type, ts,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_pts,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, ts, n_pts,
+           CASE WHEN n_pts >= 2
+                 AND CAST(n_pts AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx <> 0.0
+                THEN (CAST(n_pts AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n_pts AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx)
+           END AS slope_micros_per_sec
+    FROM win
+    """,
+)
+def q94_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/A4] ROLLING TREND DETECTION: per event type, the
+    least-squares slope of value over the trailing 24 h at every event —
+    the drift/trend monitor a metrics platform computes continuously
+    (a sustained negative slope on purchase values is an incident
+    signal). Closed-form OLS over a RANGE frame (24 h in seconds), no
+    iteration.
+
+    Exactness discipline: x is whole SECONDS from the corpus min
+    timestamp and y integer micros, so every windowed sum (Σx, Σy, Σx²,
+    Σxy) is an EXACT BIGINT — window-fold order cannot perturb them
+    (the x98 lesson applied to window frames; magnitudes stay under
+    2^53 ≪ BIGINT range at any window width that fits memory). Only the
+    final slope expression is floating point, identical text in both
+    engines; degenerate windows (n<2 or zero x-variance within the
+    frame) yield NULL via the same guard. Scale shape: ONE
+    event_type-keyed shuffle; the range frame is a running two-pointer
+    over each partition (Spark's bounded-preceding frame), state O(24 h
+    of rows)."""
+    e = t(spark, sf_dir, "events")
+    min_us = e.agg(F.min(F.unix_micros(F.col("ts"))).alias("m"))
+    base = e.crossJoin(F.broadcast(min_us)).select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.expr("(unix_micros(ts) - m) DIV 1000000").cast("long").alias("x"),
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("y"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("x")
+        .rangeBetween(-86400, W.currentRow)
+    )
+    win = base.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_pts"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+    )
+    nd = F.col("n_pts").cast("double")
+    denom = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    slope = F.when(
+        (F.col("n_pts") >= 2) & (denom != 0.0),
+        (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / denom,
+    )
+    return win.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "n_pts",
+        slope.alias("slope_micros_per_sec"),
+    )

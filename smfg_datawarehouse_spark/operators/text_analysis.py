@@ -2909,3 +2909,197 @@ def x96_token_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and multiplies rows in place)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return token_chunking_udtf(32)(docs.asTable())
+
+
+@register(
+    "x97_mergeable_reservoir_sample",
+    """
+    WITH hashed AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS rn_src,
+             ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rn_all
+      FROM hashed
+    )
+    SELECT 'per_source:' || source AS stratum, doc_id,
+           CAST(rn_src AS BIGINT) AS pick_rank
+    FROM ranked WHERE rn_src <= 5
+    UNION ALL
+    SELECT 'global', doc_id, CAST(rn_all AS BIGINT)
+    FROM ranked WHERE rn_all <= 20
+    """,
+)
+def x97_mergeable_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] MERGEABLE UNIFORM RESERVOIR via k-smallest-hash (the
+    bottom-k / KMV construction): a uniform k-sample of the corpus is
+    exactly the k documents with the smallest md5(doc_id) — and unlike
+    classic reservoir sampling, bottom-k is a MERGEABLE aggregate
+    (union two partitions' bottom-k sets, keep the k smallest), so the
+    sample of a 100 TB corpus composes from per-partition partial
+    top-k's with no sequential scan and no RNG state; adding data later
+    only ever replaces high-hash members (stable under append). Same
+    seedless md5-uniform idiom as x84/x67 (partition/retry-invariant,
+    oracle-replayable). Emits a global bottom-20 and a per-source
+    bottom-5 (stratified eyeball sample), each with its pick rank.
+
+    Scale shape: the per-source sample is one window over a
+    source-keyed shuffle; the global bottom-20 is TakeOrderedAndProject
+    (per-partition partial top-k, exactly the mergeability being
+    demonstrated — no global sort)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    per_src = (
+        d.select(
+            "doc_id",
+            "source",
+            "h",
+            F.row_number()
+            .over(W.partitionBy("source").orderBy("h", "doc_id"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+        .select(
+            F.concat(F.lit("per_source:"), F.col("source")).alias("stratum"),
+            "doc_id",
+            F.col("rn").cast("long").alias("pick_rank"),
+        )
+    )
+    glob = (
+        d.orderBy("h", "doc_id")
+        .limit(20)
+        .select(
+            F.lit("global").alias("stratum"),
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy("h", "doc_id"))
+            .cast("long")
+            .alias("pick_rank"),
+        )
+    )
+    return per_src.unionByName(glob)
+
+
+@register(
+    "x98_bm25_rational_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                w -> w <> '')) AS term
+      FROM documents
+    ), doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM doclen
+    ), tf AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('spark', 'shuffle', 'window')
+      GROUP BY term, doc_id
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(floor(
+               ((n.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                * n.n_docs / CAST(n.total_len AS DOUBLE)))
+               * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 AS score
+      FROM tf t, df d, doclen l, n
+      WHERE d.term = t.term AND l.doc_id = t.doc_id
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def x98_bm25_rational_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] BM25-SHAPED KEYWORD RETRIEVAL, log-free: top-10 documents for
+    the query {spark, shuffle, window} under Robertson/Okapi term
+    weighting (k1=1.2, b=0.75) with the RATIONAL idf
+    (N − df + 0.5)/(df + 0.5) instead of its logarithm — monotone in the
+    same direction, and the whole score stays inside +,·,/ so it
+    reproduces bit-exactly cross-engine (the repo's no-log/exp oracle
+    discipline, x87 precedent; libm log differs in the last ulp between
+    engines and a ranking must not hinge on it). Per-term contributions
+    are fixed to integer NANO-units before the per-doc SUM — float
+    addition is order-sensitive and Spark's partial-agg fold order is
+    not DuckDB's, so multi-term docs would drift in the last ulp (q85's
+    integer-unit convention, at 1e-9 resolution).
+
+    Scale shape: term postings for the QUERY TERMS ONLY (3 terms — the
+    filter lands before the groupBy, so the shuffle carries query-term
+    postings, not the corpus vocabulary); df (3 rows) and the N/avgdl
+    scalars broadcast; per-doc score is one map-combined rollup and the
+    top-10 is TakeOrderedAndProject. doc-length normalization uses
+    dl·N/total_len ≡ dl/avgdl with one fewer division."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+    )
+    doclen = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    n = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    qterms = ["spark", "shuffle", "window"]
+    tf = (
+        toks.where(F.col("term").isin(qterms))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                        * (F.col("tf") * 2.2)
+                        / (
+                            F.col("tf")
+                            + 1.2
+                            * (
+                                0.25
+                                + 0.75
+                                * F.col("dl")
+                                * F.col("n_docs")
+                                / F.col("total_len").cast("double")
+                            )
+                        )
+                        * 1000000000.0
+                        + 0.5
+                    ).cast("long")
+                ).cast("double")
+                / 1000000000.0
+            ).alias("score")
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
+    return top.select(
+        "doc_id",
+        "score",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long")
+        .alias("rank"),
+    )
