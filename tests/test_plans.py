@@ -387,3 +387,50 @@ def test_x92_boilerplate_join_keyed_on_gram(spark):
 def test_l19_salted_join_result_plan_no_cartesian(spark):
     df = qmod.all_queries()["l19_salted_skew_join"](spark, SF)
     assert_no_cartesian(df)
+
+
+def test_q92_lateral_decorrelates_to_broadcast_join(spark):
+    # the correlated LATERAL ORDER BY/LIMIT must decorrelate: one ranked
+    # window over orders joined back broadcast — NOT a per-customer
+    # nested-loop re-scan (the difference between O(N+M) and O(N·M))
+    df = qmod.all_queries()["q92_lateral_top_orders"](spark, SF)
+    from smfg_datawarehouse_spark.plans import formatted_plan
+
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) == 1
+    assert "NestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+
+
+def test_q90_attribution_single_user_shuffle(spark):
+    # both ignorenulls window expressions share one user-keyed exchange;
+    # the channel rollup is the only other shuffle
+    df = qmod.all_queries()["q90_last_touch_attribution"](spark, SF)
+    assert exchange_count(df) <= 2
+    assert_no_cartesian(df)
+
+
+def test_x93_inverted_index_reuses_term_partitioning(spark):
+    # (term,doc) count shuffle + term window/rollup reuse + top-N: the
+    # postings groupBy must NOT add a fourth exchange over the window's
+    df = qmod.all_queries()["x93_inverted_index"](spark, SF)
+    assert exchange_count(df) <= 3
+    assert_no_cartesian(df)
+
+
+def test_x96_udtf_chunking_no_shuffle(spark):
+    # the UDTF multiplies rows in place on scan partitions — any exchange
+    # means the explode stopped being embarrassingly parallel
+    df = qmod.all_queries()["x96_token_chunking_udtf"](spark, SF)
+    assert exchange_count(df) == 0
+
+
+def test_x98_bm25_query_term_filter_reaches_scan(spark):
+    # the 3-term query filter must land before the postings groupBy — the
+    # shuffle carries query-term postings only, never the vocabulary
+    df = qmod.all_queries()["x98_bm25_rational_topk"](spark, SF)
+    assert_no_cartesian(df)
+    from smfg_datawarehouse_spark.plans import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-10, no global sort
