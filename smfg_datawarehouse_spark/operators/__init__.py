@@ -20,6 +20,7 @@ def register_all() -> None:
         dedup,
         events_analytics,
         multimodal,
+        olap_indexing,
         similarity,
         text_analysis,
         text_sampling,

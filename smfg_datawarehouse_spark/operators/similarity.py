@@ -1964,3 +1964,214 @@ def x69_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_j.alias("mean_j"),
         (m2 - mean_i * mean_j).alias("cov"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JL random-projection ANN (x99) and Matryoshka prefix-dim recall (x100)
+# ---------------------------------------------------------------------------
+
+JL_DIM = 16
+JL_SHORTLIST = 25
+JL_K = 5
+#: offset into the hyperplane_weight hash family so the JL sign matrix is
+#: decorrelated from the SimHash planes (h 0..15 are taken by x05).
+_JL_H0 = 1000
+
+
+def jl_signs(out_dim: int, in_dim: int) -> list[list[float]]:
+    """Rademacher ±1 sign matrix for a Johnson-Lindenstrauss projection
+    (Achlioptas 2001, "Database-friendly random projections": ±1 entries
+    satisfy the JL lemma like Gaussians do, and the projection becomes
+    pure adds). Deterministic integer-hash derivation — baked as literals
+    into the oracle so DuckDB replays the identical projection."""
+    return [
+        [hyperplane_weight(_JL_H0 + j, i) for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def _jl_proj_expr(vcol: str, signs: list[list[float]], spark_side: bool) -> str:
+    """SQL text computing the projected vector of ``vcol`` — ONE parsed
+    expression per side (py4j literal trees are a driver bottleneck; see
+    x85's codebook note). Spark: aggregate/zip_with with 0.0D init;
+    DuckDB: list_reduce/list_zip without init — identical IEEE fold
+    because 0.0 + x == x."""
+    dots = []
+    for row in signs:
+        if spark_side:
+            lit = "array(" + ",".join(f"{x:.1f}D" for x in row) + ")"
+            dots.append(
+                f"aggregate(zip_with({vcol}, {lit}, (x, y) -> x * y),"
+                f" 0.0D, (acc, z) -> acc + z)"
+            )
+        else:
+            lit = "[" + ",".join(f"{x:.1f}" for x in row) + "]"
+            dots.append(
+                f"list_reduce(list_transform(list_zip({vcol}, {lit}),"
+                f" s -> s[1] * s[2]), (x, y) -> x + y)"
+            )
+    return ("array(" if spark_side else "[") + ",\n          ".join(dots) + (
+        ")" if spark_side else "]"
+    )
+
+
+def _jl_oracle() -> str:
+    signs = jl_signs(JL_DIM, 64)
+    proj = _jl_proj_expr("v", signs, spark_side=False)
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    proj AS (SELECT vec_id, v, {proj} AS p FROM vecs),
+    q AS (SELECT vec_id AS query_id, v AS qv, p AS qp FROM proj
+          WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.v AS cv, q.qv AS qv,
+             {_dcos('q.qp', 'c.p')} AS pcos
+      FROM proj c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, cv, qv FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY pcos DESC, neighbor_id) AS prank
+        FROM scored
+      ) WHERE prank <= {JL_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id, {_dcos('qv', 'cv')} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_dcos('qv', 'cv')} DESC,
+                                         neighbor_id) AS rank
+      FROM short
+    ) WHERE rank <= {JL_K}
+"""
+
+
+@register("x99_jl_projection_topk", _jl_oracle())
+def x99_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] ANN via Johnson-Lindenstrauss random projection: embeddings are
+    projected 64→16 dims through a deterministic Rademacher ±1 matrix
+    (Achlioptas 2001), the shortlist (top-25 per query by PROJECTED
+    cosine) is found in the cheap 16-dim space, and only the shortlist is
+    reranked by exact 64-dim cosine (top-5). The memory/FLOP complement
+    to x59's SQ8 and x85's PQ: JL shrinks the scoring matrix 4× with no
+    codebook training, so it's the zero-setup first rung of the ANN
+    ladder. At 100 TB: projection is a scan-local expression (no
+    shuffle), the shortlist pass streams the projected corpus through the
+    same single-scan partial-top-k kernel as x10, and the exact rerank
+    touches only Q×25 fetched vectors. Both the projection AND the
+    approximation are replayed bit-exactly by the oracle."""
+    from smfg_datawarehouse_spark.functions.vectors import dot_product, l2_norm
+
+    signs = jl_signs(JL_DIM, 64)
+    e = t(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    proj = ed.withColumn("p", F.expr(_jl_proj_expr("v", signs, spark_side=True)))
+    queries = proj.where(F.col("vec_id") % 25 == 0)
+    short = brute_force_topk(
+        proj, queries, dim=JL_DIM, vec_col="p", k=JL_SHORTLIST
+    ).select("query_id", "neighbor_id")
+    qv = ed.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cv = ed.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    cos = dot_product(F.col("qv"), F.col("cv")) / (
+        l2_norm(F.col("qv")) * l2_norm(F.col("cv"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= JL_K)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+MRL_PREFIXES = (4, 8, 16, 32)
+MRL_K = 10
+
+
+def _mrl_oracle() -> str:
+    branches = []
+    for L in MRL_PREFIXES:
+        branches.append(f"""
+    SELECT CAST({L} AS BIGINT) AS prefix_dim, e.query_id,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / {MRL_K} AS recall_at_{MRL_K}
+    FROM exact e LEFT JOIN (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_dcos(f'q.qv[1:{L}]', f'c.v[1:{L}]')} DESC,
+                          c.vec_id) AS rank
+        FROM vecs c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= {MRL_K}
+    ) a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id""")
+    body = "\n    UNION ALL\n".join(branches)
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id % 25 = 0),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_dcos('q.qv', 'c.v')} DESC,
+                                           c.vec_id) AS rank
+        FROM vecs c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= {MRL_K}
+    )
+    {body}
+"""
+
+
+@register("x100_matryoshka_prefix_recall", _mrl_oracle())
+def x100_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Matryoshka-embedding evaluation (Kusupati et al. 2022,
+    arXiv:2205.13147): recall@10 of prefix-dimension search (first
+    4/8/16/32 of 64 dims) against the full-dim exact top-10, per query.
+    This is the measurement loop that decides how far an MRL-trained
+    embedding can be truncated before retrieval quality collapses — the
+    storage/bandwidth decision for a 100 TB vector corpus (a 4× prefix
+    truncation is a 4× scan-cost cut on every downstream ANN pass). Each
+    prefix search reuses the single-scan partial-top-k kernel on sliced
+    vectors (slice is a scan-local expression; nothing pair-shaped
+    shuffles); recalls are exact-integer ratios, so the whole curve is
+    bit-stable and the oracle replays it dimension for dimension."""
+    e = t(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qd = ed.where(F.col("vec_id") % 25 == 0)
+    exact = brute_force_topk(ed, qd, dim=64, vec_col="v", k=MRL_K).select(
+        "query_id", "neighbor_id"
+    )
+    out = None
+    for L in MRL_PREFIXES:
+        edl = ed.select("vec_id", F.slice("v", 1, L).alias("v"))
+        qdl = qd.select("vec_id", F.slice("v", 1, L).alias("v"))
+        approx = brute_force_topk(edl, qdl, dim=L, vec_col="v", k=MRL_K).select(
+            F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+        )
+        rec = (
+            exact.join(
+                approx,
+                (F.col("query_id") == F.col("a_qid"))
+                & (F.col("neighbor_id") == F.col("a_nid")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg((F.count("a_nid") / F.lit(MRL_K)).alias(f"recall_at_{MRL_K}"))
+            .select(
+                F.lit(L).cast("long").alias("prefix_dim"),
+                "query_id",
+                f"recall_at_{MRL_K}",
+            )
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out

@@ -137,15 +137,53 @@ _CERTIFIED_R03 = {
 
 _CERTIFIED = _CERTIFIED_R01 | _CERTIFIED_R02 | _CERTIFIED_R03
 
+#: Names with NO driver row yet but an independent judge verification
+#: (round-3 VERDICT: 43/43 bit-exact sf0.01 DuckDB differential). They
+#: rank BELOW never-verified names in the driver sample: with >50
+#: uncertified names in a round, the 50 driver slots should go to
+#: queries with zero external evidence first.
+_JUDGE_VERIFIED_R03 = {
+    "q79_scd2_user_history", "q80_scd2_point_in_time",
+    "q82_burst_detection", "q83_grain_cascade", "q84_event_transitions",
+    "q85_rfm_segmentation", "q87_conversion_latency_profile",
+    "s03_streaming_interval_join", "s04_streaming_dedup",
+    "s05_streaming_session_window", "s06_streaming_sliding_window",
+    "s07_streaming_dim_enrichment", "s08_streaming_outer_join",
+    "s09_streaming_backlog_drain", "s10_streaming_cdc_upsert",
+    "x54_semantic_dedup", "x57_kmeans_lloyd",
+    "x58_eval_gram_decontamination", "x59_sq8_rerank_topk",
+    "x60_gopher_quality_gates", "x62_dsir_importance_weights",
+    "x63_semantic_contamination", "x64_hard_negative_mining",
+    "x65_corpus_datacard", "x66_group_split_by_source",
+    "x67_mixture_sampling_apply", "x68_collocation_lift",
+    "x69_embedding_covariance", "x70_lm_score_buckets",
+    "x71_containment_dupes", "x72_shard_layout_plan",
+    "x73_char_diversity_filter", "x74_eval_leakage_coverage",
+    "x75_source_quota_topk", "x76_quality_calibration",
+    "x77_zipf_constant", "x78_tokenizer_fertility",
+    "x79_k_anonymity_risk", "x80_epoch_budget_plan",
+    "x81_embedding_alignment", "x82_lang_confusion",
+    "x83_dup_cluster_histogram", "x84_weighted_bernoulli_sample",
+}
+
 
 def _priority_order(names) -> list[str]:
-    """Never-driver-certified names first (as of round 4: q79/q80,
-    q82-q85, q87, s03-s10, x54, x57-x60, x62-x84, plus anything added
-    this round), already-certified ones last; stable (registration)
-    order within each tier. The driver samples the FIRST 50 names, so
-    keep the uncertified count ≤ 50 within a round."""
-    tier = lambda n: 1 if n in _CERTIFIED else 0  # noqa: E731
-    return sorted(names, key=lambda n: tier(n))
+    """Three evidence tiers, driver-sample-aware: (0) names with no
+    external verification at all (round-4 additions) first, (1) names
+    judge-verified in round 3 but still missing a driver row, (2)
+    driver-certified names last; stable (registration) order within
+    each tier. The driver samples the FIRST 50 names, so with >50
+    uncertified names the zero-evidence ones must not be displaced by
+    judge-verified ones."""
+
+    def tier(n: str) -> int:
+        if n in _CERTIFIED:
+            return 2
+        if n in _JUDGE_VERIFIED_R03:
+            return 1
+        return 0
+
+    return sorted(names, key=tier)
 
 
 def all_queries() -> dict[str, QueryFn]:
