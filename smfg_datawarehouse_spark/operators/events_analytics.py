@@ -2267,3 +2267,106 @@ def q94_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pts",
         slope.alias("slope_micros_per_sec"),
     )
+
+
+@register(
+    "s14_dedup_within_watermark",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    UNION ALL
+    SELECT event_id, m AS ts, user_id, event_type, value
+    FROM events, mx
+    WHERE ts < m - INTERVAL 2 HOUR
+    """,
+)
+def s14_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/X] BOUNDED-STATE streaming dedup certified —
+    ``dropDuplicatesWithinWatermark``, the production complement to s04's
+    unbounded exactly-once dedup: state per key lives only until the
+    watermark passes its event time + delay, so at 100 TB the dedup
+    store holds one horizon of keys instead of the corpus's lifetime.
+    Three staged arrivals (``maxFilesPerTrigger=1``, mtime-pinned order)
+    pin all four semantics this operator trades on (empirically verified
+    on Spark 4.1, miniature re-asserted in ``tests/test_streaming``):
+
+    1. ``0_feed`` — the full feed; every first occurrence emits
+       immediately. Post-batch watermark advances to max(ts) − 30 min.
+    2. ``1_redelivery`` — an at-least-once upstream re-sends rows >2 h
+       old plus rows within 10 min of max(ts). State eviction LAGS the
+       watermark update by one batch (same pinned lag as s11's window
+       drop), so every redelivered key is still in state and is deduped
+       silently — the state hit wins over the late filter, and
+       ``numRowsDroppedByWatermark`` stays 0 for this batch (asserted).
+       Duplicates do NOT extend state expiry — the property that keeps
+       state bounded under constant redelivery. Zero sink rows; the
+       batch's commit then evicts everything older than max(ts) − 1 h.
+    3. ``2_late_replay`` — the >2 h-old rows re-sent AGAIN with their
+       original timestamps: now evicted AND below the watermark, they
+       are late-filtered before the state store; the drain asserts
+       ``numRowsDroppedByWatermark`` equals their count exactly. Zero
+       sink rows.
+    4. ``3_restamped`` — the same >2 h-old keys re-sent with a FRESH
+       event time (max ts), the real-world "replay with new ingest
+       stamp": evicted keys re-emit, every one. Within-horizon
+       suppression is exactly-once; across-horizon replay is
+       at-least-once — that boundary is precisely what the oracle's
+       UNION ALL replays.
+
+    Scale shape: one hash shuffle on the dedup key; state = keys within
+    one watermark horizon; duplicates neither grow nor refresh state."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from smfg_datawarehouse_spark.queries import _scratch_dir, load_events
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src = _scratch_dir(spark, "s14")
+    raw = _os.path.join(src, "raw")
+    _os.makedirs(raw, exist_ok=True)
+    ev = load_events(spark, sf_dir)
+    mx = ev.agg(F.max("ts")).first()[0]
+    old = F.col("ts") < F.lit(mx) - F.expr("INTERVAL 2 HOURS")
+    fresh = F.col("ts") >= F.lit(mx) - F.expr("INTERVAL 10 MINUTES")
+    n_late = ev.where(old).count()
+
+    def _stage(df: DataFrame, name: str, mtime: float) -> None:
+        stage = _os.path.join(src, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
+        dst = _os.path.join(raw, f"{name}.parquet")
+        _shutil.copy(_os.path.join(stage, part), dst)
+        _os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    _stage(ev, "0_feed", now - 600)
+    _stage(ev.where(old | fresh), "1_redelivery", now - 450)
+    _stage(ev.where(old), "2_late_replay", now - 300)
+    _stage(ev.where(old).withColumn("ts", F.lit(mx)), "3_restamped", now)
+
+    stream = events_stream(
+        spark, raw, watermark="30 minutes", max_files_per_trigger=1
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    progress: list = []
+    out = _drain_stream(spark, deduped, "s14", "append", progress)
+    dropped_by_batch = {
+        p["batchId"]: sum(
+            op.get("numRowsDroppedByWatermark", 0) or 0
+            for op in p.get("stateOperators", [])
+        )
+        for p in progress
+    }
+    in_state_dedup = dropped_by_batch.get(1, 0)
+    post_evict = dropped_by_batch.get(2, 0)
+    if in_state_dedup != 0 or post_evict != n_late:
+        raise RuntimeError(
+            "s14 watermark-drop metrics diverged from the pinned "
+            f"semantics: batch 1 (in-state dedup) counted {in_state_dedup} "
+            f"(expect 0), batch 2 (post-eviction late replay) counted "
+            f"{post_evict} (expect {n_late})"
+        )
+    return out

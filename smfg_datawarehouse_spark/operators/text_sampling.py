@@ -550,3 +550,132 @@ def x84_weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 
+
+
+SKIPGRAM_T = 0.001  # Mikolov subsampling threshold
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_TOPK = 50
+
+# md5-uniform per token OCCURRENCE (doc_id:pos) — portable across engines,
+# partition/retry-invariant (same idiom as x84's weighted Bernoulli).
+_SG_U_DUCK = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST(pos AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0"
+)
+
+_SKIPGRAM_ORACLE = rf"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS ts
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, i - 1 AS pos, ts[i] AS w
+      FROM tk, unnest(range(1, len(ts) + 1)) AS u(i)
+    ), freq AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM tok
+    ), keep AS (
+      SELECT w,
+             LEAST(1.0, sqrt({SKIPGRAM_T} / (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+                        + {SKIPGRAM_T} / (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) AS p
+      FROM freq, tot
+    ), surv AS (
+      SELECT tok.doc_id, tok.pos, tok.w
+      FROM tok JOIN keep USING (w)
+      WHERE {_SG_U_DUCK} < p
+    ), nbr AS (
+      SELECT doc_id, w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+      FROM surv
+    ), pairs AS (
+      SELECT w AS center, n1 AS context FROM nbr WHERE n1 IS NOT NULL
+      UNION ALL SELECT n1, w FROM nbr WHERE n1 IS NOT NULL
+      UNION ALL SELECT w, n2 FROM nbr WHERE n2 IS NOT NULL
+      UNION ALL SELECT n2, w FROM nbr WHERE n2 IS NOT NULL
+    )
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_pairs DESC, center, context LIMIT {SKIPGRAM_TOPK}
+"""
+
+
+@register("x101_skipgram_pairs", _SKIPGRAM_ORACLE)
+def x101_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] word2vec skip-gram training-pair extraction with frequency
+    subsampling (Mikolov et al. 2013, arXiv:1310.4546 §2.3): each token
+    occurrence survives with probability min(1, sqrt(t/f) + t/f) decided
+    by a seedless md5 uniform (replayable, partition/retry-invariant);
+    (center, context) pairs are then generated over the SURVIVING
+    sequence — deletions shrink the effective window, exactly as the
+    reference implementation behaves — for a ±2 window, emitted in both
+    directions, counted, and top-50 returned. At 100 TB this is one scan
+    + a vocab-sized broadcast (keep probabilities) + two ``lead`` windows
+    sharing one doc-keyed sort + a pair-count shuffle with map-side
+    combine; the top-50 is TakeOrderedAndProject, never a global sort.
+    The pair stream is what a distributed embedding trainer consumes."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(word_tokens(F.col("text"))).alias("pos", "w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    f = F.col("c").cast("double") / F.col("n").cast("double")
+    r = F.lit(SKIPGRAM_T) / f
+    keep = (
+        freq.crossJoin(F.broadcast(tot))
+        .select("w", F.least(F.lit(1.0), F.sqrt(r) + r).alias("p"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    surv = tok.join(F.broadcast(keep), "w").where(u < F.col("p"))
+    w_ = W.partitionBy("doc_id").orderBy("pos")
+    nbr = surv.select(
+        "doc_id",
+        "w",
+        F.lead("w", 1).over(w_).alias("n1"),
+        F.lead("w", 2).over(w_).alias("n2"),
+    )
+    pairs = (
+        nbr.where(F.col("n1").isNotNull())
+        .select(F.col("w").alias("center"), F.col("n1").alias("context"))
+        .unionAll(
+            nbr.where(F.col("n1").isNotNull()).select(
+                F.col("n1").alias("center"), F.col("w").alias("context")
+            )
+        )
+        .unionAll(
+            nbr.where(F.col("n2").isNotNull()).select(
+                F.col("w").alias("center"), F.col("n2").alias("context")
+            )
+        )
+        .unionAll(
+            nbr.where(F.col("n2").isNotNull()).select(
+                F.col("n2").alias("center"), F.col("w").alias("context")
+            )
+        )
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "center", "context")
+        .limit(SKIPGRAM_TOPK)
+    )

@@ -645,3 +645,80 @@ def test_transform_with_state_v2_equals_batch(spark, events_dir):
         )
     )
     assert _rowset(final) == expected
+
+
+def test_dedup_within_watermark_semantics(spark, tmp_path):
+    """Miniature pin of the dropDuplicatesWithinWatermark semantics
+    s14_dedup_within_watermark's oracle relies on:
+
+    - first occurrence emits immediately; a duplicate whose key is still
+      in state is suppressed WITHOUT extending expiry and WITHOUT
+      counting in numRowsDroppedByWatermark (the state hit wins over the
+      late filter);
+    - state eviction lags the watermark update by one batch, so a
+      same-batch-as-crossing re-arrival is still deduped;
+    - after a PRIOR batch evicted the key, a below-watermark re-arrival
+      is late-filtered (counted in numRowsDroppedByWatermark) and an
+      above-watermark re-arrival RE-EMITS.
+    """
+    import datetime
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    D = datetime.datetime
+    now = time.time()
+
+    def stage(rows, name, mtime):
+        st = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(st))
+        part = next(f for f in os.listdir(st) if f.endswith(".parquet"))
+        dst = raw / f"{name}.parquet"
+        shutil.copy(st / part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    stage([("A", D(2025, 1, 1, 10, 0)), ("B", D(2025, 1, 1, 10, 5))], "0", now - 500)
+    # A dup while in state (suppressed, no metric); H advances wm to 12:30
+    stage([("A", D(2025, 1, 1, 10, 10)), ("H", D(2025, 1, 1, 13, 0))], "1", now - 400)
+    # wm now 12:30 but A/B evicted only at THIS batch's end: both still dedup
+    stage([("A", D(2025, 1, 1, 12, 40)), ("B", D(2025, 1, 1, 12, 29))], "2", now - 300)
+    # A/B evicted in the prior batch: above-wm A re-emits, below-wm B is
+    # late-filtered with the metric
+    stage([("A", D(2025, 1, 1, 12, 41)), ("B", D(2025, 1, 1, 12, 28))], "3", now - 200)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(raw))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    progress: list = []
+    out = run_stream_to_memory(
+        spark, stream, "ddww_semantics_mem", "append", progress_sink=progress
+    )
+    rows = sorted((r["id"], str(r["ts"])) for r in out.collect())
+    assert rows == [
+        ("A", "2025-01-01 10:00:00"),
+        ("A", "2025-01-01 12:41:00"),
+        ("B", "2025-01-01 10:05:00"),
+        ("H", "2025-01-01 13:00:00"),
+    ]
+    dropped_by_batch = {
+        p["batchId"]: sum(
+            op.get("numRowsDroppedByWatermark", 0) or 0
+            for op in p.get("stateOperators", [])
+        )
+        for p in progress
+    }
+    assert dropped_by_batch.get(1, 0) == 0
+    assert dropped_by_batch.get(2, 0) == 0  # in-state dedup, not wm drop
+    assert dropped_by_batch.get(3, 0) == 1  # post-eviction late B
