@@ -3103,3 +3103,169 @@ def x98_bm25_rational_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank"),
     )
+
+
+_X102_ORACLE = """
+    WITH b AS (
+      SELECT source, LEAST(n_chars // 100, 9) AS bucket FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM b),
+    corpus AS (SELECT bucket, COUNT(*) AS cb FROM b GROUP BY bucket),
+    dof AS (SELECT COUNT(*) - 1 AS d FROM corpus),
+    src AS (SELECT source, COUNT(*) AS ns FROM b GROUP BY source),
+    obs AS (SELECT source, bucket, COUNT(*) AS ob FROM b GROUP BY source, bucket),
+    cells AS (
+      SELECT s.source, s.ns,
+             COALESCE(o.ob, 0) AS ob,
+             CAST(c.cb * s.ns AS DOUBLE) / CAST(t.n AS DOUBLE) AS e
+      FROM src s CROSS JOIN corpus c CROSS JOIN tot t
+      LEFT JOIN obs o ON o.source = s.source AND o.bucket = c.bucket
+    )
+    SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
+           CAST(MAX(d) AS BIGINT) AS dof,
+           CAST(SUM(CAST((CAST(ob AS DOUBLE) - e) * (CAST(ob AS DOUBLE) - e) / e
+                         AS DECIMAL(30,6))) AS DOUBLE) AS chi2
+    FROM cells CROSS JOIN dof
+    GROUP BY source
+"""
+
+
+@register("x102_length_drift_chi2", _X102_ORACLE)
+def x102_length_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Distribution-drift detection, the Pearson chi-square form: each
+    source's document-length histogram (100-char bands, capped at 10) is
+    tested against the corpus-wide distribution — chi2 = SUM (O-E)^2/E
+    over bands, with E the corpus share scaled to the source size. The
+    monitoring gate a training-data pipeline runs per incoming batch
+    (here: per source) to catch a crawler or upstream schema change
+    shifting the data before it poisons a mixture; unlike KL/PSI it
+    needs no log, so the statistic stays bit-portable (single-op double
+    arithmetic + the repo's exact-decimal summation convention). At
+    100 TB: one scan to histogram (map-side combine over ≤10 bands per
+    source), then arithmetic over a bands x sources grid — the corpus
+    and band tables are broadcast-sized. Bands with zero corpus mass are
+    excluded by construction (E > 0 always); dof = bands - 1."""
+    d = t(spark, sf_dir, "documents")
+    b = d.select(
+        "source", F.expr("LEAST(n_chars DIV 100, 9)").alias("bucket")
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("n"))
+    corpus = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cb"))
+    dof = corpus.agg((F.count(F.lit(1)) - 1).alias("d"))
+    src = b.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    obs = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("ob"))
+    cells = (
+        src.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "ns",
+            F.coalesce(F.col("ob"), F.lit(0)).alias("ob"),
+            ((F.col("cb") * F.col("ns")).cast("double") / F.col("n").cast("double")).alias("e"),
+        )
+    )
+    term = (F.col("ob").cast("double") - F.col("e")) * (
+        F.col("ob").cast("double") - F.col("e")
+    ) / F.col("e")
+    from smfg_datawarehouse_spark.queries import dsum
+
+    return (
+        cells.crossJoin(F.broadcast(dof))
+        .groupBy("source")
+        .agg(
+            F.max("ns").cast("long").alias("n_docs"),
+            F.max("d").cast("long").alias("dof"),
+            dsum(term).alias("chi2"),
+        )
+    )
+
+
+_X103_ORACLE = """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) - 1 AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS nl
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM documents),
+    ords AS (
+      SELECT n_chars AS v,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rn0
+      FROM documents
+    ), tgt AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(FLOOR((CASE WHEN nl = 1 THEN 0.0
+                              ELSE CAST(r AS DOUBLE) / (nl - 1) END)
+                        * (n - 1)) AS BIGINT) AS ti
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT t.doc_id, t.lang, t.n_chars, o.v AS qnorm_chars
+    FROM tgt t JOIN ords o ON o.rn0 = t.ti
+"""
+
+
+@register("x103_quantile_normalization", _X103_ORACLE)
+def x103_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] Quantile normalization across groups (the Bolstad et al. 2003
+    microarray recipe, reused for cross-source feature alignment): each
+    document's length is replaced by the CORPUS length at the same
+    quantile position within its language — after the map, every
+    language has an identical length distribution, removing per-group
+    scale artifacts before mixture weighting. Rank fractions are exact
+    integer ratios; the target is the exact corpus order statistic at
+    floor(q*(N-1)) (no interpolation), so the whole map is bit-stable.
+
+    Scale shape — the interesting part is the GLOBAL ordinal: a naive
+    ROW_NUMBER over the corpus is a one-partition sort. Here ordinals
+    are two-phase: rows get a 100-char band, per-band counts roll up to
+    band OFFSETS (a band-cardinality-sized cumulative window), and each
+    row's global ordinal is offset(band) + its row_number WITHIN the
+    band — every heavy window stays partitioned (by lang or by band);
+    the only single-partition work is the ~10-row offset cumsum. The
+    final ordinal join is an equi-join on ti = rn0. The oracle computes
+    the same ordinals with a plain global ROW_NUMBER — two routes, one
+    result, which is exactly the property worth certifying."""
+    d = t(spark, sf_dir, "documents")
+    wl = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.row_number().over(wl) - 1).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("nl"),
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    # distributed global ordinals: band offsets + within-band row_number
+    band = F.expr("n_chars DIV 100").alias("band")
+    banded = d.select("doc_id", "n_chars", band)
+    offsets = (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .withColumn(
+            "off",
+            F.sum("bc").over(
+                W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .select("band", F.coalesce("off", F.lit(0)).alias("off"))
+    )
+    wb = W.partitionBy("band").orderBy("n_chars", "doc_id")
+    ords = (
+        banded.join(F.broadcast(offsets), "band")
+        .select(
+            F.col("n_chars").alias("v"),
+            (F.col("off") + F.row_number().over(wb) - 1).alias("rn0"),
+        )
+    )
+    rfrac = F.when(F.col("nl") == 1, F.lit(0.0)).otherwise(
+        F.col("r").cast("double") / (F.col("nl") - 1)
+    )
+    tgt = ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.floor(rfrac * (F.col("n") - 1)).cast("long").alias("ti"),
+    )
+    return tgt.join(ords, tgt.ti == ords.rn0).select(
+        "doc_id", "lang", "n_chars", F.col("v").alias("qnorm_chars")
+    )

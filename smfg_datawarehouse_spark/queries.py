@@ -4525,3 +4525,118 @@ def q92_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) o
         """
     )
+
+
+_Q97_RECURSIVE_SQL = """
+    WITH RECURSIVE reach(node, hops) AS (
+      SELECT 'signup' AS node, 0 AS hops
+      UNION ALL
+      SELECT e.to_type AS node, r.hops + 1 AS hops
+      FROM reach r JOIN edges e ON e.from_type = r.node
+      WHERE r.hops < 4
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM reach GROUP BY node
+"""
+
+_Q97_EDGES_SQL = """
+      SELECT DISTINCT event_type AS from_type, next_type AS to_type
+      FROM (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+      ) WHERE next_type IS NOT NULL
+"""
+
+
+@register(
+    "q97_recursive_reachability",
+    f"""
+    WITH edges AS ({_Q97_EDGES_SQL}),
+    out AS ({_Q97_RECURSIVE_SQL})
+    SELECT * FROM out
+    """,
+)
+def q97_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5 extension] RECURSIVE CTE on the engine's SQL surface
+    (Spark 4's ``WITH RECURSIVE``, executed as an iterative union-loop
+    by the planner): the per-user event sequence induces a transition
+    graph (edge = consecutive event types, one ``LEAD`` window), and the
+    recursion walks every path of length ≤ 4 from ``signup``, reporting
+    per reachable node the minimum hop count and the number of distinct
+    paths. This is the graph-closure idiom (BOM explosion, org
+    hierarchies, lineage walks) expressed declaratively instead of a
+    driver loop — the engine owns iteration, checkpointing each
+    anchor/step as a plain join+union plan. The hop bound makes the
+    recursion finite on a cyclic graph and is replayed verbatim by
+    DuckDB's identical WITH RECURSIVE evaluation. At 100 TB the edge
+    derivation is one user-keyed window; the recursion itself runs over
+    the DISTINCT transition graph, which is type-cardinality-sized (tiny
+    by construction), so each step is a broadcast join."""
+    ev = load_events(spark, sf_dir)
+    ev.createOrReplaceTempView("events")
+    edges = spark.sql(_Q97_EDGES_SQL)
+    edges.createOrReplaceTempView("edges")
+    return spark.sql(_Q97_RECURSIVE_SQL)
+
+
+@register(
+    "l22_deletion_vector_delete",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    WHERE NOT (o_orderpriority = '1-URGENT') AND NOT (o_totalprice < 5000.0)
+    GROUP BY o_orderpriority
+    """,
+)
+def l22_deletion_vector_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S7/S3] DELETE WITHOUT REWRITE certified — deletion vectors
+    (``sources/deletion_vectors.DeletionVectorTable``), the Delta/Iceberg
+    v2 merge-on-read mechanism: orders land once as immutable base files
+    with (chunk, ordinal) row identity; two predicate DELETEs append
+    packed 62-bit bitmap words to a manifest-committed sidecar; the read
+    path anti-filters survivors by bit test against the broadcast
+    vector. The certification RAISES unless (a) every base part file's
+    mtime is byte-for-byte untouched after both deletes — the zero
+    write-amplification property that distinguishes this from a rewrite
+    delete, (b) each delete reports exactly the expected newly-deleted
+    count (the second predicate overlaps the first; overlapping rows
+    must not double-count — bit_or is idempotent), and (c) a replayed
+    delete is a no-op (delta 0). The surviving rollup hash-matches a
+    plain NOT(p1) AND NOT(p2) scan of the raw fixture. At 100 TB: delete
+    cost ∝ deleted_rows/62 longs + one manifest swap; read overhead is
+    one broadcast join against a sidecar ≤0.2% of base bytes even at
+    100% deletion; ``compact_into`` is the threshold-triggered rewrite
+    path. Reference intent: the curated-zone MERGE upkeep of
+    ``1. Metadata Creation.sql:133-146``, delete half."""
+    from smfg_datawarehouse_spark.sources.deletion_vectors import (
+        DeletionVectorTable,
+    )
+
+    base = _scratch_dir(spark, "l22")
+    o = t(spark, sf_dir, "orders")
+    dvt = DeletionVectorTable(spark, os.path.join(base, "orders_dv"), "o_orderkey")
+    dvt.write_base(o)
+    mt0 = dvt.base_file_mtimes()
+    p1 = "o_orderpriority = '1-URGENT'"
+    p2 = "o_totalprice < 5000.0"
+    exp1 = o.where(p1).count()
+    exp2 = o.where(f"({p2}) AND NOT ({p1})").count()
+    n1 = dvt.delete(p1)
+    n2 = dvt.delete(p2)
+    n3 = dvt.delete(p1)  # replay: must be a no-op
+    if (n1, n2, n3) != (exp1, exp2, 0):
+        raise RuntimeError(
+            f"l22 deletion deltas diverged: got {(n1, n2, n3)}, "
+            f"expected {(exp1, exp2, 0)}"
+        )
+    if dvt.base_file_mtimes() != mt0:
+        raise RuntimeError("l22 base files were rewritten by a delete")
+    return dvt.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
