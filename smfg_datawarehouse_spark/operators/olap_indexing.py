@@ -227,33 +227,42 @@ def q96_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("mnp") <= _PROBE_P_HI)
         & (F.col("mxp") >= _PROBE_P_LO)
     )
-    layouts = {
-        "zorder": F.expr(f"zval DIV {65536 // _N_FILES}"),
-        "price_sorted": F.expr("yb DIV 4"),
-        "unclustered": F.col("o_orderkey") % _N_FILES,
-    }
-    out = None
-    for name, file_expr in layouts.items():
-        files = (
-            base.withColumn("f", file_expr)
-            .groupBy("f")
-            .agg(
-                F.min("o_custkey").alias("mnk"),
-                F.max("o_custkey").alias("mxk"),
-                F.min("o_totalprice").alias("mnp"),
-                F.max("o_totalprice").alias("mxp"),
-                F.count(F.lit(1)).alias("nrows"),
-                F.sum(F.when(probe, 1).otherwise(0)).alias("nmatch"),
-            )
+    # ONE scan + ONE shuffle for all three layouts: every row emits its
+    # (layout, file) assignment via explode (3x narrow row multiply),
+    # instead of three separate scans+aggregations of the base table
+    assign = F.explode(
+        F.array(
+            F.struct(
+                F.lit("zorder").alias("layout"),
+                F.expr(f"zval DIV {65536 // _N_FILES}").alias("f"),
+            ),
+            F.struct(
+                F.lit("price_sorted").alias("layout"),
+                F.expr("yb DIV 4").alias("f"),
+            ),
+            F.struct(
+                F.lit("unclustered").alias("layout"),
+                (F.col("o_orderkey") % _N_FILES).alias("f"),
+            ),
         )
-        agg = files.agg(
-            F.lit(name).alias("layout"),
-            F.count(F.lit(1)).cast("long").alias("files_total"),
-            F.sum(F.when(touched, 1).otherwise(0)).cast("long").alias("files_touched"),
-            F.sum(F.when(touched, F.col("nrows")).otherwise(0))
-            .cast("long")
-            .alias("rows_touched"),
-            F.sum("nmatch").cast("long").alias("rows_matching"),
+    )
+    files = (
+        base.select("o_custkey", "o_totalprice", assign.alias("a"))
+        .groupBy("a.layout", "a.f")
+        .agg(
+            F.min("o_custkey").alias("mnk"),
+            F.max("o_custkey").alias("mxk"),
+            F.min("o_totalprice").alias("mnp"),
+            F.max("o_totalprice").alias("mxp"),
+            F.count(F.lit(1)).alias("nrows"),
+            F.sum(F.when(probe, 1).otherwise(0)).alias("nmatch"),
         )
-        out = agg if out is None else out.unionByName(agg)
-    return out
+    )
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("files_total"),
+        F.sum(F.when(touched, 1).otherwise(0)).cast("long").alias("files_touched"),
+        F.sum(F.when(touched, F.col("nrows")).otherwise(0))
+        .cast("long")
+        .alias("rows_touched"),
+        F.sum("nmatch").cast("long").alias("rows_matching"),
+    )

@@ -3106,26 +3106,26 @@ def x98_bm25_rational_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _X102_ORACLE = """
-    WITH b AS (
-      SELECT source, LEAST(n_chars // 100, 9) AS bucket FROM documents
-    ), tot AS (SELECT COUNT(*) AS n FROM b),
-    corpus AS (SELECT bucket, COUNT(*) AS cb FROM b GROUP BY bucket),
-    dof AS (SELECT COUNT(*) - 1 AS d FROM corpus),
-    src AS (SELECT source, COUNT(*) AS ns FROM b GROUP BY source),
-    obs AS (SELECT source, bucket, COUNT(*) AS ob FROM b GROUP BY source, bucket),
-    cells AS (
-      SELECT s.source, s.ns,
-             COALESCE(o.ob, 0) AS ob,
-             CAST(c.cb * s.ns AS DOUBLE) / CAST(t.n AS DOUBLE) AS e
-      FROM src s CROSS JOIN corpus c CROSS JOIN tot t
-      LEFT JOIN obs o ON o.source = s.source AND o.bucket = c.bucket
+    WITH obs AS (
+      SELECT source, LEAST(n_chars // 100, 9) AS bucket, COUNT(*) AS ob
+      FROM documents GROUP BY 1, 2
+    ), g AS (
+      SELECT source, bucket, ob,
+             SUM(ob) OVER (PARTITION BY bucket) AS cb,
+             SUM(ob) OVER (PARTITION BY source) AS ns,
+             SUM(ob) OVER () AS n,
+             DENSE_RANK() OVER (ORDER BY bucket) AS dr
+      FROM obs
+    ), g2 AS (
+      SELECT *, MAX(dr) OVER () AS nb FROM g
     )
     SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
-           CAST(MAX(d) AS BIGINT) AS dof,
-           CAST(SUM(CAST((CAST(ob AS DOUBLE) - e) * (CAST(ob AS DOUBLE) - e) / e
-                         AS DECIMAL(30,6))) AS DOUBLE) AS chi2
-    FROM cells CROSS JOIN dof
-    GROUP BY source
+           CAST(MAX(nb) - 1 AS BIGINT) AS dof,
+           CAST(SUM(CAST(CAST(ob AS DOUBLE) * CAST(ob AS DOUBLE)
+                         / (CAST(cb * ns AS DOUBLE) / CAST(n AS DOUBLE))
+                         AS DECIMAL(30,6))) AS DOUBLE)
+             - CAST(MAX(ns) AS DOUBLE) AS chi2
+    FROM g2 GROUP BY source
 """
 
 
@@ -3139,44 +3139,39 @@ def x102_length_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (here: per source) to catch a crawler or upstream schema change
     shifting the data before it poisons a mixture; unlike KL/PSI it
     needs no log, so the statistic stays bit-portable (single-op double
-    arithmetic + the repo's exact-decimal summation convention). At
-    100 TB: one scan to histogram (map-side combine over ≤10 bands per
-    source), then arithmetic over a bands x sources grid — the corpus
-    and band tables are broadcast-sized. Bands with zero corpus mass are
-    excluded by construction (E > 0 always); dof = bands - 1."""
-    d = t(spark, sf_dir, "documents")
-    b = d.select(
-        "source", F.expr("LEAST(n_chars DIV 100, 9)").alias("bucket")
-    )
-    tot = b.agg(F.count(F.lit(1)).alias("n"))
-    corpus = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cb"))
-    dof = corpus.agg((F.count(F.lit(1)) - 1).alias("d"))
-    src = b.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
-    obs = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("ob"))
-    cells = (
-        src.crossJoin(F.broadcast(corpus))
-        .crossJoin(F.broadcast(tot))
-        .join(obs, ["source", "bucket"], "left")
-        .select(
-            "source",
-            "ns",
-            F.coalesce(F.col("ob"), F.lit(0)).alias("ob"),
-            ((F.col("cb") * F.col("ns")).cast("double") / F.col("n").cast("double")).alias("e"),
-        )
-    )
-    term = (F.col("ob").cast("double") - F.col("e")) * (
-        F.col("ob").cast("double") - F.col("e")
-    ) / F.col("e")
-    from smfg_datawarehouse_spark.queries import dsum
+    arithmetic + the repo's exact-decimal summation convention).
 
-    return (
-        cells.crossJoin(F.broadcast(dof))
-        .groupBy("source")
-        .agg(
-            F.max("ns").cast("long").alias("n_docs"),
-            F.max("d").cast("long").alias("dof"),
-            dsum(term).alias("chi2"),
-        )
+    Shape: ONE table scan. The algebraic identity
+    chi2 = SUM_b O_b^2/E_b - n_s (since SUM O = SUM E = n_s, and empty
+    cells contribute 0 to the first term) removes the need to grid-
+    complete zero cells, so everything after the (source x band)
+    count — marginals, band cardinality — is window arithmetic over the
+    grid itself (≤ sources·10 rows; the two unpartitioned windows are
+    grid-sized, never data-sized). dof = bands - 1."""
+    d = t(spark, sf_dir, "documents")
+    obs = (
+        d.select("source", F.expr("LEAST(n_chars DIV 100, 9)").alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("ob"))
+    )
+    wall = W.partitionBy()
+    g = obs.select(
+        "source",
+        "ob",
+        F.sum("ob").over(W.partitionBy("bucket")).alias("cb"),
+        F.sum("ob").over(W.partitionBy("source")).alias("ns"),
+        F.sum("ob").over(wall).alias("n"),
+        F.dense_rank().over(W.orderBy("bucket")).alias("dr"),
+    ).withColumn("nb", F.max("dr").over(wall))
+    e = (F.col("cb") * F.col("ns")).cast("double") / F.col("n").cast("double")
+    term = F.col("ob").cast("double") * F.col("ob").cast("double") / e
+    return g.groupBy("source").agg(
+        F.max("ns").cast("long").alias("n_docs"),
+        (F.max("nb") - 1).cast("long").alias("dof"),
+        (
+            F.sum(term.cast("decimal(30,6)")).cast("double")
+            - F.max("ns").cast("double")
+        ).alias("chi2"),
     )
 
 

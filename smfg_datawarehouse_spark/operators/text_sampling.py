@@ -621,12 +621,12 @@ def x101_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(word_tokens(F.col("text"))).alias("pos", "w")
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    # corpus token total = SUM of vocab counts (exact integers), computed
+    # as a vocab-sized window — saves a second scan of the token stream
     f = F.col("c").cast("double") / F.col("n").cast("double")
     r = F.lit(SKIPGRAM_T) / f
-    keep = (
-        freq.crossJoin(F.broadcast(tot))
-        .select("w", F.least(F.lit(1.0), F.sqrt(r) + r).alias("p"))
+    keep = freq.withColumn("n", F.sum("c").over(W.partitionBy())).select(
+        "w", F.least(F.lit(1.0), F.sqrt(r) + r).alias("p")
     )
     u = (
         F.conv(
@@ -654,24 +654,22 @@ def x101_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("w", 1).over(w_).alias("n1"),
         F.lead("w", 2).over(w_).alias("n2"),
     )
+    # ONE pass over the windowed rows: a 4-way unionAll of selects from
+    # the same window DF makes Catalyst re-run the whole upstream
+    # (scan+join+window) per branch — explode emits all four directed
+    # pairs per row in place instead
+    pair = F.explode(
+        F.array(
+            F.struct(F.col("w").alias("c"), F.col("n1").alias("x")),
+            F.struct(F.col("n1").alias("c"), F.col("w").alias("x")),
+            F.struct(F.col("w").alias("c"), F.col("n2").alias("x")),
+            F.struct(F.col("n2").alias("c"), F.col("w").alias("x")),
+        )
+    )
     pairs = (
-        nbr.where(F.col("n1").isNotNull())
-        .select(F.col("w").alias("center"), F.col("n1").alias("context"))
-        .unionAll(
-            nbr.where(F.col("n1").isNotNull()).select(
-                F.col("n1").alias("center"), F.col("w").alias("context")
-            )
-        )
-        .unionAll(
-            nbr.where(F.col("n2").isNotNull()).select(
-                F.col("w").alias("center"), F.col("n2").alias("context")
-            )
-        )
-        .unionAll(
-            nbr.where(F.col("n2").isNotNull()).select(
-                F.col("n2").alias("center"), F.col("w").alias("context")
-            )
-        )
+        nbr.select(pair.alias("p"))
+        .where(F.col("p.c").isNotNull() & F.col("p.x").isNotNull())
+        .select(F.col("p.c").alias("center"), F.col("p.x").alias("context"))
     )
     return (
         pairs.groupBy("center", "context")

@@ -6,6 +6,7 @@ from smfg_datawarehouse_spark.plans.inspect import (
     assert_no_cartesian,
     broadcast_join_count,
     exchange_count,
+    scan_count,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "assert_no_cartesian",
     "broadcast_join_count",
     "exchange_count",
+    "scan_count",
 ]

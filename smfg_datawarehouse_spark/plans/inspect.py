@@ -57,3 +57,9 @@ def exchange_count(df: DataFrame) -> int:
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, "plan contains a cartesian product"
+
+
+def scan_count(df: DataFrame) -> int:
+    """Number of physical source scans (operator-detail headers only —
+    the tree section repeats node names)."""
+    return len(re.findall(r"^\(\d+\) Scan ", formatted_plan(df), re.M))

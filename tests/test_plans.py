@@ -434,3 +434,53 @@ def test_x98_bm25_query_term_filter_reaches_scan(spark):
 
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan  # top-10, no global sort
+
+
+def test_q95_bitmap_build_is_two_exchanges(spark):
+    # window by chunk + (chunk,word) agg + final chunk rollup: the bitmap
+    # build must stay one scan with partial bit_or combine, no joins
+    df = qmod.all_queries()["q95_bitmap_index_intersection"](spark, SF)
+    assert exchange_count(df) <= 2
+    assert_no_cartesian(df)
+
+
+def test_q96_all_layouts_share_one_scan_shuffle(spark):
+    # explode fans each row to its 3 (layout, file) assignments in place;
+    # a per-layout re-aggregation of the base table would triple the scans
+    df = qmod.all_queries()["q96_zorder_skipping_audit"](spark, SF)
+    from smfg_datawarehouse_spark.plans import scan_count
+
+    assert scan_count(df) <= 2  # stats agg + base pass
+
+
+def test_x99_projection_stays_scan_local(spark):
+    # JL projection is a select expression; the only exchanges are the
+    # partial-topk rollup and the two candidate-fetch joins
+    df = qmod.all_queries()["x99_jl_projection_topk"](spark, SF)
+    assert_no_cartesian(df)
+
+
+def test_x101_pair_generation_single_token_pass(spark):
+    # explode-based pair emission: the windowed token stream is consumed
+    # once — the 4-way unionAll shape re-ran scan+join+window per branch
+    df = qmod.all_queries()["x101_skipgram_pairs"](spark, SF)
+    from smfg_datawarehouse_spark.plans import formatted_plan, scan_count
+
+    assert scan_count(df) <= 2  # vocab pass + pair pass
+    assert "TakeOrderedAndProject" in formatted_plan(df)  # top-50, no global sort
+    assert_no_cartesian(df)
+
+
+def test_x102_chi2_is_single_scan(spark):
+    # the O^2/E - n identity + grid windows: ONE scan of documents
+    df = qmod.all_queries()["x102_length_drift_chi2"](spark, SF)
+    from smfg_datawarehouse_spark.plans import scan_count
+
+    assert scan_count(df) == 1
+
+
+def test_x103_no_corpus_sized_single_partition_window(spark):
+    # global ordinals come from band offsets + per-band windows; the only
+    # unpartitioned window runs over band-level counts (grid-sized)
+    df = qmod.all_queries()["x103_quantile_normalization"](spark, SF)
+    assert_no_cartesian(df)
