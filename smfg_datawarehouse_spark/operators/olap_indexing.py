@@ -266,3 +266,164 @@ def q96_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_touched"),
         F.sum("nmatch").cast("long").alias("rows_matching"),
     )
+
+
+# --- q98: band (non-equi) join via bucket expansion -----------------------
+
+_BAND_W = 1.0
+
+_BAND_ORACLE = f"""
+    SELECT a.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(abs(a.p_retailprice - b.p_retailprice)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS sum_gap
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND abs(a.p_retailprice - b.p_retailprice) <= {_BAND_W}
+    GROUP BY a.p_brand
+"""
+
+
+@register("q98_band_join_bucketed", _BAND_ORACLE)
+def q98_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J extension] BAND JOIN (|a.x − b.x| ≤ w non-equi predicate) made
+    shuffle-joinable: each left row fans out to its price bucket and both
+    neighbors (w-wide buckets ⇒ any in-band partner is within ±1 bucket),
+    the join becomes an EQUI-join on (brand, bucket), and the exact band
+    predicate re-filters candidates. This is the standard rewrite that
+    turns Spark's only native plan for such predicates — a nested-loop
+    over brand groups — into a hash join whose candidate volume is
+    density·w per row instead of |group|². The oracle runs the plain
+    non-equi self-join; pair counts and the exact-decimal gap sum must
+    hash-match, certifying the bucket expansion loses nothing at the
+    band edges. At 100 TB: one 3× narrow fan-out, one shuffle, no
+    nested loop (pinned in tests/test_plans)."""
+    p = t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_retailprice")
+    b = F.floor(F.col("p_retailprice") / _BAND_W).cast("long")
+    left = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("ak"),
+        F.col("p_retailprice").alias("av"),
+        F.explode(
+            F.array(b - 1, b, b + 1)
+        ).alias("jb"),
+    )
+    right = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("bk"),
+        F.col("p_retailprice").alias("bv"),
+        b.alias("jb"),
+    )
+    pairs = left.join(right, ["brand", "jb"]).where(
+        (F.col("ak") < F.col("bk"))
+        & (F.abs(F.col("av") - F.col("bv")) <= _BAND_W)
+    )
+    from smfg_datawarehouse_spark.queries import dsum
+
+    return pairs.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        dsum(F.abs(F.col("av") - F.col("bv"))).alias("sum_gap"),
+    )
+
+
+# --- q99: skyline (Pareto frontier) ----------------------------------------
+
+_SKYLINE_ORACLE = """
+    SELECT a.p_brand, a.p_partkey, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_brand = a.p_brand
+        AND b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+"""
+
+
+@register("q99_skyline_pareto", _SKYLINE_ORACLE)
+def q99_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5 extension] SKYLINE / Pareto frontier per brand (minimize
+    price, maximize size) computed WITHOUT the quadratic dominance
+    self-join the definition suggests (and the oracle runs): (1) within
+    each (brand, price), only max-size rows can be non-dominated (an
+    equal-price smaller-size row is strictly dominated), (2) over the
+    now-distinct prices per brand, a row is dominated iff the running
+    max size over strictly-cheaper rows reaches its size — one ordered
+    window per brand — and (3) surviving (brand, price, size) keys join
+    back to recover every tied part. Two keyed windows + one broadcast
+    join vs the oracle's NOT EXISTS over |brand-group|² pairs: the
+    classic sort-based skyline (Börzsönyi et al., ICDE'01) in Catalyst
+    operators. Equal (price, size) twins dominate neither each other nor
+    anything the other survives — both emit, matching NOT EXISTS."""
+    p = t(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    best = p.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("msize")
+    )
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    frontier = (
+        best.withColumn("rmax", F.max("msize").over(w))
+        .where(F.col("rmax").isNull() | (F.col("msize") > F.col("rmax")))
+        .select("p_brand", "p_retailprice", F.col("msize").alias("p_size"))
+    )
+    return p.join(
+        F.broadcast(frontier), ["p_brand", "p_retailprice", "p_size"]
+    ).select("p_brand", "p_partkey", "p_retailprice", "p_size")
+
+
+# --- q100: equi-depth histogram (ANALYZE-style column stats) ---------------
+
+_HIST_BUCKETS = 16
+
+_HIST_ORACLE = f"""
+    WITH o AS (
+      SELECT o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS rn0,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(LEAST((rn0 * {_HIST_BUCKETS}) // n, {_HIST_BUCKETS} - 1) AS BIGINT)
+             AS bucket,
+           MIN(v) AS lo, MAX(v) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv
+    FROM o GROUP BY 1
+"""
+
+
+@register("q100_equi_depth_histogram", _HIST_ORACLE)
+def q100_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/catalog] EQUI-DEPTH HISTOGRAM — the ANALYZE TABLE column
+    statistic a cost-based optimizer feeds on (selectivity estimation,
+    join sizing): 16 buckets of (±1) equal row count over o_totalprice,
+    each with exact bounds, row count, and NDV. Bucket of a row is
+    floor(rank·16/N) over the EXACT global order — and the global
+    ordinal is the scalable two-phase form (band offsets + within-band
+    rank, ``functions/ordering.global_ordinals``), never a
+    one-partition sort, which is what makes this runnable as a routine
+    stats refresh on a 100 TB table. The oracle computes the same
+    ordinals with a plain global ROW_NUMBER; both routes must agree on
+    every bucket edge — including where ties straddle a boundary (the
+    o_orderkey tie-break pins them deterministically)."""
+    from smfg_datawarehouse_spark.functions.ordering import global_ordinals
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    ords = global_ordinals(o, ["v", "o_orderkey"], F.expr("CAST(v / 5000 AS BIGINT)"))
+    n = ords.withColumn("n", F.sum(F.lit(1)).over(W.partitionBy()))
+    bucket = F.least(
+        F.expr(f"(rn0 * {_HIST_BUCKETS}) DIV n"), F.lit(_HIST_BUCKETS - 1)
+    ).cast("long")
+    return n.groupBy(bucket.alias("bucket")).agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("v").cast("long").alias("ndv"),
+    )

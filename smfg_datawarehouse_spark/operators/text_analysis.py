@@ -3231,27 +3231,13 @@ def x103_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = d.agg(F.count(F.lit(1)).alias("n"))
     # distributed global ordinals: band offsets + within-band row_number
-    band = F.expr("n_chars DIV 100").alias("band")
-    banded = d.select("doc_id", "n_chars", band)
-    offsets = (
-        banded.groupBy("band")
-        .agg(F.count(F.lit(1)).alias("bc"))
-        .withColumn(
-            "off",
-            F.sum("bc").over(
-                W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
-            ),
-        )
-        .select("band", F.coalesce("off", F.lit(0)).alias("off"))
-    )
-    wb = W.partitionBy("band").orderBy("n_chars", "doc_id")
-    ords = (
-        banded.join(F.broadcast(offsets), "band")
-        .select(
-            F.col("n_chars").alias("v"),
-            (F.col("off") + F.row_number().over(wb) - 1).alias("rn0"),
-        )
-    )
+    from smfg_datawarehouse_spark.functions.ordering import global_ordinals
+
+    ords = global_ordinals(
+        d.select("doc_id", "n_chars"),
+        ["n_chars", "doc_id"],
+        F.expr("n_chars DIV 100"),
+    ).select(F.col("n_chars").alias("v"), "rn0")
     rfrac = F.when(F.col("nl") == 1, F.lit(0.0)).otherwise(
         F.col("r").cast("double") / (F.col("nl") - 1)
     )
@@ -3263,4 +3249,49 @@ def x103_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tgt.join(ords, tgt.ti == ords.rn0).select(
         "doc_id", "lang", "n_chars", F.col("v").alias("qnorm_chars")
+    )
+
+
+_X104_ORACLE = r"""
+    WITH cells AS (
+      SELECT lang, source,
+             LEAST(length(text) // 100, 9) AS len_bucket,
+             COUNT(*) AS cell_size,
+             COUNT(DISTINCT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        w -> w <> '')[1]) AS l_div
+      FROM documents
+      GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(cell_size AS BIGINT) AS cell_size,
+           CAST(l_div AS BIGINT) AS l_div,
+           (l_div < 3) AS below_l
+    FROM cells
+"""
+
+
+@register("x104_l_diversity_risk", _X104_ORACLE)
+def x104_l_diversity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] L-DIVERSITY audit (Machanavajjhala et al. 2007) — the
+    stronger companion to x79's k-anonymity: a quasi-identifier cell can
+    be large (k-anonymous) yet still leak if every member shares the
+    same SENSITIVE value, so each (lang, source, 100-char-band) cell is
+    scored by the number of DISTINCT sensitive values it contains (the
+    document's leading token stands in for the sensitive attribute on
+    this fixture) and flagged when below l=3. Character length bands per
+    the repo's byte-vs-char discipline. One map-side-combined groupBy
+    onto the QI frame; the distinct count is per-cell state bounded by
+    the sensitive-value cardinality — corpus-linear, output tiny."""
+    d = t(spark, sf_dir, "documents")
+    len_bucket = F.least(
+        F.floor(F.length("text") / 100).cast("long"), F.lit(9).cast("long")
+    )
+    first_tok = word_tokens(F.col("text")).getItem(0)
+    return (
+        d.groupBy("lang", "source", len_bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cell_size"),
+            F.countDistinct(first_tok).cast("long").alias("l_div"),
+        )
+        .withColumn("below_l", F.col("l_div") < 3)
     )

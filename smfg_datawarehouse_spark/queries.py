@@ -4640,3 +4640,79 @@ def l22_deletion_vector_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         dsum(F.col("o_totalprice")).alias("revenue"),
     )
+
+
+@register(
+    "l23_write_audit_publish",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 997 = 0)
+    GROUP BY o_orderpriority
+    """,
+)
+def l23_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S6/S7/L6] WRITE-AUDIT-PUBLISH certified — the Iceberg WAP /
+    Netflix pattern that keeps bad batches out of readers' sight: a new
+    batch is STAGED as uncommitted files, a data-quality audit runs
+    against the staged snapshot, and only a passing audit PUBLISHES (one
+    atomic manifest swap). The certification: (1) the standing table
+    (non-%7 orders) publishes as v1; (2) an incoming batch (the %7 rows)
+    arrives with corrupted rows (price negated for %997 keys), its audit
+    (no negative totalprice, no null keys) FAILS, publish is refused —
+    and the RAISE-checked invariant is that readers still see v1
+    byte-for-byte (staged files exist on disk but no manifest references
+    them); (3) the quarantined rows are dropped, the repaired batch
+    audits clean and append-publishes as v2. The final rollup
+    hash-matches a plain scan that never saw the corruption. At 100 TB
+    this is the only delete-free way to gate petabyte loads: audit cost
+    is a scan of the BATCH, publish cost is one CAS on the manifest
+    pointer, rollback cost is nothing (the manifest never moved).
+    Reference parity: the FAILED/PARTIAL gating of the reference's audit
+    ledger (L6, ``audit.py``) promoted from process metadata to the
+    storage commit protocol itself."""
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
+
+    base = _scratch_dir(spark, "l23")
+    mt = ManifestTable(spark, os.path.join(base, "orders_wap"))
+    o = t(spark, sf_dir, "orders")
+    standing = o.where("o_orderkey % 7 != 0")
+    mt.write(standing)
+    v1 = mt.current_version()
+    n_v1 = mt.read().count()
+
+    batch = o.where("o_orderkey % 7 = 0").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 997 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+    def audit(df: DataFrame) -> int:
+        return df.where(
+            (F.col("o_totalprice") < 0) | F.col("o_orderkey").isNull()
+        ).count()
+
+    # stage + audit the bad batch: files land, manifest must not move
+    staged = mt.stage(batch)
+    violations = audit(mt.read_staged(staged))
+    if violations == 0:
+        raise RuntimeError("l23 expected the corrupted batch to fail its audit")
+    if mt.current_version() != v1 or mt.read().count() != n_v1:
+        raise RuntimeError(
+            "l23 WAP isolation broken: a failed audit must leave the "
+            "published snapshot untouched"
+        )
+
+    repaired = mt.stage(batch.where(F.col("o_totalprice") >= 0))
+    if audit(mt.read_staged(repaired)) != 0:
+        raise RuntimeError("l23 repaired batch still fails its audit")
+    mt.publish_append(repaired)
+    if mt.current_version() == v1:
+        raise RuntimeError("l23 passing audit must publish a new version")
+    return mt.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )

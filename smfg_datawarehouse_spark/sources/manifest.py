@@ -168,3 +168,31 @@ class ManifestTable:
                 if v not in keep_versions:
                     os.remove(os.path.join(self.path, "manifest", name))
         return removed
+
+    # -- write-audit-publish (WAP) ------------------------------------------
+
+    def stage(self, df: DataFrame) -> list[str]:
+        """WAP step 1: write a batch's files WITHOUT publishing. The files
+        exist on disk but no manifest references them — invisible to every
+        reader until :meth:`publish_append`. Batch numbers are allocated
+        past any existing dir, so staged-but-never-published batches can't
+        collide with later commits."""
+        data_root = os.path.join(self.path, "data")
+        existing = [
+            int(d.split("-", 1)[1])
+            for d in os.listdir(data_root)
+            if d.startswith("batch-") and d.split("-", 1)[1].isdigit()
+        ]
+        return self._stage(df, max(existing, default=0) + 1)
+
+    def read_staged(self, files: list[str]) -> DataFrame:
+        """WAP step 2 input: read EXACTLY a staged file set (for audits)."""
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
+    def publish_append(self, files: list[str]) -> int:
+        """WAP step 3: append the audited staged files to the table in one
+        atomic manifest swap. A batch that never reaches this call costs
+        nothing to roll back — vacuum reclaims its files eventually."""
+        return self._commit(self.manifest() + files)

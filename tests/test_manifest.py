@@ -84,3 +84,27 @@ def test_crash_before_swap_invisible(spark, tmp_path, monkeypatch):
     # and the table recovers: the next commit simply supersedes the orphan
     mt.append(spark.range(10, 20).withColumnRenamed("id", "k"))
     assert mt.read().count() == 20
+
+
+def test_wap_staged_files_invisible_until_publish(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
+
+    mt = ManifestTable(spark, str(tmp_path / "wap"))
+    mt.write(spark.range(10).select(F.col("id").alias("k")))
+    v1 = mt.current_version()
+    staged = mt.stage(spark.range(10, 15).select(F.col("id").alias("k")))
+    assert mt.read_staged(staged).count() == 5
+    # staged but unpublished: readers still resolve v1
+    assert mt.current_version() == v1
+    assert mt.read().count() == 10
+    mt.publish_append(staged)
+    assert mt.current_version() != v1
+    assert mt.read().count() == 15
+    # abandoned staged batches are vacuumable debris, not table content
+    orphan = mt.stage(spark.range(100, 200).select(F.col("id").alias("k")))
+    assert mt.read().count() == 15
+    removed = mt.vacuum(keep_last=1)
+    assert any(f in removed for f in orphan)
+    assert mt.read().count() == 15

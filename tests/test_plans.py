@@ -484,3 +484,36 @@ def test_x103_no_corpus_sized_single_partition_window(spark):
     # unpartitioned window runs over band-level counts (grid-sized)
     df = qmod.all_queries()["x103_quantile_normalization"](spark, SF)
     assert_no_cartesian(df)
+
+
+def test_q98_band_join_is_hash_not_nested_loop(spark):
+    # the whole point of the bucket expansion: the non-equi band predicate
+    # must ride an equi-join, never BroadcastNestedLoopJoin over groups
+    df = qmod.all_queries()["q98_band_join_bucketed"](spark, SF)
+    from smfg_datawarehouse_spark.plans import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "NestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+
+
+def test_q99_skyline_no_quadratic_self_join(spark):
+    # sort-based skyline: two keyed windows + one broadcast join back;
+    # the dominance NOT EXISTS shape would be a nested loop
+    df = qmod.all_queries()["q99_skyline_pareto"](spark, SF)
+    from smfg_datawarehouse_spark.plans import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "NestedLoopJoin" not in plan
+    assert broadcast_join_count(df) >= 1
+    assert_no_cartesian(df)
+
+
+def test_q100_histogram_no_single_partition_data_window(spark):
+    # global ordinals via band offsets: the only unpartitioned windows are
+    # band-level (offset cumsum) and the grid-sized total
+    df = qmod.all_queries()["q100_equi_depth_histogram"](spark, SF)
+    from smfg_datawarehouse_spark.plans import scan_count
+
+    assert scan_count(df) <= 2  # offsets pass + ordinal pass
+    assert_no_cartesian(df)
