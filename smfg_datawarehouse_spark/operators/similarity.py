@@ -2175,3 +2175,82 @@ def x100_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = rec if out is None else out.unionByName(rec)
     return out
+
+
+_X106_ORACLE = f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id % 29 = 7),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT t.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {_dcos('t.v', 'c.cv')} DESC, c.cid) AS rn
+        FROM vecs t CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    cells AS (SELECT cid, COUNT(*) AS n_assigned FROM assigned GROUP BY cid),
+    tot AS (
+      SELECT cid, n_assigned,
+             SUM(n_assigned) OVER () AS n,
+             COUNT(*) OVER () AS k
+      FROM cells
+    )
+    SELECT cid, CAST(n_assigned AS BIGINT) AS n_assigned,
+           CAST(n_assigned * k AS DOUBLE) / n AS imbalance,
+           CAST(n_assigned * n_assigned AS BIGINT) AS pair_cost
+    FROM tot
+"""
+
+
+@register("x106_ivf_cell_balance", _X106_ORACLE)
+def x106_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] IVF INDEX HEALTH audit — the check that decides when to
+    recluster: every vector is assigned to its nearest centroid (same
+    deterministic coarse quantizer as x11, exact cosine argmax), and
+    each cell reports its population, its imbalance factor
+    (n·k/N — 1.0 is perfectly balanced; a hot cell inflates every probe
+    that touches it), and its Σ-pair cost n² (what x54's SemDeDup pass
+    pays inside the cell). Skewed cells are THE failure mode of IVF at
+    100 TB — probes hit the big cells disproportionately and in-cell
+    passes go quadratic — so this audit runs after every (re)build.
+    Assignment is one broadcast of k centroids crossed with a single
+    corpus scan + per-vector argmax window (exactly the index build's
+    own cost); the rollup is cell-sized. Oracle replays assignment,
+    counts, and both derived factors bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = vecs.where(F.col("vec_id") % 29 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    from smfg_datawarehouse_spark.functions.vectors import dot_product, l2_norm
+
+    cos = dot_product(F.col("v"), F.col("cv")) / (
+        l2_norm(F.col("v")) * l2_norm(F.col("cv"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cid"))
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("_cos", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "cid")
+    )
+    cells = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    wall = W.partitionBy()
+    tot = cells.select(
+        "cid",
+        "n_assigned",
+        F.sum("n_assigned").over(wall).alias("n"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+    )
+    return tot.select(
+        "cid",
+        F.col("n_assigned").cast("long").alias("n_assigned"),
+        ((F.col("n_assigned") * F.col("k")).cast("double") / F.col("n")).alias(
+            "imbalance"
+        ),
+        (F.col("n_assigned") * F.col("n_assigned")).cast("long").alias("pair_cost"),
+    )
