@@ -4716,3 +4716,71 @@ def l23_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         dsum(F.col("o_totalprice")).alias("revenue"),
     )
+
+
+@register(
+    "l24_partition_retention",
+    f"""
+    SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS year_start,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    GROUP BY 1
+    """,
+)
+def l24_partition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S3/S7/T1] TIME-BASED RETENTION (TTL) certified as a manifest
+    pointer move: orders land year by year as separate manifest-committed
+    file groups (the time-partitioned landing layout); expiring the
+    pre-1999 years is ``publish_replace`` with only the retained years'
+    files — NO data is rewritten and NO file is deleted at expiry time
+    (in-flight readers of the old snapshot stay consistent; vacuum later
+    reclaims bytes, and the cert verifies both states: expired files
+    still on disk after the retention commit, gone after vacuum while
+    the retained read is unchanged). This is how a 100 TB raw zone
+    enforces "keep 3 years": O(1) commit, zero write amplification,
+    deferred physical delete — vs the rewrite-the-table DELETE a naive
+    pipeline runs. Retained rollup hash-matches a cutoff-filtered scan
+    of the raw fixture. Reference intent: the dated staging layout of
+    ``staging_data_extraction.py:30-80`` plus the incremental-load
+    watermark discipline (T1) applied to retention."""
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
+
+    base = _scratch_dir(spark, "l24")
+    mt = ManifestTable(spark, os.path.join(base, "orders_ttl"))
+    o = t(spark, sf_dir, "orders")
+    years = sorted(
+        r["y"] for r in o.select(F.year("o_orderdate").alias("y")).distinct().collect()
+    )
+    files_by_year: dict[int, list[str]] = {}
+    for y in years:
+        staged = mt.stage(o.where(F.year("o_orderdate") == y))
+        mt.publish_append(staged)
+        files_by_year[y] = staged
+    n_full = mt.read().count()
+    if n_full != o.count():
+        raise RuntimeError("l24 landing lost rows before retention")
+
+    retained = [f for y in years if y >= 1999 for f in files_by_year[y]]
+    expired = [f for y in years if y < 1999 for f in files_by_year[y]]
+    v_before = mt.current_version()
+    mt.publish_replace(retained)
+    if mt.current_version() == v_before:
+        raise RuntimeError("l24 retention must commit a new version")
+    # expiry is a pointer move: expired bytes still on disk for readers
+    missing = [f for f in expired if not os.path.exists(os.path.join(mt.path, f))]
+    if missing:
+        raise RuntimeError(f"l24 retention deleted files at commit time: {missing}")
+    n_retained = mt.read().count()
+    removed = mt.vacuum(keep_last=1)
+    if not set(expired) <= set(removed):
+        raise RuntimeError("l24 vacuum failed to reclaim expired files")
+    if mt.read().count() != n_retained:
+        raise RuntimeError("l24 vacuum changed the retained snapshot")
+    return mt.read().groupBy(
+        F.date_trunc("year", "o_orderdate").alias("year_start")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )

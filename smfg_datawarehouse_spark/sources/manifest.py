@@ -196,3 +196,9 @@ class ManifestTable:
         atomic manifest swap. A batch that never reaches this call costs
         nothing to roll back — vacuum reclaims its files eventually."""
         return self._commit(self.manifest() + files)
+
+    def publish_replace(self, files: list[str]) -> int:
+        """Commit a manifest of EXACTLY ``files`` (retention/TTL shape:
+        dropping a file group is a pointer move, not a delete — expired
+        files stay on disk for in-flight readers until vacuum)."""
+        return self._commit(list(files))
