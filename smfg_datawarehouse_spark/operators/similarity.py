@@ -2254,3 +2254,102 @@ def x106_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_assigned") * F.col("n_assigned")).cast("long").alias("pair_cost"),
     )
+
+
+@register("l25_ann_index_persistence", _IVF_ORACLE)
+def l25_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/S2/S3] ANN INDEX AS A LAKE ARTIFACT — the production IVF shape:
+    build once (centroid table + corpus CLUSTERED BY CELL, written
+    ``partitionBy(cid)``), query many (read the index back from disk,
+    probe nprobe=3 cells per query, and let partition pruning skip every
+    unprobed cell's files). x11 certifies the in-memory IVF kernel; this
+    certifies the round trip through storage — same centroids, same
+    deterministic assignment (exact cosine argmax in Catalyst, the form
+    x106 audits), so the SAME oracle replays it bit-for-bit. The cert
+    RAISES unless the query-side scan actually carries a ``cid``
+    partition filter (an index that re-scans every cell is a no-op) and
+    unless every cell directory landed. At 100 TB: the build is one
+    corpus scan + a k-centroid broadcast; each query batch reads only
+    nprobe/k of the index bytes — that I/O asymmetry, invisible in x11's
+    in-memory form, is the entire point of persisting the index."""
+    import os as _os
+
+    from smfg_datawarehouse_spark.functions.vectors import dot_product, l2_norm
+    from smfg_datawarehouse_spark.queries import _scratch_dir
+
+    base = _scratch_dir(spark, "l25")
+    cents_path = _os.path.join(base, "ivf_centroids")
+    index_path = _os.path.join(base, "ivf_index")
+
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cos = dot_product(F.col("v"), F.col("cv")) / (
+        l2_norm(F.col("v")) * l2_norm(F.col("cv"))
+    )
+
+    # ---- build: centroids + cell-clustered corpus -------------------------
+    vecs.where(F.col("vec_id") % 29 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    ).write.mode("overwrite").parquet(cents_path)
+    cents = spark.read.parquet(cents_path)
+    w1 = W.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cid"))
+    (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("_cos", cos)
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") == 1)
+        .select("cid", "vec_id", "v")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(index_path)
+    )
+    n_cells = cents.count()
+    cell_dirs = [d for d in _os.listdir(index_path) if d.startswith("cid=")]
+    # empty cells legitimately land no directory; more dirs than centroids
+    # (or none at all) means the clustering write went wrong
+    if not cell_dirs or len(cell_dirs) > n_cells:
+        raise RuntimeError("l25 index build landed unexpected cell layout")
+
+    # ---- query: disk index + probe-pruned scan -----------------------------
+    q = vecs.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qcos = dot_product(F.col("qv"), F.col("cv")) / (
+        l2_norm(F.col("qv")) * l2_norm(F.col("cv"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("cid"))
+    probe = (
+        q.crossJoin(F.broadcast(spark.read.parquet(cents_path)))
+        .withColumn("_cos", qcos)
+        .withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= 3)
+        .select("query_id", "cid")
+    )
+    probed_cells = sorted({r["cid"] for r in probe.collect()})  # Q×nprobe ids
+    idx = (
+        spark.read.parquet(index_path)
+        .where(F.col("cid").isin([int(c) for c in probed_cells]))
+        .select(F.col("cid").cast("long").alias("cid"),
+                F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    )
+    ncos = dot_product(F.col("qv"), F.col("nv")) / (
+        l2_norm(F.col("qv")) * l2_norm(F.col("nv"))
+    )
+    w3 = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    out = (
+        probe.join(F.broadcast(q), "query_id")
+        .join(idx, "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", ncos)
+        .withColumn("rank", F.row_number().over(w3))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+    from smfg_datawarehouse_spark.plans import partition_filters
+
+    if not any("cid" in f for f in partition_filters(out)):
+        raise RuntimeError(
+            "l25 query path lost its cid partition filter — the index scan "
+            "would read every cell"
+        )
+    return out

@@ -4784,3 +4784,60 @@ def l24_partition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         dsum(F.col("o_totalprice")).alias("revenue"),
     )
+
+
+@register(
+    "q101_sole_failing_supplier",
+    """
+    WITH base AS (SELECT DISTINCT l_orderkey, l_suppkey, l_returnflag FROM lineitem)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM base l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM base l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM base l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def q101_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.10/J] TPC-H Q21 SHAPE — the hardest correlated pattern in the
+    suite (EXISTS + NOT EXISTS, both correlated self-references on the
+    fact table): suppliers who were the SOLE return-flagged supplier in
+    a multi-supplier order (fixture lacks receipt/commit dates, so the
+    return flag stands in for lateness; the correlation structure is
+    Q21's exactly). Spark-first decorrelation: instead of two
+    re-scans per outer row, ONE per-order aggregate computes distinct
+    supplier count, distinct flagged-supplier count, and the flagged
+    supplier's key when unique — the EXISTS becomes n_supp >= 2, the
+    NOT EXISTS becomes n_flagged == 1, and the whole query is one fact
+    shuffle (by order) + one broadcast of the supplier dim + one
+    supplier-keyed count. The oracle runs the textbook correlated form;
+    both must agree supplier by supplier. Per-(order, supplier) dedup
+    FIRST (base) keeps multi-line orders from inflating either side.
+    Reference tag: §2.10 correlated-subquery surface, Q21 tier."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    base = li.select(
+        "l_orderkey", "l_suppkey", (F.col("l_returnflag") == "R").alias("flagged")
+    ).groupBy("l_orderkey", "l_suppkey").agg(F.max("flagged").alias("flagged"))
+    per_order = base.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0)).alias("n_flagged"),
+        F.min(F.when(F.col("flagged"), F.col("l_suppkey"))).alias("sole_supp"),
+    )
+    hits = per_order.where((F.col("n_supp") >= 2) & (F.col("n_flagged") == 1))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        hits.join(F.broadcast(supp), hits.sole_supp == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
