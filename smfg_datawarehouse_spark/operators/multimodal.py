@@ -679,3 +679,161 @@ def x91_wav_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension per BASELINE.json)."""
     d = t(spark, sf_dir, "documents")
     return decode_wav_assets(documents_as_wav_assets(d))
+
+
+# ---------------------------------------------------------------------------
+# x107: perceptual hash (aHash) computed from REALLY-decoded PNG pixels.
+# The multimodal dedup fingerprint: block-mean 8x8 average hash over the
+# decoded image, bit b set iff its block's mean exceeds the image mean —
+# computed integer-exactly (cross-multiplied sums, no division) so the
+# closed-form oracle can replay every bit without decoding anything.
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("ahash_hi", T.LongType(), True),
+        T.StructField("ahash_lo", T.LongType(), True),
+    ]
+)
+
+
+def decode_png_pixels(payload: bytes):
+    """Full real decode to a height x width uint8 matrix: signature check,
+    IHDR parse, IDAT inflate, per-scanline filter-byte strip (filter 0
+    only — what :func:`encode_png_gray8` emits; anything else raises)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, width, height, idat = 8, None, None, b""
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            width, height = struct.unpack(">II", data[:8])
+            if data[8] != 8 or data[9] != 0:
+                raise ValueError("not gray-8")
+        elif ctype == b"IDAT":
+            idat += data
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    if len(raw) != height * (width + 1):
+        raise ValueError("scanline length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
+    if rows[:, 0].any():
+        raise ValueError("unsupported PNG filter")
+    return rows[:, 1:]
+
+
+def ahash_png_assets(assets: DataFrame) -> DataFrame:
+    """8x8 block-mean average hash over really-decoded pixels. Block of a
+    pixel: bi = r*8 DIV h, bj = c*8 DIV w (the oracle uses the identical
+    mapping); bit = block_sum * n_pixels > total_sum * block_count —
+    integer cross-multiplication, so no float mean ever exists to
+    diverge. 64 bits packed as two BIGINT halves (1<<63 is not DuckDB-
+    representable)."""
+    import numpy as np
+
+    n_parts = assets.sparkSession.sparkContext.defaultParallelism
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "width", "height", "ahash_hi", "ahash_lo")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_png_pixels(payload).astype(np.int64)
+                h, w = img.shape
+                bi = (np.arange(h) * 8) // h
+                bj = (np.arange(w) * 8) // w
+                idx = (bi[:, None] * 8 + bj[None, :]).ravel()
+                bs = np.bincount(idx, weights=img.ravel(), minlength=64).astype(
+                    np.int64
+                )
+                bn = np.bincount(idx, minlength=64).astype(np.int64)
+                ts, tn = int(bs.sum()), int(bn.sum())
+                bits = (bs * tn) > (ts * bn)
+                lo = sum(1 << b for b in range(32) if bits[b])
+                hi = sum(1 << (b - 32) for b in range(32, 64) if bits[b])
+                out["asset_id"].append(int(aid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash_hi"].append(hi)
+                out["ahash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return assets.repartition(n_parts).mapInPandas(batches, AHASH_SCHEMA)
+
+
+_AHASH_ORACLE = f"""
+    WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    dims AS (
+      SELECT doc_id,
+             8 + {_hex2('h', 1)} % 32 AS w,
+             8 + {_hex2('h', 3)} % 32 AS ht
+      FROM hashed
+    ),
+    px AS (
+      SELECT doc_id, w, ht,
+             ((r.r * 8) // ht) * 8 + ((c.c * 8) // w) AS b,
+             (doc_id * 31 + r.r * 7 + c.c * 13) % 256 AS p
+      FROM dims, unnest(range(0, ht)) AS r(r), unnest(range(0, w)) AS c(c)
+    ),
+    blk AS (
+      SELECT doc_id, MAX(w) AS w, MAX(ht) AS ht, b,
+             SUM(p) AS bs, COUNT(*) AS bn
+      FROM px GROUP BY doc_id, b
+    ),
+    tot AS (
+      SELECT doc_id, SUM(bs) AS ts, SUM(bn) AS tn FROM blk GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT blk.doc_id, blk.w, blk.ht, blk.b,
+             CASE WHEN blk.bs * tot.tn > tot.ts * blk.bn THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot ON tot.doc_id = blk.doc_id
+    ),
+    hashes AS (
+      SELECT doc_id AS asset_id,
+             CAST(MAX(w) AS BIGINT) AS width,
+             CAST(MAX(ht) AS BIGINT) AS height,
+             CAST(SUM(CASE WHEN b >= 32 THEN CAST(bit AS BIGINT) << CAST(b - 32 AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS ahash_hi,
+             CAST(SUM(CASE WHEN b < 32 THEN CAST(bit AS BIGINT) << CAST(b AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS ahash_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT *,
+           CAST(COUNT(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT)
+             AS n_same_hash
+    FROM hashes
+"""
+
+
+@register("x107_image_ahash", _AHASH_ORACLE)
+def x107_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] PERCEPTUAL IMAGE FINGERPRINT from a REAL decode: every document's
+    synthesized PNG (x89's codec) is actually inflated back to pixels and
+    reduced to the classic 8x8 block-mean average hash (aHash) — bit b set
+    iff block b's mean exceeds the image mean, computed by integer
+    cross-multiplication so no float mean exists to diverge; the 64 bits
+    pack into two BIGINT halves. A trailing window counts hash collisions
+    (n_same_hash), the near-dup clustering signal an image-dedup pipeline
+    buckets on before pairwise verification (x04's SimHash idea in pixel
+    space). The oracle replays every pixel from the generator's closed
+    form — a decoder that misreads a scanline, drops a filter byte, or
+    averages in float cannot match. At 100 TB: decode+hash is one Arrow
+    pass on scan partitions (zero shuffle); the collision window keys on
+    the 64-bit hash only."""
+    d = t(spark, sf_dir, "documents")
+    hashes = ahash_png_assets(documents_as_png_assets(d))
+    from pyspark.sql import Window as W
+
+    return hashes.withColumn(
+        "n_same_hash",
+        F.count(F.lit(1)).over(W.partitionBy("ahash_hi", "ahash_lo")).cast("long"),
+    )

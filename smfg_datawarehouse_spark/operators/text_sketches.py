@@ -532,3 +532,60 @@ def x51_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_contamination(t(spark, sf_dir, "documents"), "src0")
 
 
+
+
+_X108_ROWHASH_DUCK = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text || '|' || "
+    "lang || '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT"
+)
+
+_X108_ORACLE = f"""
+    SELECT doc_id % 16 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(length(text)) AS BIGINT) AS content_chars,
+           CAST(bit_xor({_X108_ROWHASH_DUCK}) AS BIGINT) AS content_checksum
+    FROM documents
+    GROUP BY 1
+"""
+
+
+@register("x108_shard_content_checksum", _X108_ORACLE)
+def x108_shard_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/S2] SHARD CONTENT CHECKSUMS — the transfer-integrity manifest a
+    training-data pipeline ships next to every exported shard so the
+    consumer can verify the bytes it trained on are the bytes that were
+    published: per shard (doc_id % 16, the export layout), row count,
+    character mass, and an ORDER-INVARIANT content checksum — XOR of a
+    60-bit md5-derived hash of each row's full content tuple. XOR makes
+    the checksum independent of row order, partitioning, and retry
+    history (unlike a positional CRC stream), overflow-free, and
+    incrementally maintainable: XOR-ing a changed row's old and new hash
+    updates the shard checksum in O(1) — the same algebra the CDC family
+    (l15/l16) exploits for diffs. One scan, map-side-combined bit_xor,
+    16 output rows regardless of corpus size. Any silent row mutation,
+    drop, or duplication between publisher and consumer flips the
+    checksum; the oracle recomputes it independently."""
+    d = t(spark, sf_dir, "documents")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    F.col("text"),
+                    F.col("lang"),
+                    F.col("source"),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return d.groupBy((F.col("doc_id") % 16).alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length("text")).cast("long").alias("content_chars"),
+        F.bit_xor(row_hash).cast("long").alias("content_checksum"),
+    )
