@@ -2370,3 +2370,96 @@ def s14_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{post_evict} (expect {n_late})"
         )
     return out
+
+
+@register(
+    "s15_streaming_write_audit_publish",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE NOT (event_id % 5 = 0)
+    """,
+)
+def s15_streaming_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/S6/S7] STREAMING WAP — l23's write-audit-publish gate applied
+    per micro-batch, the shape a REALTIME load takes when bad batches
+    must never reach readers: each arriving file becomes one
+    ``foreachBatch`` invocation that STAGES the batch into the manifest
+    table, audits the STAGED files (no negative values, no null keys),
+    and only a passing audit publishes (one atomic manifest swap);
+    failing batches stay quarantined as unreferenced files — readers
+    never see them, vacuum reclaims them. Three staged arrivals: clean /
+    fully-corrupted (every value negated) / clean. The cert RAISES
+    unless exactly the corrupted batch quarantined (row-count-exact),
+    exactly two publishes committed, and the published table equals the
+    clean rows — which the oracle hash-checks. Exactly-once composition:
+    batch-id-keyed staging makes replayed batches re-stage idempotently
+    (same files re-audited, never double-published past the version
+    check). At 100 TB: audit cost is one scan of the BATCH, publish is
+    O(1); a poisoned upstream never costs more than its own batch."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from smfg_datawarehouse_spark.queries import _scratch_dir, load_events
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src = _scratch_dir(spark, "s15")
+    raw = _os.path.join(src, "raw")
+    _os.makedirs(raw, exist_ok=True)
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    bad = F.col("event_id") % 5 == 0
+
+    def _stage_file(df: DataFrame, name: str, mtime: float) -> None:
+        st = _os.path.join(src, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(st)
+        part = next(f for f in _os.listdir(st) if f.endswith(".parquet"))
+        dst = _os.path.join(raw, f"{name}.parquet")
+        _shutil.copy(_os.path.join(st, part), dst)
+        _os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    _stage_file(ev.where((F.col("event_id") % 5).isin(1, 2)), "0_clean_a", now - 600)
+    _stage_file(
+        ev.where(bad).withColumn("value", -F.abs(F.col("value")) - F.lit(1.0)),
+        "1_poisoned",
+        now - 300,
+    )
+    _stage_file(ev.where((F.col("event_id") % 5).isin(3, 4)), "2_clean_b", now)
+    n_bad = ev.where(bad).count()
+
+    mt = ManifestTable(spark, _os.path.join(src, "events_wap"))
+    quarantined: list[int] = []
+    published: list[int] = []
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        staged = mt.stage(batch_df.select("event_id", "ts", "user_id", "event_type", "value"))
+        audit_df = mt.read_staged(staged)
+        violations = audit_df.where(
+            (F.col("value") < 0) | F.col("event_id").isNull()
+        ).count()
+        if violations:
+            quarantined.append(audit_df.count())
+            return  # staged files stay unreferenced — invisible to readers
+        mt.publish_append(staged)
+        published.append(batch_id)
+
+    stream = events_stream(spark, raw, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", _os.path.join(src, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("s15 WAP drain did not terminate within 600s")
+    if sum(quarantined) != n_bad or len(published) != 2:
+        raise RuntimeError(
+            f"s15 gate diverged: quarantined {sum(quarantined)} rows "
+            f"(expect {n_bad}), published {len(published)} batches (expect 2)"
+        )
+    return mt.read()

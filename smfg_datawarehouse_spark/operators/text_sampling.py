@@ -677,3 +677,60 @@ def x101_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "center", "context")
         .limit(SKIPGRAM_TOPK)
     )
+
+
+_X109_ORACLE = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS ts
+      FROM documents
+    ), tok AS (
+      SELECT ts[i] AS w
+      FROM tk, unnest(range(1, len(ts) + 1)) AS u(i)
+    ), freq AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), p AS (
+      SELECT w, c, sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) AS u FROM freq
+    ), z AS (
+      SELECT CAST(SUM(CAST(u AS DECIMAL(30,6))) AS DOUBLE) AS z FROM p
+    )
+    SELECT w AS word, CAST(c AS BIGINT) AS n_occurrences,
+           u / z AS noise_prob,
+           (u / z) * 10000.0 AS expected_per_10k
+    FROM p, z
+    ORDER BY n_occurrences DESC, word LIMIT 50
+"""
+
+
+@register("x109_negative_sampling_table", _X109_ORACLE)
+def x109_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] word2vec NEGATIVE-SAMPLING noise distribution (Mikolov et al.
+    2013 §2.2): unigram counts raised to the 3/4 power and renormalized —
+    the distribution the trainer draws negatives from, completing x101's
+    positive-pair side. The 3/4 power is computed TRANSCENDENTAL-FREE as
+    sqrt(sqrt(c·c·c)): every step (double multiplies, two sqrts) is an
+    IEEE correctly-rounded single operation, so the value is bit-identical
+    across engines — the repo's no-log/no-pow discipline extended to a
+    fractional power (pow() itself is NOT correctly rounded and would
+    diverge). Normalizer = exact-decimal sum of the u-values; top-50 by
+    count via TakeOrderedAndProject. One token scan + a vocab-sized
+    aggregate; the output is the broadcast-sized sampling table every
+    executor holds during embedding training."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(word_tokens(F.col("text"))).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    cd = F.col("c").cast("double")
+    p = freq.withColumn("u", F.sqrt(F.sqrt(cd * F.col("c") * F.col("c"))))
+    z = F.sum(F.col("u").cast("decimal(30,6)")).over(W.partitionBy()).cast("double")
+    return (
+        p.withColumn("z", z)
+        .select(
+            F.col("w").alias("word"),
+            F.col("c").cast("long").alias("n_occurrences"),
+            (F.col("u") / F.col("z")).alias("noise_prob"),
+            ((F.col("u") / F.col("z")) * 10000.0).alias("expected_per_10k"),
+        )
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(50)
+    )
