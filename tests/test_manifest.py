@@ -108,3 +108,27 @@ def test_wap_staged_files_invisible_until_publish(spark, tmp_path):
     removed = mt.vacuum(keep_last=1)
     assert any(f in removed for f in orphan)
     assert mt.read().count() == 15
+
+
+def test_multi_table_catalog_atomicity(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.sources.manifest import MultiTableCatalog
+
+    cat = MultiTableCatalog(spark, str(tmp_path / "cat"))
+    a1 = spark.range(5).select(F.col("id").alias("k"))
+    b1 = spark.range(50).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    pinned = cat.transaction({"a": a1, "b": b1})
+    assert set(pinned) == {"a", "b"}
+    assert cat.read("a").count() == 5 and cat.read("b").count() == 50
+    # torn second transaction: table 'a' commits, catalog never swaps
+    cat.table("a").append(spark.range(5, 10).select(F.col("id").alias("k")))
+    assert cat.current() == pinned
+    assert cat.read("a").count() == 5  # catalog pins the consistent version
+    # the next full transaction publishes everything atomically
+    cat.transaction({"a": spark.range(10, 12).select(F.col("id").alias("k")),
+                     "b": spark.range(50, 52).select(F.col("id").alias("k"),
+                                                     F.col("id").alias("v"))})
+    # catalog-pinned 'a' now includes the previously-torn rows too (they
+    # are part of the table's history) plus the new batch
+    assert cat.read("a").count() == 12 and cat.read("b").count() == 52
