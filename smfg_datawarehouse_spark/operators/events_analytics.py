@@ -2463,3 +2463,77 @@ def s15_streaming_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataF
             f"(expect {n_bad}), published {len(published)} batches (expect 2)"
         )
     return mt.read()
+
+
+@register(
+    "q102_bitemporal_revision",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    v1 AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events, mx
+        WHERE ts <= m - INTERVAL 36 HOUR AND event_id % 13 != 0
+      ) WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events, mx
+        WHERE ts <= m - INTERVAL 36 HOUR
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+           v1.event_type AS type_asof_txn1,
+           v2.event_type AS type_asof_txn2,
+           (v1.event_type IS DISTINCT FROM v2.event_type) AS revised
+    FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+    """,
+)
+def q102_bitemporal_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/§2.8] BITEMPORAL point-in-time audit — the two-axis query a
+    warehouse with late-arriving facts must answer: "what did we BELIEVE
+    (transaction time) each user's state WAS at valid time T?" Valid
+    time T = max(ts) − 36 h; transaction time 1 excludes the
+    late-arriving slice (event_id % 13 == 0 — facts that reached the
+    warehouse after the first load), transaction time 2 includes it.
+    Users whose pre-T history is REVISED by the late facts flip the
+    ``revised`` flag (null-safe compare: a user can exist in one
+    knowledge state only) — the audit trail q79/q80's single-axis SCD2
+    cannot express, and the reason bitemporal models exist (restating a
+    report as it was originally published vs as history is now known).
+    Two user-keyed windows over the same partitioning + one user-keyed
+    full outer join; the late-slice predicate is a scan filter, so the
+    second knowledge state costs one more pass, never a rebuild."""
+    from smfg_datawarehouse_spark.queries import load_events
+
+    e = load_events(spark, sf_dir)
+    mx = e.agg(F.max("ts")).first()[0]
+    t_valid = F.lit(mx) - F.expr("INTERVAL 36 HOURS")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def pit(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.where(F.col("ts") <= t_valid)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("user_id"), F.col("event_type").alias(alias))
+        )
+
+    v1 = pit(e.where(F.col("event_id") % 13 != 0), "type_asof_txn1")
+    v2 = pit(e, "type_asof_txn2")
+    return (
+        v1.join(v2, "user_id", "full_outer")
+        .select(
+            "user_id",
+            "type_asof_txn1",
+            "type_asof_txn2",
+            (~F.col("type_asof_txn1").eqNullSafe(F.col("type_asof_txn2"))).alias(
+                "revised"
+            ),
+        )
+    )
