@@ -4921,3 +4921,82 @@ def l26_multi_table_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "l27_zero_copy_clone",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_dsum_sql('o_totalprice')} AS revenue
+    FROM (
+      SELECT * FROM orders
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderkey % 100 = 7
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def l27_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S7/S3] ZERO-COPY SHALLOW CLONE certified
+    (``sources/manifest.shallow_clone``): a clone of the orders table is
+    created by committing a manifest that points at the SOURCE's data
+    files — the cert RAISES unless the clone's own data directory holds
+    ZERO bytes after cloning (nothing was copied) while reading
+    identically to the source; the clone then DIVERGES (appends the
+    %100==7 slice), and the cert raises unless the source still reads
+    its original snapshot byte-for-byte (copy-on-write isolation) and
+    the clone's vacuum leaves every source file untouched (a clone can
+    never reclaim its parent's storage). Final clone rollup hash-matches
+    the UNION ALL oracle. At 100 TB this is the free dev/test/bisect
+    environment: clone cost is O(manifest), divergence cost is only the
+    new data — the experimentation story manifest-pointer tables exist
+    for. Reference intent: the staging→curated promotion flow of
+    ``SMFG_DW_ETL_DAG.py`` where a candidate load is validated against a
+    clone before touching production."""
+    from smfg_datawarehouse_spark.sources.manifest import (
+        ManifestTable,
+        shallow_clone,
+    )
+
+    base = _scratch_dir(spark, "l27")
+    src = ManifestTable(spark, os.path.join(base, "orders_src"))
+    o = t(spark, sf_dir, "orders")
+    src.write(o.coalesce(4))
+    n_src = src.read().count()
+
+    clone = shallow_clone(src, os.path.join(base, "orders_clone"))
+
+    def _data_bytes(mt: ManifestTable) -> int:
+        total = 0
+        for root, _d, files in os.walk(os.path.join(mt.path, "data")):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    if _data_bytes(clone) != 0:
+        raise RuntimeError("l27 shallow clone copied data bytes")
+    if clone.read().count() != n_src:
+        raise RuntimeError("l27 clone does not read the source snapshot")
+
+    src_files_before = {
+        f: os.path.getmtime(os.path.join(src.path, f)) for f in src.manifest()
+    }
+    clone.append(o.where("o_orderkey % 100 = 7").coalesce(1))
+    if src.read().count() != n_src:
+        raise RuntimeError("l27 clone divergence leaked into the source")
+    clone.vacuum(keep_last=1)
+    src_files_after = {
+        f: os.path.getmtime(os.path.join(src.path, f)) for f in src.manifest()
+    }
+    if src_files_before != src_files_after:
+        raise RuntimeError("l27 clone vacuum touched source files")
+    if src.read().count() != n_src:
+        raise RuntimeError("l27 source snapshot changed after clone vacuum")
+    return clone.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )

@@ -264,3 +264,23 @@ class MultiTableCatalog:
         if pinned is None or name not in pinned:
             raise FileNotFoundError(f"{name} not in any committed catalog snapshot")
         return self.table(name).read(version=pinned[name])
+
+
+def shallow_clone(source: ManifestTable, dest_path: str) -> ManifestTable:
+    """ZERO-COPY table clone (Delta SHALLOW CLONE shape): the clone's first
+    manifest references the SOURCE's committed data files by relative
+    path — no bytes move — and the clone diverges on its own writes
+    (copy-on-write at commit granularity: new files land under the
+    clone's data dir; the source never sees them). The clone's vacuum
+    walks only its OWN data dir, so it can never reclaim source bytes;
+    dropping a clone is rmdir. At 100 TB a dev/test clone is O(manifest)
+    — this is why manifest-pointer tables make experimentation free."""
+    dest = ManifestTable(source.spark, dest_path)
+    files = source.manifest()
+    if not files:
+        raise FileNotFoundError(f"no committed snapshot to clone in {source.path}")
+    rebased = [
+        os.path.relpath(os.path.join(source.path, f), dest.path) for f in files
+    ]
+    dest._commit(rebased)
+    return dest
