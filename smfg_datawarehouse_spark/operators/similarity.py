@@ -2353,3 +2353,96 @@ def l25_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "would read every cell"
         )
     return out
+
+
+RRF_DIMS = (64, 16, 4)
+RRF_K0 = 60
+RRF_LIST_K = 10
+RRF_OUT_K = 5
+
+
+def _rrf_oracle() -> str:
+    branches = []
+    for L in RRF_DIMS:
+        qe = "q.qv" if L == 64 else f"q.qv[1:{L}]"
+        ce = "c.v" if L == 64 else f"c.v[1:{L}]"
+        branches.append(f"""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY {_dcos(qe, ce)} DESC,
+                                         c.vec_id) AS rank
+      FROM vecs c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ) WHERE rank <= {RRF_LIST_K}""")
+    body = "\n    UNION ALL\n".join(branches)
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id % 25 = 0),
+    lists AS (
+    {body}
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             SUM(1000000000 // ({RRF_K0} + rank)) AS rrf_nano,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM lists GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, n_lists,
+           CAST(rrf_nano AS DOUBLE) / 1000000000.0 AS rrf_score,
+           CAST(rn AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_nano DESC, neighbor_id) AS rn
+      FROM fused
+    ) WHERE rn <= {RRF_OUT_K}
+"""
+
+
+@register("x112_rank_fusion_rrf", _rrf_oracle())
+def x112_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] RECIPROCAL RANK FUSION (Cormack/Clarke/Buettcher 2009) — the
+    ensemble-retrieval combinator every hybrid RAG stack ships: three
+    retrievers rank the corpus per query (full 64-dim exact cosine, and
+    the 16- and 4-dim Matryoshka prefixes x100 evaluates — three cost
+    tiers of the same index), each contributes 1/(60+rank) for its
+    top-10, and candidates are re-ranked by the summed score. RRF needs
+    no score calibration between retrievers (it only consumes RANKS),
+    which is exactly why it wins in production over weighted-score
+    blending. Per-retriever lists reuse the certified single-scan
+    partial-top-k kernel; the fuse itself is one groupBy on
+    (query, candidate) over ≤ 3×10 rows per query — volume is
+    lists × k, independent of corpus size. Contributions are fixed to
+    exact integer nano-units (1e9 DIV (60+rank)) before the SUM —
+    float addition is fold-order-sensitive, integer addition is not —
+    so fused scores and ranks replay bit-exactly in the oracle."""
+    e = t(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qd = ed.where(F.col("vec_id") % 25 == 0)
+    lists = None
+    for L in RRF_DIMS:
+        edl = ed if L == 64 else ed.select("vec_id", F.slice("v", 1, L).alias("v"))
+        qdl = qd if L == 64 else qd.select("vec_id", F.slice("v", 1, L).alias("v"))
+        lst = brute_force_topk(edl, qdl, dim=L, vec_col="v", k=RRF_LIST_K).select(
+            "query_id", "neighbor_id", "rank"
+        )
+        lists = lst if lists is None else lists.unionByName(lst)
+    fused = lists.groupBy("query_id", "neighbor_id").agg(
+        F.sum(F.expr(f"1000000000L DIV ({RRF_K0} + rank)")).alias("rrf_nano"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rrf_nano").desc(), F.col("neighbor_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= RRF_OUT_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "n_lists",
+            (F.col("rrf_nano").cast("double") / 1000000000.0).alias("rrf_score"),
+            F.col("rn").cast("long").alias("fused_rank"),
+        )
+    )

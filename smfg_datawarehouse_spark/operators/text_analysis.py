@@ -3363,3 +3363,81 @@ def x110_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov.alias("coverage"),
         (cov >= 0.95).alias("covers_95pct"),
     )
+
+
+_X113_ORACLE = """
+    WITH cell AS (
+      SELECT lang, LEAST(length(text) // 100, 9) AS len_bucket, source,
+             CAST(COUNT(*) AS BIGINT) AS c_gs
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    grp AS (
+      SELECT lang, len_bucket, SUM(c_gs) AS n_g FROM cell GROUP BY 1, 2
+    ),
+    srcs AS (SELECT source, SUM(c_gs) AS c_s FROM cell GROUP BY 1),
+    tot AS (SELECT SUM(c_gs) AS n FROM cell),
+    grid AS (
+      SELECT g.lang, g.len_bucket, g.n_g, s.c_s, t.n,
+             COALESCE(x.c_gs, 0) AS c_gs
+      FROM grp g CROSS JOIN srcs s CROSS JOIN tot t
+      LEFT JOIN cell x ON x.lang = g.lang AND x.len_bucket = g.len_bucket
+                      AND x.source = s.source
+    )
+    SELECT lang, CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(MAX(n_g) AS BIGINT) AS cell_size,
+           CAST(SUM(ABS(c_gs * n - c_s * n_g)) AS DOUBLE)
+             / (2.0 * MAX(n_g) * MAX(n)) AS tvd,
+           CAST(CASE WHEN 5 * SUM(ABS(c_gs * n - c_s * n_g))
+                          > 3 * MAX(n_g) * MAX(n)
+                     THEN 1 ELSE 0 END AS BIGINT) AS breach
+    FROM grid GROUP BY lang, len_bucket
+"""
+
+
+@register("x113_t_closeness", _X113_ORACLE)
+def x113_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] T-CLOSENESS audit (Li/Li/Venkatasubramanian 2007) — the
+    third rung of the privacy-release ladder after x79's k-anonymity and
+    x104's l-diversity: a cell can be large AND diverse yet still leak
+    if its sensitive-value DISTRIBUTION diverges from the corpus-wide
+    one (an attacker who knows the QI learns the skew). Each
+    quasi-identifier cell (lang × 100-char band, x104's QI frame) is
+    scored by total variation distance between its ``source`` mix and
+    the global mix — the categorical-attribute instance of t-closeness'
+    EMD — and flagged when t > 0.3. The numerator stays in exact integer
+    cross-products (|c_gs·N − c_s·n_g| summed as BIGINT) with ONE double
+    division at the end, and the breach flag compares integers
+    (5·num > 3·n_g·N ⟺ tvd > 0.3), so the whole audit replays
+    bit-exactly. Shape: one corpus scan to cell counts, then a
+    cells × sources grid of AGGREGATED rows (both tiny — never
+    row-shaped); at 100 TB this is a broadcast-grid rollup."""
+    d = t(spark, sf_dir, "documents")
+    len_bucket = F.least(
+        F.floor(F.length("text") / 100).cast("long"), F.lit(9).cast("long")
+    )
+    cell = d.groupBy("lang", len_bucket.alias("len_bucket"), "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c_gs")
+    )
+    grp = cell.groupBy("lang", "len_bucket").agg(F.sum("c_gs").alias("n_g"))
+    srcs = cell.groupBy("source").agg(F.sum("c_gs").alias("c_s"))
+    tot = cell.agg(F.sum("c_gs").alias("n"))
+    grid = (
+        grp.crossJoin(F.broadcast(srcs))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["lang", "len_bucket", "source"], "left")
+        .withColumn("c_gs", F.coalesce(F.col("c_gs"), F.lit(0)))
+    )
+    dev = F.abs(F.col("c_gs") * F.col("n") - F.col("c_s") * F.col("n_g"))
+    return grid.groupBy("lang", "len_bucket").agg(
+        F.max("n_g").cast("long").alias("cell_size"),
+        (
+            F.sum(dev).cast("double")
+            / (F.lit(2.0) * F.max("n_g") * F.max("n"))
+        ).alias("tvd"),
+        F.when(
+            F.sum(dev) * 5 > F.max("n_g") * F.max("n") * 3, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("breach"),
+    )

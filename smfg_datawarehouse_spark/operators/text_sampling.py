@@ -734,3 +734,73 @@ def x109_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "word")
         .limit(50)
     )
+
+
+_X114_ORACLE = """
+    WITH r AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b,
+             CASE WHEN ('0x' || substring(
+                          md5('rr:' || CAST(doc_id AS VARCHAR)), 1, 8
+                        ))::BIGINT % 4 = 0
+                  THEN 1 ELSE 0 END AS flip
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b) AS BIGINT) AS true_pos,
+           CAST(SUM(CASE WHEN flip = 1 THEN 1 - b ELSE b END) AS BIGINT)
+             AS reported_pos,
+           CAST(4 * SUM(CASE WHEN flip = 1 THEN 1 - b ELSE b END)
+                - COUNT(*) AS DOUBLE) / (2 * COUNT(*)) AS debiased_rate,
+           CAST(ABS(4 * SUM(CASE WHEN flip = 1 THEN 1 - b ELSE b END)
+                    - COUNT(*) - 2 * SUM(b)) AS DOUBLE)
+             / (2 * COUNT(*)) AS abs_err
+    FROM r GROUP BY source
+"""
+
+
+@register("x114_randomized_response", _X114_ORACLE)
+def x114_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.6] RANDOMIZED RESPONSE (Warner 1965) — the local-DP
+    mechanism for releasing a sensitive per-document binary (here:
+    lang='en' stands in for the secret) without trusting the
+    aggregator: each row's bit is FLIPPED with probability q=1/4 before
+    it ever reaches the rollup, giving ε = ln((1−q)/q) = ln 3 local
+    differential privacy per record, and the per-source rate is
+    recovered by the standard debiasing p̂ = (mean−q)/(1−2q). Completes
+    the release ladder with x79/x104/x113 (those audit a release; this
+    one MECHANIZES it). The flip coin is the repo's seedless md5-prefix
+    uniform (u32 % 4 = 0 is exactly q=1/4 — no float threshold, no RNG
+    state, partition/retry-invariant), the debiased estimate collapses
+    to the integer form (4·reported − n)/(2n), and the estimator error
+    keeps an integer numerator |4·reported − n − 2·true|/(2n) — each
+    output is one exact-integer ratio, bit-replayable. Shape: one scan,
+    one map-combined groupBy; nothing but per-source counters cross the
+    wire — the mechanism is embarrassingly scan-local at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    b = F.when(F.col("lang") == "en", 1).otherwise(0)
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("rr:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    flip = F.when(u32 % 4 == 0, 1).otherwise(0)
+    r = d.select(
+        "source",
+        b.alias("b"),
+        flip.alias("flip"),
+    ).withColumn("rep", F.when(F.col("flip") == 1, 1 - F.col("b")).otherwise(F.col("b")))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("b").cast("long").alias("true_pos"),
+        F.sum("rep").cast("long").alias("reported_pos"),
+        (
+            (F.sum("rep") * 4 - F.count(F.lit(1))).cast("double")
+            / (F.count(F.lit(1)) * 2)
+        ).alias("debiased_rate"),
+        (
+            F.abs(F.sum("rep") * 4 - F.count(F.lit(1)) - F.sum("b") * 2).cast("double")
+            / (F.count(F.lit(1)) * 2)
+        ).alias("abs_err"),
+    )

@@ -5000,3 +5000,77 @@ def l27_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         dsum(F.col("o_totalprice")).alias("revenue"),
     )
+
+
+@register(
+    "q103_pareto_abc",
+    f"""
+    WITH rev AS (
+      SELECT p.p_brand,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(30,6))) AS rev_dec
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    w AS (
+      SELECT p_brand,
+             CAST(rev_dec AS DOUBLE) AS brand_revenue,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev_dec DESC, p_brand)
+                  AS BIGINT) AS rev_rank,
+             CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, p_brand
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS cum_share
+      FROM rev
+    )
+    SELECT p_brand, brand_revenue, rev_rank, cum_share,
+           CASE WHEN cum_share <= 0.7 THEN 'A'
+                WHEN cum_share <= 0.9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM w
+    """,
+)
+def q103_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A/O] PARETO / ABC CONTRIBUTION ANALYSIS — the inventory-policy
+    classic (80/20 rule): brands ranked by revenue, each annotated with
+    its cumulative revenue share and bucketed A (builds the first 70% of
+    revenue), B (to 90%), C (the long tail). The big join
+    (lineitem ⋈ part on partkey) aggregates BEFORE the window — the
+    cumulative scan runs over one row per brand, never over line items —
+    so at 100 TB the only corpus-sized exchange is the partkey join
+    (AQE-shuffled, map-side-combined rollup); the unpartitioned window
+    is brand-cardinality-sized by construction. Revenue accumulates in
+    exact decimal through BOTH the rollup and the running window (float
+    running sums are order-sensitive; decimals are not), and the share
+    is one double division of two exact totals, so class boundaries
+    replay bit-exactly in the oracle."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            ).alias("rev_dec")
+        )
+    )
+    wrank = W.orderBy(F.col("rev_dec").desc(), F.col("p_brand"))
+    wcum = wrank.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    out = rev.select(
+        "p_brand",
+        F.col("rev_dec").cast("double").alias("brand_revenue"),
+        F.row_number().over(wrank).cast("long").alias("rev_rank"),
+        (
+            F.sum("rev_dec").over(wcum).cast("double")
+            / F.sum("rev_dec").over(wall).cast("double")
+        ).alias("cum_share"),
+    )
+    return out.withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.7, "A")
+        .when(F.col("cum_share") <= 0.9, "B")
+        .otherwise("C"),
+    )

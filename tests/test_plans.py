@@ -517,3 +517,60 @@ def test_q100_histogram_no_single_partition_data_window(spark):
 
     assert scan_count(df) <= 2  # offsets pass + ordinal pass
     assert_no_cartesian(df)
+
+
+def test_x111_triangle_joins_stay_keyed(spark):
+    # degree-ordered orientation: wedge + closure ride keyed joins; a
+    # nested-loop or cartesian here would be the all-pairs failure mode
+    df = qmod.all_queries()["x111_triangle_count"](spark, SF)
+    from smfg_datawarehouse_spark.plans import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "NestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+    # LSH + orientation are checkpointed: downstream replays stay bounded
+    assert exchange_count(df) <= 16
+
+
+def test_x112_rrf_fuse_is_rank_sized(spark):
+    # three retriever lists (one corpus scan each) + one fuse groupBy;
+    # the fuse operates on lists x k rows, never corpus-shaped joins
+    df = qmod.all_queries()["x112_rank_fusion_rrf"](spark, SF)
+    assert_no_cartesian(df)
+    assert exchange_count(df) <= 8
+
+
+def test_x113_grid_stays_broadcast(spark):
+    # cells x sources grid: both grid sides are aggregated tiny frames and
+    # must broadcast — a shuffled grid join would imply row-shaped inputs
+    df = qmod.all_queries()["x113_t_closeness"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert_no_cartesian(df)
+
+
+def test_x114_randomized_response_single_scan_single_shuffle(spark):
+    # the LDP mechanism is scan-local: one pass, one map-combined groupBy
+    df = qmod.all_queries()["x114_randomized_response"](spark, SF)
+    from smfg_datawarehouse_spark.plans import scan_count
+
+    assert scan_count(df) == 1
+    assert exchange_count(df) == 1
+
+
+def test_x115_label_spread_rounds_stay_keyed(spark):
+    # two vote rounds over a checkpointed edge list: node-keyed joins only
+    df = qmod.all_queries()["x115_label_spread"](spark, SF)
+    from smfg_datawarehouse_spark.plans import formatted_plan
+
+    assert "NestedLoopJoin" not in formatted_plan(df)
+    assert_no_cartesian(df)
+    assert exchange_count(df) <= 10
+
+
+def test_q103_window_runs_over_brand_rollup(spark):
+    # lineitem joins part then aggregates BEFORE the cumulative window:
+    # the unpartitioned window sees one row per brand, and the plan's only
+    # exchanges are the rollup + the window's single-partition collapse
+    df = qmod.all_queries()["q103_pareto_abc"](spark, SF)
+    assert exchange_count(df) <= 3
+    assert_no_cartesian(df)
