@@ -2537,3 +2537,65 @@ def q102_bitemporal_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_X117_ORACLE = """
+    WITH h AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(value AS DECIMAL(30,6))) AS s_dec
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, hour, n_events,
+             CAST(s_dec AS DOUBLE) AS s_dbl,
+             SUM(n_events) OVER (PARTITION BY event_type) AS n_tot,
+             CAST(SUM(s_dec) OVER (PARTITION BY event_type) AS DOUBLE) AS s_tot
+      FROM h
+    )
+    SELECT event_type, hour, n_events,
+           s_dbl / n_events AS hour_avg,
+           (s_dbl * n_tot) / (n_events * s_tot) AS seasonal_index
+    FROM tot
+"""
+
+
+@register("x117_seasonality_index", _X117_ORACLE)
+def x117_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A/§2.5] HOUR-OF-DAY SEASONALITY INDEX (ratio-to-overall, the
+    classical seasonal-index form): each (event_type, hour) reports its
+    mean value relative to the type's all-hours mean — index > 1 marks
+    the hot hours. This is the load-shaping/anomaly-baseline artifact an
+    event pipeline derives before capacity planning or before flagging
+    'value spike at 3am'. One map-combined rollup to 24×types rows, then
+    type-partitioned windows over THAT rollup (the corpus shuffles once,
+    on the rollup key; windows reuse the aggregate frame). Sums
+    accumulate in exact decimal; the index is the cross-multiplied
+    (S_h·N)/(n_h·S) evaluated in three fixed-order IEEE ops, identical
+    in both engines — no mean-of-means drift."""
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("s_dec"),
+    )
+    wt = W.partitionBy("event_type")
+    tot = h.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.col("s_dec").cast("double").alias("s_dbl"),
+        F.sum("n_events").over(wt).alias("n_tot"),
+        F.sum("s_dec").over(wt).cast("double").alias("s_tot"),
+    )
+    return tot.select(
+        "event_type",
+        "hour",
+        "n_events",
+        (F.col("s_dbl") / F.col("n_events")).alias("hour_avg"),
+        (
+            (F.col("s_dbl") * F.col("n_tot"))
+            / (F.col("n_events") * F.col("s_tot"))
+        ).alias("seasonal_index"),
+    )

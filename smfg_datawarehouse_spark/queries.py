@@ -5074,3 +5074,124 @@ def q103_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cum_share") <= 0.9, "B")
         .otherwise("C"),
     )
+
+
+@register(
+    "l28_clustered_rewrite",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def l28_clustered_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S3] CLUSTERED REWRITE — the ``OPTIMIZE ... CLUSTER BY`` lake
+    maintenance op: a hash-laid-out table (every file spans the whole
+    key range, so zone maps skip NOTHING — the layout every
+    shuffle-then-write job produces) is rewritten range-clustered on
+    o_orderdate via the same writer l18 certifies. The cert RAISES
+    unless measured zone-overlap actually collapses: before, all
+    file-pair zones intersect (full overlap by construction); after,
+    pairwise intersections must drop ≥ 4× — the property that turns a
+    time-range query from a full scan into a 1%-of-files read. Content
+    preservation is the hash gate: the rollup read back from the
+    REWRITTEN files must match the oracle over the raw fixture
+    bit-for-bit. Complements l07 (size compaction, layout-agnostic) and
+    l18 (writes sorted from scratch); this is the in-place maintenance
+    pass a 100 TB table needs after ingest has fragmented its
+    clustering. Zone stats are one bounded per-file min/max rollup
+    (n_files rows), never row-shaped on the driver."""
+    from smfg_datawarehouse_spark.sources.lake import write_sorted_with_zonemap
+
+    tmp = _scratch_dir(spark, "l28")
+    raw_path = os.path.join(tmp, "orders_hash_layout")
+    clustered_path = os.path.join(tmp, "orders_clustered")
+
+    o = t(spark, sf_dir, "orders")
+    o.repartition(8).write.mode("overwrite").parquet(raw_path)
+
+    def zone_overlap_pairs(zones: list[dict]) -> int:
+        n = len(zones)
+        return sum(
+            1
+            for i in range(n)
+            for j in range(i + 1, n)
+            if not (zones[i]["hi"] < zones[j]["lo"] or zones[i]["lo"] > zones[j]["hi"])
+        )
+
+    before = [
+        {"file": r["file"], "lo": r["lo"], "hi": r["hi"]}
+        for r in spark.read.parquet(raw_path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    ]
+    zones_after = write_sorted_with_zonemap(
+        spark.read.parquet(raw_path), clustered_path, "o_orderdate", n_files=8
+    )
+    ov_before = zone_overlap_pairs(before)
+    ov_after = zone_overlap_pairs(zones_after)
+    if ov_before == 0:
+        raise RuntimeError("l28 precondition broken: hash layout already clustered")
+    if ov_after * 4 > ov_before:
+        raise RuntimeError(
+            f"clustered rewrite did not collapse zone overlap "
+            f"({ov_before} -> {ov_after} intersecting file pairs)"
+        )
+    return (
+        spark.read.parquet(clustered_path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q104_semi_additive_balance",
+    f"""
+    WITH closing AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_accounts,
+           {_dsum_sql('value')} AS total_closing,
+           {_davg_sql('value')} AS avg_closing
+    FROM closing GROUP BY day
+    """,
+)
+def q104_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A/§2.5] SEMI-ADDITIVE MEASURE rollup (Kimball's balance
+    pattern): a balance-like measure sums across ACCOUNTS but not across
+    TIME — the daily fact is each user's CLOSING value (last event of
+    the day by (ts, event_id), the deterministic latest-wins window x07
+    certifies), and only that per-(user, day) snapshot enters the daily
+    total. Getting this wrong (SUMming every event) is the classic
+    finance-mart bug; the engine form is one window + one rollup, both
+    keyed on (user_id, day) — the window's partitioning is reused by
+    the groupBy, so the corpus crosses the wire once. Decimal-exact
+    totals; AVG follows the engine's exact-sum/count convention."""
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = W.partitionBy("user_id", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    closing = (
+        e.select("user_id", "ts", "event_id", "value", day.alias("day"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return closing.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_accounts"),
+        dsum(F.col("value")).alias("total_closing"),
+        davg(F.col("value")).alias("avg_closing"),
+    )

@@ -84,3 +84,48 @@ def test_semantic_dedup_greedy_lowest_id_wins(spark):
     assert out[1] == (0, False)
     assert out[2] == (0, False)
     assert out[3] == (3, True)
+
+
+def test_triangle_counts_known_graph(spark):
+    # square 1-2-3-4 with one diagonal (2,3): exactly 2 triangles
+    # (1,2,3) and (2,3,4); node degrees 2,3,3,2
+    from smfg_datawarehouse_spark.operators.dedup import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (2, 4)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: r for r in triangle_counts(edges).collect()}
+    assert {k: v["triangles"] for k, v in rows.items()} == {1: 1, 2: 2, 3: 2, 4: 1}
+    assert rows[1]["degree"] == 2 and rows[2]["degree"] == 3
+    # node 2: deg 3 -> 3 possible wedges, 2 closed
+    assert abs(rows[2]["clustering"] - 2 * 2 / (3 * 2)) < 1e-15
+    # node 1: deg 2 -> 1 possible wedge, closed
+    assert rows[1]["clustering"] == 1.0
+
+
+def test_triangle_counts_triangle_free(spark):
+    # path graph: no triangles anywhere, coefficients all zero
+    from smfg_datawarehouse_spark.operators.dedup import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    rows = triangle_counts(edges).collect()
+    assert all(r["triangles"] == 0 for r in rows)
+    assert all(r["clustering"] == 0.0 for r in rows)
+
+
+def test_majority_round_tie_breaks_to_lowest_label(spark):
+    # node 10 has two labeled neighbors with one vote each: label 1 wins
+    # the tie over label 4; already-labeled nodes never re-vote
+    from pyspark.sql import functions as F
+    from smfg_datawarehouse_spark.operators.dedup import _majority_round
+
+    sym_pairs = [(10, 1), (1, 10), (10, 2), (2, 10), (1, 2), (2, 1)]
+    sym = spark.createDataFrame(sym_pairs, "src long, dst long")
+    labeled = spark.createDataFrame(
+        [(1, 4, 0), (2, 1, 0)], "id long, label long, assigned_round long"
+    )
+    out = _majority_round(sym, labeled, rnd=1).collect()
+    assert len(out) == 1
+    assert out[0]["id"] == 10 and out[0]["label"] == 1 and out[0]["assigned_round"] == 1

@@ -574,3 +574,35 @@ def test_q103_window_runs_over_brand_rollup(spark):
     df = qmod.all_queries()["q103_pareto_abc"](spark, SF)
     assert exchange_count(df) <= 3
     assert_no_cartesian(df)
+
+
+def test_x116_linkage_join_is_block_keyed(spark):
+    # Fellegi-Sunter pairs come ONLY from the blocking-key equi-join;
+    # a nested loop would mean the blocking collapsed to all-pairs
+    df = qmod.all_queries()["x116_record_linkage_fs"](spark, SF)
+    from smfg_datawarehouse_spark.plans import formatted_plan
+
+    assert "NestedLoopJoin" not in formatted_plan(df)
+    assert_no_cartesian(df)
+
+
+def test_x117_windows_reuse_rollup_partitioning(spark):
+    # one corpus shuffle to the (type, hour) rollup; the type-partitioned
+    # windows run over 24-rows-per-type aggregates, not raw events
+    df = qmod.all_queries()["x117_seasonality_index"](spark, SF)
+    from smfg_datawarehouse_spark.plans import scan_count
+
+    assert scan_count(df) == 1
+    assert exchange_count(df) <= 2
+
+
+def test_q104_window_and_rollup_share_one_shuffle(spark):
+    # the latest-wins window keys on (user, day) and the daily rollup
+    # groups by day: one corpus exchange for the window + one day-keyed
+    # rollup exchange, nothing more
+    df = qmod.all_queries()["q104_semi_additive_balance"](spark, SF)
+    from smfg_datawarehouse_spark.plans import scan_count
+
+    assert scan_count(df) == 1
+    assert exchange_count(df) <= 2
+    assert_no_cartesian(df)
