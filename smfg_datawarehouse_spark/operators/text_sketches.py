@@ -589,3 +589,82 @@ def x108_shard_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("long").alias("content_chars"),
         F.bit_xor(row_hash).cast("long").alias("content_checksum"),
     )
+
+
+_X118_W = 512
+_X118_POS = (
+    "(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" + i * ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT)"
+    f" % {_X118_W}"
+)
+
+_X118_ORACLE = f"""
+    WITH pos AS (
+      SELECT i, {_X118_POS} AS j
+      FROM events CROSS JOIN (SELECT unnest(range({CMS_D})) AS i)
+    ),
+    cms AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY i, j),
+    est AS (SELECT i, SUM(c * c) AS e FROM cms GROUP BY i),
+    tru AS (
+      SELECT SUM(cnt * cnt) AS t
+      FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY user_id)
+    )
+    SELECT CAST({CMS_D} AS BIGINT) AS depth,
+           CAST({_X118_W} AS BIGINT) AS width,
+           CAST(MIN(e) AS BIGINT) AS est_pairs,
+           CAST(MAX(t) AS BIGINT) AS true_pairs,
+           CAST(MIN(e) AS DOUBLE) / MAX(t) AS over_ratio
+    FROM est CROSS JOIN tru
+"""
+
+
+@register("x118_join_size_estimate", _X118_ORACLE)
+def x118_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.3] SKETCH-BASED JOIN-SIZE ESTIMATION (Alon-Matias-Szegedy /
+    Cormode-Muthukrishnan inner product): the self-join size of events
+    on user_id — Σ cnt(u)², the quantity a cost-based optimizer needs
+    BEFORE committing to a join strategy, and the single best scalar
+    measure of key skew — estimated as min over CMS rows of Σ_j c[i][j]²
+    against the exact value. The CMS inner product never underestimates
+    (collisions only add mass), so over_ratio ≥ 1 by construction and
+    quantifies the d=4 × w=512 operating point on this key
+    distribution. Both estimate and truth are one map-combined rollup
+    each (sketch cells, then row sums; key counts, then the square
+    sum) — the corpus crosses the wire once per side at any scale, and
+    the sketch side's state is d·w cells regardless of key cardinality,
+    which is the whole point: the optimizer can afford it per join
+    column per partition. Exact integers end-to-end, one final
+    division; portable md5 double hashing (q81/x49's family) keeps the
+    replay bit-exact."""
+    e = t(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    ha = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    hb = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+    pos = e.select(
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i"),
+        ha.alias("ha"),
+        hb.alias("hb"),
+    ).select("i", ((F.col("ha") + F.col("i") * F.col("hb")) % _X118_W).alias("j"))
+    cms = pos.groupBy("i", "j").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    est = (
+        cms.groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("e"))
+        .agg(F.min("e").alias("est_pairs"))
+    )
+    tru = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("true_pairs"))
+    )
+    return (
+        est.crossJoin(tru)
+        .select(
+            F.lit(CMS_D).cast("long").alias("depth"),
+            F.lit(_X118_W).cast("long").alias("width"),
+            F.col("est_pairs").cast("long").alias("est_pairs"),
+            F.col("true_pairs").cast("long").alias("true_pairs"),
+            (F.col("est_pairs").cast("double") / F.col("true_pairs")).alias(
+                "over_ratio"
+            ),
+        )
+    )

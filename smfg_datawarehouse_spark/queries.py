@@ -5195,3 +5195,107 @@ def q104_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("value")).alias("total_closing"),
         davg(F.col("value")).alias("avg_closing"),
     )
+
+
+_L29_M = 65536  # per-file bloom bits (8 KB bitmap per file as manifest metadata)
+_L29_K = 3
+
+
+@register(
+    "l29_bloom_file_index",
+    f"""
+    WITH probe AS (
+      SELECT o_custkey FROM orders GROUP BY o_custkey
+      ORDER BY COUNT(*), o_custkey LIMIT 5
+    )
+    SELECT o.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_dsum_sql('o.o_totalprice')} AS total_price
+    FROM orders o JOIN probe p ON o.o_custkey = p.o_custkey
+    GROUP BY o.o_custkey
+    """,
+)
+def l29_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S3/J] PER-FILE BLOOM INDEX — the point-lookup file-skipping story
+    zone maps CANNOT cover: the table is laid out by DATE (the natural
+    ingest clustering, l18/l28), so a lookup on the *unclustered*
+    high-cardinality key (o_custkey) intersects every file's date zone
+    and a zonemap skips nothing. A per-file Bloom bitmap over custkey
+    (Kirsch–Mitzenmacher double hashing, q81/x51's portable md5 family;
+    m=64 Ki bits ≈ 8 KB per file — manifest-metadata-sized at any scale,
+    exactly what Delta/Iceberg attach to file entries) lets the reader
+    skip every file whose bitmap cannot contain the probed key. The cert
+    probes the 5 rarest customers (deterministic: fewest orders, key
+    tie-break), RAISES unless files were actually skipped, re-applies
+    the exact predicate after pruning (blooms are conservative: false
+    positives read harmlessly, false negatives are impossible by
+    construction), and hash-gates the rollup against a plain filtered
+    scan of the raw fixture. Bloom build is one column-pruned scan
+    rolled up to (file, bit) rows — bitmap-sized, never row-shaped."""
+    import hashlib as _hashlib
+
+    from smfg_datawarehouse_spark.sources.lake import write_sorted_with_zonemap
+
+    base = _scratch_dir(spark, "l29")
+    path = os.path.join(base, "orders_by_date")
+    o = t(spark, sf_dir, "orders")
+    write_sorted_with_zonemap(o, path, "o_orderdate", n_files=8)
+
+    rd = spark.read.parquet(path)
+    # per-file bloom: distinct (file, bit) rows — k positions per distinct
+    # key per file; collected driver-side as the manifest metadata it is
+    ha = F.conv(F.substring(F.md5(F.col("key")), 1, 8), 16, 10).cast("long")
+    hb = F.conv(F.substring(F.md5(F.col("key")), 9, 8), 16, 10).cast("long")
+    bits = (
+        rd.select(
+            F.input_file_name().alias("file"),
+            F.col("o_custkey").cast("string").alias("key"),
+        )
+        .distinct()
+        .select(
+            "file",
+            F.explode(F.array(*[F.lit(j) for j in range(_L29_K)])).alias("j"),
+            ha.alias("ha"),
+            hb.alias("hb"),
+        )
+        .select("file", ((F.col("ha") + F.col("j") * F.col("hb")) % _L29_M).alias("bit"))
+        .distinct()
+        .collect()
+    )
+    bloom: dict[str, set] = {}
+    for r in bits:
+        bloom.setdefault(r["file"], set()).add(r["bit"])
+    n_total = len(bloom)
+
+    probe_keys = [
+        r["o_custkey"]
+        for r in o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("cnt", "o_custkey")
+        .limit(5)
+        .collect()
+    ]
+
+    def key_bits(k: int) -> list[int]:
+        h = _hashlib.md5(str(k).encode()).hexdigest()
+        a, b = int(h[:8], 16), int(h[8:16], 16)
+        return [(a + j * b) % _L29_M for j in range(_L29_K)]
+
+    keep = sorted(
+        f
+        for f, bs in bloom.items()
+        if any(all(bit in bs for bit in key_bits(k)) for k in probe_keys)
+    )
+    if not keep or len(keep) >= n_total:
+        raise RuntimeError(
+            f"bloom file index skipped nothing ({len(keep)}/{n_total} files read)"
+        )
+    return (
+        spark.read.parquet(*keep)
+        .where(F.col("o_custkey").isin(probe_keys))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )

@@ -606,3 +606,13 @@ def test_q104_window_and_rollup_share_one_shuffle(spark):
     assert scan_count(df) == 1
     assert exchange_count(df) <= 2
     assert_no_cartesian(df)
+
+
+def test_x118_sketch_and_truth_single_scan_each(spark):
+    # the estimator's cost model: CMS cells then row sums, key counts then
+    # the square sum — two scan branches, no key-shaped join anywhere
+    df = qmod.all_queries()["x118_join_size_estimate"](spark, SF)
+    from smfg_datawarehouse_spark.plans import scan_count
+
+    assert scan_count(df) == 2
+    assert exchange_count(df) <= 5

@@ -287,3 +287,37 @@ def test_lang_confusion_rows_normalize(spark):
         per_lang[r["declared_lang"]] += r["row_frac"]
     for lang, s in per_lang.items():
         assert abs(s - 1.0) < 1e-12, (lang, s)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered wedge counting must equal the O(n^3) definition on
+    any small graph — the orientation trick is a pure optimization and can
+    never change a count (the invariant that makes it safe at scale)."""
+    from smfg_datawarehouse_spark.operators.dedup import triangle_counts
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    eset = set(und)
+    nodes = sorted({n for e in und for n in e})
+    expect_tri = {n: 0 for n in nodes}
+    expect_deg = {n: 0 for n in nodes}
+    for a, b in und:
+        expect_deg[a] += 1
+        expect_deg[b] += 1
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            for c in nodes[nodes.index(b) + 1:]:
+                if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+                    for n in (a, b, c):
+                        expect_tri[n] += 1
+    df = spark.createDataFrame(und, "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in triangle_counts(df).collect()}
+    assert {k: v["triangles"] for k, v in rows.items()} == expect_tri
+    assert {k: v["degree"] for k, v in rows.items()} == expect_deg
