@@ -2599,3 +2599,81 @@ def x117_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_events") * F.col("s_tot"))
         ).alias("seasonal_index"),
     )
+
+
+@register("s16_checkpoint_restart_recovery", _S01_ORACLE)
+def s16_checkpoint_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2] CHECKPOINT-RESTART RECOVERY certified — the fault-tolerance
+    contract a production stream actually relies on: a tumbling
+    aggregation drains the FIRST landing slice under an explicit
+    checkpoint, the query terminates (modeling a planned restart or a
+    crash between triggers), more raw files land, and a NEW query
+    instance resumes from the SAME checkpoint. The cert RAISES unless
+    the restarted query's input-row metrics prove it read ONLY the
+    newly-landed files (source offsets recovered — a restart that
+    re-reads slice 1 is at-least-twice, one that skips state is
+    at-most-once) and the two phases together read exactly the fixture;
+    the final complete-mode snapshot must then hash-match the batch
+    oracle over ALL events — slice-1 contributions can only come from
+    the RESTORED state store, never from re-reading. s09 certifies
+    cross-batch state merge within one query lifetime; this certifies
+    the same state surviving a query boundary, which is the property
+    that lets a 100 TB deployment upgrade, rebalance, or crash without
+    replay or double-count. Both phases pin the drain's state-store
+    partition count (the value is frozen into the checkpoint at first
+    start, exactly as in production)."""
+    import os as _os
+
+    from smfg_datawarehouse_spark.queries import _scratch_dir, load_events
+    from smfg_datawarehouse_spark.streaming.windows import (
+        DRAIN_STATE_PARTITIONS,
+        events_stream,
+    )
+
+    base = _scratch_dir(spark, "s16")
+    src = _os.path.join(base, "raw")
+    ckpt = _os.path.join(base, "ckpt")
+    ev = load_events(spark, sf_dir)
+    total = ev.count()
+    ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def drain(name: str) -> int:
+        spark.catalog.dropTempView(name)
+        q = (
+            tumbling_agg(events_stream(spark, src), "1 hour")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"s16 drain '{name}' did not terminate")
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(DRAIN_STATE_PARTITIONS))
+    try:
+        p1_rows = drain("s16_phase1_mem")
+        ev.where(F.col("event_id") % 3 != 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        p2_rows = drain("s16_phase2_mem")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    if p2_rows >= total:
+        raise RuntimeError(
+            f"restart reprocessed old files ({p2_rows}/{total} rows read "
+            "after resume) — checkpoint offsets were not recovered"
+        )
+    if p1_rows + p2_rows != total:
+        raise RuntimeError(
+            f"phases read {p1_rows}+{p2_rows} rows, fixture has {total} — "
+            "rows were lost or double-read across the restart"
+        )
+    return spark.table("s16_phase2_mem")
