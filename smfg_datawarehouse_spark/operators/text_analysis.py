@@ -3441,3 +3441,82 @@ def x113_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("breach"),
     )
+
+
+_X119_ORACLE = """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    thresholds AS (
+      SELECT source,
+             MAX(n) AS n,
+             MAX(CASE WHEN rnk = (n + 9) // 10 THEN n_chars END) AS p10,
+             MAX(CASE WHEN rnk = (9 * n + 9) // 10 THEN n_chars END) AS p90,
+             SUM(n_chars) AS raw_total
+      FROM ranked GROUP BY source
+    ),
+    clamped AS (
+      SELECT r.source, t.n, t.p10, t.p90, t.raw_total,
+             LEAST(GREATEST(r.n_chars, t.p10), t.p90) AS w
+      FROM ranked r JOIN thresholds t ON r.source = t.source
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(p10) AS BIGINT) AS p10_chars,
+           CAST(MAX(p90) AS BIGINT) AS p90_chars,
+           CAST(MAX(raw_total) AS DOUBLE) / MAX(n) AS raw_mean,
+           CAST(SUM(w) AS DOUBLE) / MAX(n) AS winsor_mean
+    FROM clamped GROUP BY source
+"""
+
+
+@register("x119_winsorized_mean", _X119_ORACLE)
+def x119_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/A] WINSORIZED ROBUST MEAN per source (10/90): each source's
+    document-length distribution is clamped at its own exact 10th/90th
+    order statistics (nearest-rank, ceil(p·n) = (p·n+9) DIV 10 in pure
+    integer arithmetic, doc_id tie-break) before averaging — the robust
+    location estimate a corpus monitor tracks instead of the raw mean,
+    which one crawler bug (a single 10 MB page) can drag arbitrarily.
+    Winsorizing ≠ trimming: tail rows are KEPT at the threshold value,
+    so the estimate stays a mean over n (comparable across sources with
+    different tail masses). Everything is exact BIGINT until the two
+    final divisions: thresholds are selected values (not interpolated),
+    clamped totals are integer sums — bit-replayable. Shape: ONE
+    source-keyed shuffle feeds the rank window, the threshold rollup,
+    the clamp join (source-level thresholds broadcast), and the final
+    rollup — the corpus crosses the wire once, same single-exchange
+    discipline as x44."""
+    d = t(spark, sf_dir, "documents")
+    ws = W.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(ws.orderBy("n_chars", "doc_id")).alias("rnk"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    thresholds = ranked.groupBy("source").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rnk") == F.expr("(n + 9) DIV 10"), F.col("n_chars"))
+        ).alias("p10"),
+        F.max(
+            F.when(F.col("rnk") == F.expr("(9 * n + 9) DIV 10"), F.col("n_chars"))
+        ).alias("p90"),
+        F.sum("n_chars").alias("raw_total"),
+    )
+    clamped = ranked.select("source", "n_chars").join(
+        F.broadcast(thresholds), "source"
+    )
+    w = F.least(F.greatest(F.col("n_chars"), F.col("p10")), F.col("p90"))
+    return clamped.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.max("p10").cast("long").alias("p10_chars"),
+        F.max("p90").cast("long").alias("p90_chars"),
+        (F.max("raw_total").cast("double") / F.max("n")).alias("raw_mean"),
+        (F.sum(w).cast("double") / F.max("n")).alias("winsor_mean"),
+    )

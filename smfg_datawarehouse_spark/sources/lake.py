@@ -261,3 +261,76 @@ def read_zonemap_pruned(
     if not keep:
         raise ValueError("zone map pruned every file; empty read")
     return spark.read.parquet(*keep), len(keep), len(zonemap)
+
+
+def binpack_compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int,
+) -> dict:
+    """MINOR compaction: rewrite only the files smaller than
+    ``target_file_bytes``, first-fit-decreasing bin-packed into
+    target-sized groups; files already at target are carried into the
+    new directory as HARD LINKS (same inode — zero bytes copied or
+    rewritten). This is the incremental OPTIMIZE a continuously-ingesting
+    100 TB table runs hourly: cost scales with the small-file backlog,
+    not the table. Same crash-safe two-rename swap as ``compact`` (a
+    reader never observes an absent directory); on an object store the
+    production shape is a manifest commit that adds the packed files and
+    drops the packed-away ones (``ManifestTable`` is that shape).
+
+    Returns {"n_before", "n_after", "n_bins", "kept": [basenames]} for
+    the caller to assert layout invariants against.
+    """
+    import shutil
+
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    sizes = {f: os.path.getsize(os.path.join(path, f)) for f in files}
+    small = sorted(
+        (f for f in files if sizes[f] < target_file_bytes),
+        key=lambda f: (-sizes[f], f),
+    )
+    big = [f for f in files if sizes[f] >= target_file_bytes]
+
+    bins: list[list[str]] = []
+    bin_free: list[int] = []
+    for f in small:  # first-fit-decreasing over metadata only
+        for i, free in enumerate(bin_free):
+            if sizes[f] <= free:
+                bins[i].append(f)
+                bin_free[i] -= sizes[f]
+                break
+        else:
+            bins.append([f])
+            bin_free.append(target_file_bytes - sizes[f])
+
+    base = path.rstrip("/")
+    tmp = base + "__binpack_tmp"
+    old = base + "__binpack_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for f in big:
+        os.link(os.path.join(path, f), os.path.join(tmp, f))
+    for group in bins:
+        spark.read.parquet(*[os.path.join(path, f) for f in group]).coalesce(
+            1
+        ).write.mode("append").parquet(tmp)
+
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)
+        raise
+    shutil.rmtree(old)
+    n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    return {
+        "n_before": len(files),
+        "n_after": n_after,
+        "n_bins": len(bins),
+        "kept": big,
+    }
