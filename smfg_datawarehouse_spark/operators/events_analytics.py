@@ -945,16 +945,16 @@ def _stage_events_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     return src_dir
 
 
-@register(
-    "s02_streaming_stateful_totals",
-    """
+_S02_ORACLE_SQL = """
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
              AS total_micros
     FROM events GROUP BY user_id
-    """,
-)
+    """
+
+
+@register("s02_streaming_stateful_totals", _S02_ORACLE_SQL)
 def s02_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[T2/§2.11] The ARBITRARY-STATEFUL streaming path certified: per-user
     running totals via ``applyInPandasWithState`` (integer micro-unit
@@ -1498,12 +1498,16 @@ def q85_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY never compares floats.
 
     Scale shape: ONE map-side-combined groupBy reduces events to a
-    |users|-sized frame first; the unpartitioned NTILE windows then
-    collapse that frame to a single partition — fine while |users| fits
-    one executor (orders of magnitude below |events|), and the honest
-    trade for exact equal-count quartiles. For unbounded user
-    cardinality, swap NTILE for approx-percentile thresholds broadcast
-    back (x38's decile pattern) at the cost of exact bucket sizes."""
+    |users|-sized frame first; each quartile then comes from
+    ``functions.ordering.distributed_ntile`` — exact global ordinals
+    via band-partitioned windows (bands: day of last_seen, frequency
+    itself, monetary DIV 10^7 — each trivially monotone in its sort
+    key) and closed-form BIGINT bucket arithmetic. No window ever sees
+    a single-partition total order, so the plan survives unbounded user
+    cardinality; the DuckDB oracle keeps plain NTILEs — two routes, one
+    bit-identical partition rule."""
+    from smfg_datawarehouse_spark.functions.ordering import distributed_ntile
+
     e = t(spark, sf_dir, "events")
     base = e.groupBy("user_id").agg(
         F.max("ts").alias("last_seen"),
@@ -1512,17 +1516,17 @@ def q85_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_micros"),
     )
+    for order, band, out in (
+        (["last_seen", "user_id"], F.date_trunc("day", F.col("last_seen")), "r_quartile"),
+        (["frequency", "user_id"], F.col("frequency"), "f_quartile"),
+        (["monetary_micros", "user_id"], F.expr("monetary_micros DIV 10000000"), "m_quartile"),
+    ):
+        # each pass checkpoints its (|users|-sized) input, so no pass
+        # replays the events rollup or a prior pass
+        base = distributed_ntile(base, 4, order, band, out)
     return base.select(
-        "user_id",
-        "last_seen",
-        "frequency",
-        "monetary_micros",
-        F.ntile(4).over(W.orderBy("last_seen", "user_id")).cast("long").alias("r_quartile"),
-        F.ntile(4).over(W.orderBy("frequency", "user_id")).cast("long").alias("f_quartile"),
-        F.ntile(4)
-        .over(W.orderBy("monetary_micros", "user_id"))
-        .cast("long")
-        .alias("m_quartile"),
+        "user_id", "last_seen", "frequency", "monetary_micros",
+        "r_quartile", "f_quartile", "m_quartile",
     )
 
 
@@ -2677,3 +2681,43 @@ def s16_checkpoint_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFra
             "rows were lost or double-read across the restart"
         )
     return spark.table("s16_phase2_mem")
+
+
+# --- s17: transformWithState v2 (environment-gated registration) ---------
+#
+# VERDICT r4 item #6: register the v2 arbitrary-stateful path as a real
+# query the moment its worker protocol can run. The v2 API
+# (``transformWithStateInPandas``) needs the ``protobuf`` package; when
+# it is absent the registration is SKIPPED with a recorded reason rather
+# than registering a query that would fail in the driver's identical
+# container. tests/test_streaming drives the builder equal-to-batch
+# whenever protobuf is importable (same gate).
+S17_SKIP_REASON: str | None = None
+try:  # probe the exact dependency the v2 worker protocol imports
+    import google.protobuf  # noqa: F401
+
+    @register("s17_stateful_totals_v2", _S02_ORACLE_SQL)
+    def s17_stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """[T2/§2.11] s02's running-totals semantics on the
+        ``transformWithStateInPandas`` v2 API (named ValueState handles,
+        timers, TTL — ``streaming/stateful.py:running_user_totals_v2``),
+        drained and reduced exactly like s02 and checked against the
+        SAME batch oracle: v1, v2 and batch GROUP BY must agree
+        bit-exactly. Registered only where protobuf exists."""
+        from smfg_datawarehouse_spark.streaming.stateful import (
+            running_user_totals_v2,
+        )
+        from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+        stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s17"))
+        drained = _drain_stream(
+            spark, running_user_totals_v2(stream), "s17", "update"
+        )
+        final = F.max(F.struct("n_events", "total_micros")).alias("s")
+        return drained.groupBy("user_id").agg(final).select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_micros").alias("total_micros"),
+        )
+except ImportError as _e:
+    S17_SKIP_REASON = f"s17_stateful_totals_v2 not registered: {_e}"

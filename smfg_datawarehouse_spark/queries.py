@@ -135,7 +135,70 @@ _CERTIFIED_R03 = {
     "x61_incremental_minhash_dedup",
 }
 
-_CERTIFIED = _CERTIFIED_R01 | _CERTIFIED_R02 | _CERTIFIED_R03
+#: CORRECTNESS_r04.json greens (50/50): OLAP q88-q104, lifecycle l17-l30,
+#: streaming s11-s16, and the round-4 x additions.
+_CERTIFIED_R04 = {
+    "l17_manifest_commit_lifecycle", "l18_zonemap_pruned_scan",
+    "l19_salted_skew_join", "l20_join_view_maintenance",
+    "l21_subject_erasure", "l22_deletion_vector_delete",
+    "l23_write_audit_publish", "l24_partition_retention",
+    "l26_multi_table_transaction", "l27_zero_copy_clone",
+    "l28_clustered_rewrite", "l29_bloom_file_index",
+    "l30_binpack_minor_compaction", "q100_equi_depth_histogram",
+    "q101_sole_failing_supplier", "q102_bitemporal_revision",
+    "q103_pareto_abc", "q104_semi_additive_balance", "q88_table_profile",
+    "q89_dq_rule_audit", "q90_last_touch_attribution", "q91_ab_welch_ttest",
+    "q92_lateral_top_orders", "q93_variant_extraction",
+    "q94_rolling_trend_slope", "q95_bitmap_index_intersection",
+    "q96_zorder_skipping_audit", "q97_recursive_reachability",
+    "q98_band_join_bucketed", "q99_skyline_pareto",
+    "s11_streaming_late_data_drop", "s12_streaming_semi_join",
+    "s13_state_store_introspection", "s14_dedup_within_watermark",
+    "s15_streaming_write_audit_publish", "s16_checkpoint_restart_recovery",
+    "x105_lsh_banding_calibration", "x107_image_ahash",
+    "x111_triangle_count", "x115_label_spread", "x116_record_linkage_fs",
+    "x117_seasonality_index", "x85_pq_adc_topk", "x86_substring_dedup",
+    "x88_cc_distributed_tier", "x89_png_decode_roundtrip",
+    "x90_intra_doc_repetition", "x91_wav_decode_roundtrip",
+    "x94_theta_sketch_set_ops", "x95_kll_quantile_rollup",
+}
+
+_CERTIFIED = _CERTIFIED_R01 | _CERTIFIED_R02 | _CERTIFIED_R03 | _CERTIFIED_R04
+
+#: Round-5 driver-sample window: the 50 never-driver-certified names with
+#: the highest silent-divergence risk, ordered into the first 50 registry
+#: slots (the driver samples the FIRST 50). Stateful streaming s03-s10,
+#: SemDeDup/ANN persistence, Arrow UDTF, and every ADVICE-flagged
+#: registration go here; the 15 low-risk scan-side stats (x66/x67/x72/
+#: x75/x77-x84 band, x97, x102, x110) spill to round 6's window. New
+#: round-5 registrations rank BEHIND this window (they get in-repo
+#: differential coverage immediately; the backlog gets the driver slots).
+_WINDOW_R05 = {
+    "s03_streaming_interval_join", "s04_streaming_dedup",
+    "s05_streaming_session_window", "s06_streaming_sliding_window",
+    "s07_streaming_dim_enrichment", "s08_streaming_outer_join",
+    "s09_streaming_backlog_drain", "s10_streaming_cdc_upsert",
+    "x54_semantic_dedup", "x57_kmeans_lloyd", "x59_sq8_rerank_topk",
+    "x63_semantic_contamination", "x64_hard_negative_mining",
+    "x69_embedding_covariance", "l25_ann_index_persistence",
+    "x96_token_chunking_udtf", "x99_jl_projection_topk",
+    "x100_matryoshka_prefix_recall", "x106_ivf_cell_balance",
+    "x112_rank_fusion_rrf", "x113_t_closeness", "x114_randomized_response",
+    "x118_join_size_estimate", "x119_winsorized_mean",
+    "q79_scd2_user_history", "q80_scd2_point_in_time",
+    "q82_burst_detection", "q83_grain_cascade", "q84_event_transitions",
+    "q85_rfm_segmentation", "q87_conversion_latency_profile",
+    "x58_eval_gram_decontamination", "x60_gopher_quality_gates",
+    "x62_dsir_importance_weights", "x65_corpus_datacard",
+    "x68_collocation_lift", "x70_lm_score_buckets",
+    "x71_containment_dupes", "x73_char_diversity_filter",
+    "x74_eval_leakage_coverage", "x76_quality_calibration",
+    "x87_domain_reweighting", "x92_boilerplate_coverage",
+    "x93_inverted_index", "x98_bm25_rational_topk",
+    "x101_skipgram_pairs", "x103_quantile_normalization",
+    "x104_l_diversity_risk", "x108_shard_content_checksum",
+    "x109_negative_sampling_table",
+}
 
 #: Names with NO driver row yet but an independent judge verification
 #: (round-3 VERDICT: 43/43 bit-exact sf0.01 DuckDB differential). They
@@ -168,20 +231,19 @@ _JUDGE_VERIFIED_R03 = {
 
 
 def _priority_order(names) -> list[str]:
-    """Three evidence tiers, driver-sample-aware: (0) names with no
-    external verification at all (round-4 additions) first, (1) names
-    judge-verified in round 3 but still missing a driver row, (2)
-    driver-certified names last; stable (registration) order within
-    each tier. The driver samples the FIRST 50 names, so with >50
-    uncertified names the zero-evidence ones must not be displaced by
-    judge-verified ones."""
+    """Three evidence tiers, driver-sample-aware: (0) the explicit
+    round-5 window (never-driver-certified, highest divergence risk)
+    first, (1) every other uncertified name (low-risk spill band plus
+    any new round-5 registrations) next, (2) driver-certified names
+    last; stable (registration) order within each tier. The driver
+    samples the FIRST 50 names, so the window must exactly fill it."""
 
     def tier(n: str) -> int:
         if n in _CERTIFIED:
             return 2
-        if n in _JUDGE_VERIFIED_R03:
-            return 1
-        return 0
+        if n in _WINDOW_R05:
+            return 0
+        return 1
 
     return sorted(names, key=tier)
 
@@ -5199,6 +5261,7 @@ def q104_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _L29_M = 65536  # per-file bloom bits (8 KB bitmap per file as manifest metadata)
 _L29_K = 3
+_L29_WORD = 62  # packed-word width (sign-safe BIGINT shifts, q95 idiom)
 
 
 @register(
@@ -5231,7 +5294,10 @@ def l29_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives read harmlessly, false negatives are impossible by
     construction), and hash-gates the rollup against a plain filtered
     scan of the raw fixture. Bloom build is one column-pruned scan
-    rolled up to (file, bit) rows — bitmap-sized, never row-shaped."""
+    rolled up ENTIRELY executor-side to packed 62-bit words (q95's
+    ``bit_or(1 << bit)`` idiom, map-side partial combine); the driver
+    collects only the ≤ m/62 non-zero (file, word, bits) manifest rows
+    per file — never a row-shaped or bit-shaped set."""
     import hashlib as _hashlib
 
     from smfg_datawarehouse_spark.sources.lake import write_sorted_with_zonemap
@@ -5242,11 +5308,9 @@ def l29_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_sorted_with_zonemap(o, path, "o_orderdate", n_files=8)
 
     rd = spark.read.parquet(path)
-    # per-file bloom: distinct (file, bit) rows — k positions per distinct
-    # key per file; collected driver-side as the manifest metadata it is
     ha = F.conv(F.substring(F.md5(F.col("key")), 1, 8), 16, 10).cast("long")
     hb = F.conv(F.substring(F.md5(F.col("key")), 9, 8), 16, 10).cast("long")
-    bits = (
+    words = (
         rd.select(
             F.input_file_name().alias("file"),
             F.col("o_custkey").cast("string").alias("key"),
@@ -5259,12 +5323,20 @@ def l29_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             hb.alias("hb"),
         )
         .select("file", ((F.col("ha") + F.col("j") * F.col("hb")) % _L29_M).alias("bit"))
-        .distinct()
+        .select(
+            "file",
+            F.expr(f"bit DIV {_L29_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_L29_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("file", "word")
+        .agg(F.bit_or("mask").alias("bits"))
         .collect()
     )
-    bloom: dict[str, set] = {}
-    for r in bits:
-        bloom.setdefault(r["file"], set()).add(r["bit"])
+    bloom: dict[str, dict[int, int]] = {}
+    for r in words:
+        bloom.setdefault(r["file"], {})[r["word"]] = r["bits"]
     n_total = len(bloom)
 
     probe_keys = [
@@ -5281,10 +5353,13 @@ def l29_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = int(h[:8], 16), int(h[8:16], 16)
         return [(a + j * b) % _L29_M for j in range(_L29_K)]
 
+    def has_bit(bs: dict[int, int], bit: int) -> bool:
+        return bool(bs.get(bit // _L29_WORD, 0) >> (bit % _L29_WORD) & 1)
+
     keep = sorted(
         f
         for f, bs in bloom.items()
-        if any(all(bit in bs for bit in key_bits(k)) for k in probe_keys)
+        if any(all(has_bit(bs, bit) for bit in key_bits(k)) for k in probe_keys)
     )
     if not keep or len(keep) >= n_total:
         raise RuntimeError(

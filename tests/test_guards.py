@@ -131,3 +131,52 @@ def test_tfidf_prefix_filter_bounds_candidates(spark):
         map(tuple, tfidf_cosine_pairs(docs, prefix_filter=True).collect())
     )
     assert pairs_pref == pairs_full == []
+
+
+def test_driver_sample_window_never_wastes_slots():
+    """Regression guard for the round-4 stall: the driver certifies the
+    FIRST 50 registry names each round, so while never-certified names
+    exist, none of the first 50 slots may hold an already-certified name.
+    Fails whenever a new CORRECTNESS round lands without refreshing the
+    _CERTIFIED tier / window in queries.py."""
+    import glob
+    import json
+
+    from smfg_datawarehouse_spark.queries import _CERTIFIED, all_queries
+
+    cert_on_disk: set[str] = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        rows = json.load(open(path))
+        cert_on_disk |= {
+            k for k, v in rows.items() if v.get("hash_match") or v.get("rows_match")
+        }
+    # the in-code tier must cover every driver-green row on disk
+    assert cert_on_disk <= _CERTIFIED, sorted(cert_on_disk - _CERTIFIED)
+
+    names = list(all_queries())
+    uncertified = [n for n in names if n not in _CERTIFIED]
+    window = names[: min(50, len(names))]
+    if uncertified:
+        wasted = [n for n in window[: len(uncertified)] if n in _CERTIFIED]
+        assert not wasted, f"certified names occupying driver slots: {wasted}"
+
+
+def test_s17_registered_or_skip_logged():
+    """transformWithState v2 must be a registered query wherever its
+    protobuf worker protocol can run, and a *named* skip otherwise —
+    never silently absent (VERDICT r4 item #6)."""
+    from smfg_datawarehouse_spark.operators import events_analytics as ea
+    from smfg_datawarehouse_spark.queries import all_queries
+
+    registered = "s17_stateful_totals_v2" in all_queries()
+    try:
+        import google.protobuf  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+    if have_protobuf:
+        assert registered and ea.S17_SKIP_REASON is None
+    else:
+        assert not registered
+        assert "protobuf" in ea.S17_SKIP_REASON or "google" in ea.S17_SKIP_REASON
