@@ -51,3 +51,50 @@ def global_ordinals(
         .withColumn(out_col, F.col("_go_off") + F.row_number().over(wb) - 1)
         .drop("_go_band", "_go_off")
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: list[str],
+    band: Column,
+    out_col: str,
+    n_total: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY order_cols)`` (1-based, exact SQL
+    semantics: the first ``N mod n`` buckets get ``ceil(N/n)`` rows, the
+    rest ``floor(N/n)``) WITHOUT the single-partition global sort —
+    ordinals come from :func:`global_ordinals` (band-partitioned
+    windows), the bucket id is closed-form integer arithmetic from the
+    0-based ordinal ``j`` and total count ``N``::
+
+        q, r = N div n, N mod n
+        bucket(j) = 1 + j div (q+1)                       if j < r*(q+1)
+                    1 + r + (j - r*(q+1)) div q           otherwise
+
+    Bit-identical to the engines' NTILE (both implement the same
+    partition rule), so a DuckDB oracle can keep a plain NTILE. ``band``
+    follows the :func:`global_ordinals` monotonicity contract.
+
+    ``df`` is referenced twice (band offsets + ordinal join) and its row
+    count is needed for the bucket split, so by default the input is
+    ``localCheckpoint``-ed first — one materialization instead of three
+    upstream replays. Callers layering several ntiles over the SAME
+    frame should checkpoint once themselves, pass ``checkpoint=False``
+    and the shared ``n_total`` (a bounded scalar driver read, same class
+    as a config/centroid read)."""
+    if checkpoint:
+        df = df.localCheckpoint()
+    if n_total is None:
+        n_total = df.count()
+    rn = "_nt_rn"
+    with_rn = global_ordinals(df, order_cols, band, out_col=rn)
+    # exact Python-int split (ordinals stay BIGINT end-to-end; the
+    # closed-form constants fold into the projection)
+    q, r = divmod(n_total, n)
+    big, head = q + 1, (n_total % n) * (q + 1)
+    bucket = F.when(
+        F.col(rn) < head, F.lit(1) + F.expr(f"{rn} DIV {big}")
+    ).otherwise(F.lit(1 + r) + F.expr(f"({rn} - {head}) DIV {max(q, 1)}"))
+    return with_rn.withColumn(out_col, bucket.cast("long")).drop(rn)

@@ -1028,19 +1028,23 @@ def x38_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[X] Token-length decile profile of the corpus — the
     length-distribution audit run before choosing packing/truncation
     lengths for training (which deciles carry the token mass, where the
-    tail starts). ntile(10) over (n_tokens, doc_id) — the doc_id tie-break
-    makes bucket edges deterministic. The window is a global sort, the one
-    genuinely unavoidable total-order shuffle in this file; at 100 TB the
-    same statistic would switch to approx_percentile bounds, so this query
-    is the exact small-N twin the approximation gets checked against. All
-    outputs are integer aggregates — nothing to drift."""
+    tail starts). NTILE(10) over (n_tokens, doc_id) — the doc_id
+    tie-break makes bucket edges deterministic — but computed WITHOUT a
+    single-partition global sort: ``functions.ordering.distributed_ntile``
+    derives exact global ordinals from band-partitioned windows (band =
+    n_tokens itself, trivially monotone; per-band offsets are a tiny
+    broadcast) and the bucket id in closed-form BIGINT arithmetic. The
+    DuckDB oracle keeps a plain NTILE — two routes, bit-identical
+    partition rule. All outputs are integer aggregates — nothing to
+    drift."""
+    from smfg_datawarehouse_spark.functions.ordering import distributed_ntile
+
     d = t(spark, sf_dir, "documents")
     lens = d.select(
         "doc_id", F.size(word_tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    buckets = lens.withColumn(
-        "decile",
-        F.ntile(10).over(W.orderBy("n_tokens", "doc_id")).cast("long"),
+    buckets = distributed_ntile(
+        lens, 10, ["n_tokens", "doc_id"], F.col("n_tokens"), "decile"
     )
     return buckets.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -3385,10 +3389,12 @@ _X113_ORACLE = """
     )
     SELECT lang, CAST(len_bucket AS BIGINT) AS len_bucket,
            CAST(MAX(n_g) AS BIGINT) AS cell_size,
-           CAST(SUM(ABS(c_gs * n - c_s * n_g)) AS DOUBLE)
+           CAST(SUM(ABS(CAST(c_gs AS HUGEINT) * n - CAST(c_s AS HUGEINT) * n_g))
+                AS DOUBLE)
              / (2.0 * MAX(n_g) * MAX(n)) AS tvd,
-           CAST(CASE WHEN 5 * SUM(ABS(c_gs * n - c_s * n_g))
-                          > 3 * MAX(n_g) * MAX(n)
+           CAST(CASE WHEN 5 * SUM(ABS(CAST(c_gs AS HUGEINT) * n
+                                      - CAST(c_s AS HUGEINT) * n_g))
+                          > 3 * CAST(MAX(n_g) AS HUGEINT) * MAX(n)
                      THEN 1 ELSE 0 END AS BIGINT) AS breach
     FROM grid GROUP BY lang, len_bucket
 """
@@ -3405,9 +3411,10 @@ def x113_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored by total variation distance between its ``source`` mix and
     the global mix — the categorical-attribute instance of t-closeness'
     EMD — and flagged when t > 0.3. The numerator stays in exact integer
-    cross-products (|c_gs·N − c_s·n_g| summed as BIGINT) with ONE double
-    division at the end, and the breach flag compares integers
-    (5·num > 3·n_g·N ⟺ tvd > 0.3), so the whole audit replays
+    cross-products — computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+    so c_gs·N never wraps int64 even past ~3e9 documents — with ONE
+    double division at the end, and the breach flag compares exact
+    integers (5·num > 3·n_g·N ⟺ tvd > 0.3), so the whole audit replays
     bit-exactly. Shape: one corpus scan to cell counts, then a
     cells × sources grid of AGGREGATED rows (both tiny — never
     row-shaped); at 100 TB this is a broadcast-grid rollup."""
@@ -3427,7 +3434,11 @@ def x113_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cell, ["lang", "len_bucket", "source"], "left")
         .withColumn("c_gs", F.coalesce(F.col("c_gs"), F.lit(0)))
     )
-    dev = F.abs(F.col("c_gs") * F.col("n") - F.col("c_s") * F.col("n_g"))
+    dec = "decimal(18,0)"  # product => decimal(37,0): int64-overflow-proof
+    dev = F.abs(
+        F.col("c_gs").cast(dec) * F.col("n").cast(dec)
+        - F.col("c_s").cast(dec) * F.col("n_g").cast(dec)
+    )
     return grid.groupBy("lang", "len_bucket").agg(
         F.max("n_g").cast("long").alias("cell_size"),
         (
@@ -3435,7 +3446,9 @@ def x113_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.max("n_g") * F.max("n"))
         ).alias("tvd"),
         F.when(
-            F.sum(dev) * 5 > F.max("n_g") * F.max("n") * 3, F.lit(1)
+            F.sum(dev) * 5
+            > F.max("n_g").cast(dec) * F.max("n").cast(dec) * 3,
+            F.lit(1),
         )
         .otherwise(F.lit(0))
         .cast("long")
