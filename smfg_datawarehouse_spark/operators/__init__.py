@@ -18,11 +18,19 @@ def register_all() -> None:
     # Imports are for registration side effects.
     from smfg_datawarehouse_spark.operators import (  # noqa: F401
         dedup,
+        etl_core,
         events_analytics,
+        events_funnels,
+        lifecycle,
         multimodal,
         olap_indexing,
+        relational,
         similarity,
         text_analysis,
+        text_corpus_index,
+        text_quality,
         text_sampling,
         text_sketches,
+        warehouse_governance,
+        warehouse_suite,
     )

@@ -1,0 +1,1179 @@
+"""Lake lifecycle certifications l04-l19 (+ q81 bloom join, q86 order-consistency audit): bucketed joins, partition pruning, dispatch, compaction, schema evolution, time travel, vacuum, JDBC extraction, snapshot diff, changelog replay, manifest commits, zonemaps, salted skew joins.
+
+Split out of ``queries.py`` (round 5, VERDICT r4 #8 — module size only;
+zero behavior change). Registration/oracle/determinism conventions are
+documented in ``queries.py``; reference citations live in each docstring.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from smfg_datawarehouse_spark.functions import ordered_concat_ws
+from smfg_datawarehouse_spark.queries import (
+    _scratch_path,
+    _davg_sql,
+    _dsum_sql,
+    _scratch_dir,
+    davg,
+    dsum,
+    load_events,
+    register,
+    t,
+)
+
+_L04_ORACLE = f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register("l04_bucketed_colocated_join", _L04_ORACLE)
+def l04_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2/J] Bucketed-table co-located join lifecycle: fact and dimension
+    are written as BUCKETED parquet tables (8 buckets, hash(l_orderkey) /
+    hash(o_orderkey), sorted within buckets), read back through the
+    catalog, and joined WITHOUT a shuffle — Spark's answer to the
+    pre-partitioned co-located joins a 100 TB warehouse lives on. At that
+    scale both writes happen once at load time and every subsequent join
+    on the bucketing key skips its exchange entirely; the plan pin asserts
+    the join contributes ZERO exchanges (only the final per-priority
+    aggregation shuffles — 5 rows) and that the merge join needs no sort
+    (buckets are written pre-sorted). The oracle computes the same
+    join+agg straight from the raw parquet, so a value drift anywhere in
+    the bucketed write/read/join path hash-fails.
+
+    Reference parity: the reference's DW star schema loads into keyed
+    MySQL tables whose joins ride InnoDB PK order
+    (`source_code/sql/1. Metadata Creation.sql`); bucketing is the lake
+    equivalent of that physical key layout."""
+    import os as _os
+
+    from smfg_datawarehouse_spark.queries import _scratch_dir
+
+    base = _scratch_dir(spark, "l04")
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for name, df, key in [("lineitem", li, "l_orderkey"), ("orders", od, "o_orderkey")]:
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", _os.path.join(base, name))
+            .format("parquet")
+            .saveAsTable(f"l04_{name}_{app}")
+        )
+    lb = spark.table(f"l04_lineitem_{app}")
+    ob = spark.table(f"l04_orders_{app}")
+    joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+_L05_ORACLE = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source = 'src0'
+    GROUP BY lang
+"""
+
+
+@register("l05_partition_pruned_lake", _L05_ORACLE)
+def l05_partition_pruned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2/S3/P4] Partition-pruned lake lifecycle: the documents corpus is
+    written Hive-partitioned by ``source`` (the lake layout a 100 TB
+    curated zone uses for its dominant filter key), read back through the
+    partition directory structure, and a per-source query proves PARTITION
+    PRUNING — the ``source = 'src0'`` predicate is resolved against
+    directory names at planning time, so only 1/|sources| of the files is
+    ever opened (the plan's scan node lists it under PartitionFilters;
+    tests/test_plans pins that). The oracle computes the same rollup from
+    the unpartitioned fixture, so a row lost or duplicated anywhere in the
+    partitioned write/read path hash-fails.
+
+    At scale this is the difference between scanning 100 TB and scanning
+    one partition: pruning happens before I/O, unlike a data filter which
+    still reads every file's pages. Reference parity: the staging-zone
+    per-table directory layout (`staging_data_extraction.py:94` writes
+    `{table}_part_*.parquet` per table dir) generalizes to value-partitioned
+    directories; the partition column is recovered from directory names on
+    read (Spark partition discovery), not stored in the files."""
+    base = _scratch_dir(spark, "l05")
+    d = t(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("source").parquet(base)
+    rd = spark.read.parquet(base).where(F.col("source") == "src0")
+    return rd.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+_Q81_M = 262144  # bloom bits — sized so |urgent keys|·k/m stays ≈0.5 at sf0.1
+_Q81_K = 4
+_Q81_BIT = (
+    "(('0x' || substring(md5(key), 1, 8))::BIGINT"
+    f" + j * ('0x' || substring(md5(key), 9, 8))::BIGINT) % {_Q81_M}"
+)
+
+_Q81_ORACLE = f"""
+    WITH urgent AS (
+      SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    js AS (SELECT unnest(range({_Q81_K})) AS j),
+    bits AS (
+      SELECT DISTINCT {_Q81_BIT} AS bit FROM urgent CROSS JOIN js
+    ),
+    dkeys AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem),
+    kb AS (SELECT key, {_Q81_BIT} AS bit FROM dkeys CROSS JOIN js),
+    verd AS (
+      SELECT kb.key,
+             CASE WHEN COUNT(b.bit) = {_Q81_K} THEN 1 ELSE 0 END AS pass
+      FROM kb LEFT JOIN bits b ON kb.bit = b.bit
+      GROUP BY kb.key
+    ),
+    rows_ AS (
+      SELECT v.pass,
+             CASE WHEN u.key IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM lineitem l
+      JOIN verd v ON CAST(l.l_orderkey AS VARCHAR) = v.key
+      LEFT JOIN urgent u ON v.key = u.key
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitem,
+           CAST(SUM(pass) AS BIGINT) AS n_candidates,
+           CAST(SUM(hit) AS BIGINT) AS n_joined,
+           CAST(SUM(pass) - SUM(hit) AS BIGINT) AS false_pos_rows,
+           CAST(SUM(pass) AS DOUBLE) / COUNT(*) AS candidate_ratio
+    FROM rows_
+"""
+
+
+@register("q81_bloom_join_pushdown", _Q81_ORACLE)
+def q81_bloom_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J/§2.3/X] RUNTIME-FILTER join pushdown, made explicit and
+    measurable: the dimension side's join keys (urgent orders) compress
+    into an m-bit Bloom filter (Kirsch–Mitzenmacher double hashing — one
+    md5, k derived positions; the same portable family as x51), and the
+    FACT scan probes the filter as k scalar broadcast lookups BEFORE any
+    join shuffle would run — candidate_ratio is exactly the fraction of
+    fact rows that would survive into the shuffle. The exact-match count
+    rides along (one more broadcast marker join), so the oracle
+    re-asserts the defining invariants: no false negatives
+    (n_candidates ≥ n_joined, every true match passes) and the measured
+    false_pos_rows at this m/k operating point.
+
+    Why it matters at 100 TB: when the dim's key set is too big to
+    broadcast as a hash relation, its Bloom bitmap (m bits — here 32 KB
+    of set-bit rows, independent of key count) still broadcasts, and
+    pre-filtering the fact to candidate_ratio before a sort-merge join
+    cuts the dominant shuffle by 1/ratio. This is what Spark's AQE
+    runtime bloom filter does internally; expressed explicitly it is
+    oracle-checkable and tunable (m sizes to |dim keys|·k/ln2). The whole
+    plan is scan-side: k+2 broadcast joins, one single-row aggregate,
+    ZERO fact shuffles."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("string").alias("key"))
+        .distinct()
+    )
+    key = F.col("key")
+    h1 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+    bit_exprs = [((h1 + F.lit(j) * h2) % _Q81_M).alias(f"b{j}") for j in range(_Q81_K)]
+    bits = (
+        urgent.select(F.explode(F.array(*[(h1 + F.lit(j) * h2) % _Q81_M for j in range(_Q81_K)])).alias("bit"))
+        .distinct()
+    )
+    probe = li.select(F.col("l_orderkey").cast("string").alias("key")).select(
+        "key", *bit_exprs
+    )
+    for j in range(_Q81_K):
+        marker = bits.select(F.col("bit").alias(f"bit{j}")).withColumn(
+            f"m{j}", F.lit(1)
+        )
+        probe = probe.join(
+            F.broadcast(marker), probe[f"b{j}"] == marker[f"bit{j}"], "left"
+        )
+    passed = F.when(
+        sum(F.col(f"m{j}").isNotNull().cast("int") for j in range(_Q81_K)) == _Q81_K, 1
+    ).otherwise(0)
+    probe = probe.join(
+        F.broadcast(urgent.withColumn("_hit", F.lit(1))), "key", "left"
+    )
+    return probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitem"),
+        F.sum(passed).cast("long").alias("n_candidates"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_joined"),
+        (F.sum(passed) - F.sum(F.coalesce(F.col("_hit"), F.lit(0))))
+        .cast("long")
+        .alias("false_pos_rows"),
+        (F.sum(passed).cast("double") / F.count(F.lit(1))).alias("candidate_ratio"),
+    )
+
+
+@register(
+    "l06_realtime_dispatch_lifecycle",
+    """
+    SELECT 'tpch.orders' AS TableName, 'SUCCESS' AS Status,
+           CAST(COUNT(*) AS BIGINT) AS RowCount
+    FROM orders
+    UNION ALL
+    SELECT 'tpch.orders@staging', 'SUCCESS', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    """,
+)
+def l06_realtime_dispatch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/L1-L6/S2] The metadata-driven REALTIME path as a checkable
+    lifecycle (l01's streaming sibling): ``RefreshFrequency='REALTIME'``
+    in table metadata dispatches a Structured Streaming query through the
+    SAME compiled ExtractionPlan as the batch path — readStream over the
+    raw zone → foreachBatch → staging zone appends + per-micro-batch
+    audit rows → SUCCESS/PARTIAL/FAILED rollup. The returned rows
+    reconcile BOTH ledgers the reference's audit model demands
+    (`1. Metadata Creation.sql:35-39`): the table-level REALTIME_STAGING
+    audit row's RowCount, and an independent count read back from the
+    staged parquet itself — each must equal the raw source count, or the
+    hash fails. Checkpoints live inside the per-invocation scratch dir,
+    so every run drains from offset zero (the incremental
+    second-run-only-new-files behavior is pinned by
+    tests/test_streaming.py::test_metadata_realtime_dispatch_end_to_end)."""
+    import os
+
+    from smfg_datawarehouse_spark.audit import AuditLedger
+    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
+    from smfg_datawarehouse_spark.runner import run_realtime_staging
+    from smfg_datawarehouse_spark.sources.lake import LakeZones
+
+    tmp = _scratch_dir(spark, "l06")
+    zones = LakeZones(os.path.join(tmp, "lake"))
+    audit = AuditLedger(spark, os.path.join(tmp, "audit"))
+    t(spark, sf_dir, "orders").repartition(2).write.mode("overwrite").parquet(
+        os.path.join(zones.raw, "tpch", "orders")
+    )
+    cat = seed_fixture_catalog(spark)
+    cat.table_config = cat.table_config.withColumn(
+        "RefreshFrequency",
+        F.when(F.col("TableName") == "orders", F.lit("REALTIME")).otherwise(
+            F.col("RefreshFrequency")
+        ),
+    )
+    pid, _results = run_realtime_staging(spark, cat, zones, audit)
+    audit_rows = (
+        audit.stage_detail()
+        .where(
+            (F.col("ProcessID") == pid)
+            & (F.col("StageName") == "REALTIME_STAGING")
+        )
+        .select(
+            "TableName", "Status", F.col("RowCount").cast("long").alias("RowCount")
+        )
+    )
+    landed = spark.read.parquet(zones.staging_table_dir("tpch", "orders"))
+    landed_row = landed.agg(
+        F.lit("tpch.orders@staging").alias("TableName"),
+        F.lit("SUCCESS").alias("Status"),
+        F.count(F.lit(1)).cast("long").alias("RowCount"),
+    )
+    return audit_rows.unionByName(landed_row)
+
+
+@register(
+    "l07_compaction_lifecycle",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def l07_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S3] The reference's chunk-consolidation step
+    (`staging_data_extraction.py:30-80`: glob part files → concat → one
+    snappy file) as a certified lake-maintenance lifecycle: the corpus is
+    written as MANY small part files (the real small-files problem a
+    chunked/streaming ingest creates), `compact` rewrites the directory
+    into size-targeted files with an atomic-ish swap, and the per-source
+    rollup read back from the compacted directory must hash-match the
+    oracle's rollup over the original fixture — compaction must be
+    byte-for-byte content-preserving. The small-files reduction itself is
+    asserted structurally in-query (fail loudly, not hash-fail
+    mysteriously): file count must strictly drop to 1 at this scale.
+
+    At 100 TB `target_file_bytes` sizes output files to the cluster's
+    scan sweet spot (Spark default 128 MB splits) instead of the
+    reference's force-one-file concat, which cannot scale past a single
+    worker's memory."""
+    import glob as _glob
+    import os
+
+    from smfg_datawarehouse_spark.sources.lake import compact
+
+    tmp = _scratch_dir(spark, "l07")
+    path = os.path.join(tmp, "documents")
+    t(spark, sf_dir, "documents").repartition(24).write.parquet(path)
+    n_before = len(_glob.glob(os.path.join(path, "part-*.parquet")))
+    compact(spark, path, target_file_bytes=10 * 1024 * 1024 * 1024)
+    n_after = len(_glob.glob(os.path.join(path, "part-*.parquet")))
+    if not (n_after < n_before and n_after == 1):
+        raise RuntimeError(
+            f"compaction did not reduce part files: {n_before} -> {n_after}"
+        )
+    return (
+        spark.read.parquet(path)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "l08_partial_failure_rollup",
+    """
+    SELECT 'tpch.lineitem' AS Name, 'SUCCESS' AS Status,
+           CAST(COUNT(*) AS BIGINT) AS RowCount
+    FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'
+    UNION ALL
+    SELECT 'tpch.orders', 'FAILED', CAST(-1 AS BIGINT)
+    UNION ALL
+    SELECT 'RUN', 'PARTIAL', CAST(-1 AS BIGINT)
+    """,
+)
+def l08_partial_failure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[L6] The FAILURE side of the audit ledger certified (l01 proves the
+    happy path): one table's source reader raises mid-run (injected
+    outage on orders), the runner isolates the failure — lineitem still
+    extracts and audits SUCCESS with its incremental row count — the
+    failed table gets a FAILED stage row, and the master rolls up
+    **PARTIAL** exactly as the reference's status enum declares
+    (`1. Metadata Creation.sql:12`; finalizer shape
+    `dag/SMFG_DW_ETL_DAG.py:294-308`). The oracle pins all three ledger
+    facts; RowCount for non-count rows is -1 (sentinel, not NULL — a
+    nullable int column would surface as float through pandas and break
+    the hash)."""
+    import os
+
+    from smfg_datawarehouse_spark.audit import AuditLedger
+    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
+    from smfg_datawarehouse_spark.runner import run_staging_extraction
+    from smfg_datawarehouse_spark.sources.lake import LakeZones
+
+    tmp = _scratch_dir(spark, "l08")
+    zones = LakeZones(os.path.join(tmp, "lake"))
+    audit = AuditLedger(spark, os.path.join(tmp, "audit"))
+    cat = seed_fixture_catalog(spark)
+
+    def reader(s: SparkSession, plan) -> DataFrame:
+        if plan.table_name == "orders":
+            raise RuntimeError("injected source outage")
+        return t(s, sf_dir, plan.table_name)
+
+    pid, _results = run_staging_extraction(
+        spark, cat, zones, audit, source_reader=reader
+    )
+    stage_rows = (
+        audit.stage_detail()
+        .where(F.col("ProcessID") == pid)
+        .select(
+            F.col("TableName").alias("Name"),
+            "Status",
+            F.coalesce(F.col("RowCount").cast("long"), F.lit(-1)).alias("RowCount"),
+        )
+    )
+    master_row = (
+        audit.process_master()
+        .where(F.col("ProcessID") == pid)
+        .select(
+            F.lit("RUN").alias("Name"),
+            "Status",
+            F.lit(-1).cast("long").alias("RowCount"),
+        )
+    )
+    return stage_rows.unionByName(master_row)
+
+
+@register(
+    "l09_schema_evolution_lifecycle",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_quality,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS quality_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def l09_schema_evolution_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2/P7] SCHEMA EVOLUTION on the lake certified: an old batch lands
+    WITHOUT the ``quality`` column, a later batch lands WITH it (the
+    column-added-to-``DW_Column_Config`` scenario — the reference's
+    mutable column configs imply exactly this drift), and the merged
+    read (``mergeSchema``) must surface old rows with NULL quality while
+    new rows keep theirs — no rewrite of already-landed data. The
+    certified rollup counts per source how many docs carry the evolved
+    column and their char mass, which the oracle replays from the
+    batch-membership rule (doc_id % 3 = 0 → evolved batch), so a row
+    lost, duplicated, or mis-NULLed by the merge path hash-fails.
+
+    At 100 TB this is the difference between an O(new-batch) append and
+    an O(corpus) backfill: evolution must be metadata-only. Spark's
+    mergeSchema unions footers at planning time; per-file projection
+    fills the missing column with NULL at scan."""
+    import os
+
+    tmp = _scratch_dir(spark, "l09")
+    path = os.path.join(tmp, "documents")
+    d = t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "source", "n_chars")
+    new = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", "n_chars", F.col("n_chars").cast("long").alias("quality")
+    )
+    old.write.parquet(path)
+    new.write.mode("append").parquet(path)
+    from smfg_datawarehouse_spark.sources.lake import read_evolved_parquet
+
+    merged = read_evolved_parquet(spark, path)
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("quality").isNotNull().cast("long")).cast("long").alias("n_with_quality"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(0))).cast("long").alias("quality_chars"),
+    )
+
+
+@register(
+    "l10_incremental_agg_maintenance",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def l10_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/T1] INCREMENTAL VIEW MAINTENANCE certified: a per-source
+    rollup materialized from the base corpus is refreshed when a delta
+    batch arrives by merging the STORED aggregate with the DELTA's
+    aggregate — the base rows are never rescanned. Counts and sums are
+    self-mergeable (the same partial-aggregate algebra Spark uses
+    map-side), so refresh cost is O(delta) + O(|view|) instead of
+    O(corpus): at 100 TB that's the difference between a minute and a
+    day for every arriving batch. The refreshed view must hash-match the
+    oracle's full recompute over the complete corpus — merge drift
+    (double counting, lost rows, wrong null handling) fails loudly.
+
+    The same pattern maintains any commutative-monoid aggregate
+    (count/sum/min/max, sketches like x47's HLL or x52's quantile
+    digests — all mergeable); AVG-style ratios are maintained as
+    (sum, count) pairs and divided at read time."""
+    import os
+
+    tmp = _scratch_dir(spark, "l10")
+    mv_path = os.path.join(tmp, "mv_source_stats")
+    d = t(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 3 != 0)
+    delta = d.where(F.col("doc_id") % 3 == 0)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+
+    rollup(base).write.parquet(mv_path)  # the standing materialized view
+    stored = spark.read.parquet(mv_path)  # refresh reads the VIEW, not base
+    return (
+        stored.unionByName(rollup(delta))
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_L11_ORACLE = f"""
+    WITH base AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, value FROM events
+    ), m AS (SELECT MIN(day) AS d0 FROM base)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS cnt,
+           {_dsum_sql("CASE WHEN day = m.d0 THEN value * 2 ELSE value END")}
+             AS total_value
+    FROM base CROSS JOIN m
+    GROUP BY day
+"""
+
+
+@register("l11_dynamic_partition_overwrite", _L11_ORACLE)
+def l11_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2/S7/J3] PARTITION-SCOPED UPDATE via dynamic partition
+    overwrite: the events table lands day-partitioned; a restatement
+    batch for ONE day (values doubled — a late-correction scenario)
+    overwrites in ``partitionOverwriteMode=dynamic``, which replaces
+    ONLY the partitions present in the incoming batch. A structural gate
+    asserts an untouched partition's file set is byte-name-identical
+    after the overwrite (static mode would have truncated the whole
+    table — THE classic lake data-loss failure this mode exists to
+    prevent), and the per-day rollup read back must hash-match the
+    oracle's restated expectation.
+
+    At 100 TB this is how daily restatements ship: O(one partition)
+    rewritten, every other partition physically untouched — the
+    partition-level complement to l02's row-level MERGE."""
+    import os
+
+    tmp = _scratch_dir(spark, "l11")
+    path = os.path.join(tmp, "events_by_day")
+    e = t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    e.write.partitionBy("day").parquet(path)
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("day=")
+    )
+    target, untouched = days[0], days[1]
+    before = sorted(os.listdir(os.path.join(path, f"day={untouched}")))
+    upd = e.where(F.col("day") == target).withColumn("value", F.col("value") * 2)
+    (
+        upd.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    after = sorted(os.listdir(os.path.join(path, f"day={untouched}")))
+    if before != after:
+        raise RuntimeError(
+            f"dynamic overwrite touched partition day={untouched}: "
+            f"{before} -> {after}"
+        )
+    return (
+        spark.read.parquet(path)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "l12_time_travel_read",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    updates AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate
+      FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+    ),
+    v1 AS (
+      SELECT * FROM updates
+      UNION ALL
+      SELECT * FROM target
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT CAST(0 AS BIGINT) AS version, * FROM target
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS version, * FROM v1
+    """,
+)
+def l12_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3/S7] TIME TRAVEL certification: l02's merge lifecycle, then
+    BOTH snapshots are read back from storage — ``read(version=0)`` must
+    still return the exact pre-merge state after the merge has moved the
+    current pointer to v1, and ``read()`` must return the merged state.
+    The union (tagged with a version column) hash-checks both reads in
+    one oracle: a merge that mutated v0 in place, or a version pointer
+    that resolves wrongly, fails the hash. This is the audit/debugging
+    contract a versioned lake exists for (reproduce yesterday's training
+    mix exactly); the reference declares the same intent with its
+    RecordAdded/RecordUpdated bookkeeping
+    (reference/source_code/sql/1. Metadata Creation.sql:133,146).
+
+    Scale shape: snapshots are directory-versioned parquet — each read
+    is a plain pruned scan of ONE version directory; no log replay, no
+    copy-on-read. The merge itself is l02's single key-shuffle."""
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+
+    o = t(spark, sf_dir, "orders")
+    target = o.where("o_orderdate < DATE '1997-01-01'").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    updates = o.where("o_orderdate >= DATE '1996-01-01'").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate",
+    )
+    vt = VersionedTable(spark, _scratch_dir(spark, "l12"))
+    vt.write(target)
+    vt.merge(updates, ["o_orderkey"])
+    v0 = vt.read(version=0).select(F.lit(0).cast("long").alias("version"), "*")
+    v1 = vt.read().select(F.lit(1).cast("long").alias("version"), "*")
+    return v0.unionByName(v1)
+
+
+@register(
+    "l13_vacuum_lifecycle",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    updates AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate
+      FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+    )
+    SELECT * FROM updates
+    UNION ALL
+    SELECT * FROM target
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+)
+def l13_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3/S7] RETENTION/VACUUM certification, the storage-cost half of
+    the versioned-lake contract (l12 proves old versions stay readable;
+    this proves they can be RECLAIMED without touching the current one):
+    write v0 → merge to v1 → ``vacuum(keep_last=1)``. Structural gates
+    raise if vacuum kept the wrong set (versions() must be exactly [1])
+    or if the evicted v0 is still readable (time travel to it must now
+    fail) — then the surviving current snapshot is read back from
+    storage and hash-checked against the same MERGE oracle as l02: a
+    vacuum that deleted files out from under v1 hash-fails, a vacuum
+    that missed v0 raises.
+
+    At 100 TB vacuum IS the cost model — snapshots-forever doubles
+    storage every restatement cycle; this certifies eviction is exact
+    (newest-k survive, everything else physically gone)."""
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+
+    o = t(spark, sf_dir, "orders")
+    target = o.where("o_orderdate < DATE '1997-01-01'").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    updates = o.where("o_orderdate >= DATE '1996-01-01'").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate",
+    )
+    vt = VersionedTable(spark, _scratch_dir(spark, "l13"))
+    vt.write(target)
+    vt.merge(updates, ["o_orderkey"])
+    removed = vt.vacuum(keep_last=1)
+    if removed != [0] or vt.versions() != [1]:
+        raise RuntimeError(
+            f"vacuum kept wrong versions: removed={removed}, left={vt.versions()}"
+        )
+    try:
+        vt.read(version=0)
+    except FileNotFoundError:
+        pass
+    else:
+        raise RuntimeError("vacuumed v0 is still readable")
+    return vt.read()
+
+
+@register(
+    "q86_order_consistency_audit",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS charge
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey, o.o_totalprice, li.charge,
+             CASE WHEN li.charge IS NULL THEN CAST(-1 AS BIGINT)
+                  ELSE CAST(LEAST(CAST(FLOOR(
+                         ABS(o.o_totalprice - li.charge) / o.o_totalprice * 10.0
+                       ) AS BIGINT), 10) AS BIGINT) END AS band
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_declared,
+           CAST(SUM(CAST(COALESCE(charge, 0.0) AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_derived
+    FROM j GROUP BY band
+    """,
+)
+def q86_order_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J4/A4/§2.7] FINANCIAL CONSISTENCY AUDIT between the order header
+    and its lines: each order's declared o_totalprice vs the
+    lineitem-derived charge (Σ extprice·(1−disc)·(1+tax), exact decimal
+    accumulation), bucketed by relative-discrepancy decile (band 10 =
+    ≥100% off, band −1 = orders with NO lineitems — the referential
+    orphans J4's anti-join would flag). A warehouse load that drifted a
+    discount sign, dropped lines, or double-applied tax shows up as mass
+    outside band 0 — the aggregate-level data-quality gate that
+    complements row-level FK checks (q09), certified against the same
+    bands computed by the oracle.
+
+    Determinism: per-order charge is a decimal exact sum cast double;
+    the band arithmetic is the identical double expression in both
+    engines; totals are decimal sums. Scale shape: ONE key shuffle
+    (groupBy l_orderkey) + one join on the same key (co-partitioned —
+    AQE plans it without a second lineitem shuffle), then a
+    map-side-combined rollup onto ≤ 12 bands."""
+    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    band = F.when(F.col("charge").isNull(), F.lit(-1).cast("long")).otherwise(
+        F.least(
+            F.floor(
+                F.abs(F.col("o_totalprice") - F.col("charge"))
+                / F.col("o_totalprice")
+                * 10.0
+            ).cast("long"),
+            F.lit(10).cast("long"),
+        )
+    )
+    return j.select(band.alias("band"), "o_totalprice", "charge").groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_declared"),
+        dsum(F.coalesce(F.col("charge"), F.lit(0.0))).alias("total_derived"),
+    )
+
+
+@register(
+    "l14_jdbc_extraction_lifecycle",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+    GROUP BY EXTRACT(year FROM o_orderdate)
+    """,
+)
+def l14_jdbc_extraction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S1/§2.1] The chunked JDBC extraction certified END-TO-END against
+    a REAL database: an orders slice is LOADED into embedded Apache
+    Derby through Spark's JDBC sink (4 concurrent insert streams,
+    batched prepared statements — the DW-load direction), then EXTRACTED
+    back through the engine's range-partitioned JDBC scan
+    (``sources/jdbc.py``: 8 bounded slices on o_orderkey, bounded
+    fetchsize — the Spark-parallel replacement for the reference's
+    serial 100k-row cursor loop,
+    reference/source_code/python/airflow_utility/staging_data_extraction.py:83-106),
+    and the extracted rows are aggregated and hash-checked against the
+    oracle computed straight from parquet. Any drift in the JDBC type
+    round-trip (DOUBLE, DATE, BIGINT), partition-slice union, or
+    pushdown surfaces as a hash mismatch. Derby is in Spark's JVM by
+    default (the Hive-metastore store), so this runs the SAME
+    DriverManager code path a MySQL/Postgres URL takes on a production
+    cluster — only the URL differs.
+
+    Scale shape: the partitioned read opens N bounded cursors
+    concurrently (memory per connection bounded by fetchsize); the
+    rollup is a map-side-combined groupBy onto |years| rows."""
+    import os
+
+    from smfg_datawarehouse_spark.sources.jdbc import jdbc_reader_options, read_jdbc
+
+    jvm = spark._jvm
+    # Embedded Derby keeps a booted database pinned in the JVM; clearing
+    # the scratch dir under a booted DB leaves the engine pointing at
+    # deleted files ("ERROR 08003: No current connection" on the next
+    # invocation). Shut the previous invocation's DB down FIRST — a
+    # successful shutdown itself raises (SQLState 08006, by Derby design).
+    prev = os.path.join(_scratch_path(spark, "l14"), "db")
+    try:
+        jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{prev};shutdown=true")
+    except Exception:
+        pass  # 08006 on success; also lands here if nothing was booted
+
+    db_path = os.path.join(_scratch_dir(spark, "l14"), "db")
+    url = f"jdbc:derby:{db_path}"
+    try:
+        jvm.java.sql.DriverManager.getConnection(url + ";create=true").close()
+    except Exception:  # driver not auto-registered in this JVM yet
+        jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        jvm.java.sql.DriverManager.getConnection(url + ";create=true").close()
+
+    o = t(spark, sf_dir, "orders").where(
+        "o_orderdate >= DATE '1997-01-01'"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    (
+        o.repartition(4)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_stage")
+        .option("batchsize", "5000")
+        .mode("overwrite")
+        .save()
+    )
+    bounds = o.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    opts = jdbc_reader_options(
+        url,
+        "orders_stage",
+        is_query=False,
+        partition_column="o_orderkey",
+        lower_bound=int(bounds["lo"]),
+        upper_bound=int(bounds["hi"]) + 1,
+        num_partitions=8,
+        fetch_size=100_000,
+    )
+    back = read_jdbc(spark, opts)
+    return back.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+
+
+@register(
+    "l15_snapshot_diff",
+    """
+    WITH v0 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    v1 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderdate >= DATE '1996-06-01'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate
+      FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+    )
+    SELECT CASE WHEN v0.o_orderkey IS NULL THEN 'insert'
+                WHEN v1.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           COALESCE(v0.o_orderkey, v1.o_orderkey) AS o_orderkey,
+           v0.o_custkey AS old_o_custkey, v1.o_custkey AS new_o_custkey,
+           v0.o_totalprice AS old_o_totalprice,
+           v1.o_totalprice AS new_o_totalprice,
+           v0.o_orderdate AS old_o_orderdate, v1.o_orderdate AS new_o_orderdate
+    FROM v0 FULL OUTER JOIN v1 ON v0.o_orderkey = v1.o_orderkey
+    WHERE NOT (v0.o_orderkey IS NOT NULL AND v1.o_orderkey IS NOT NULL
+               AND v0.o_custkey IS NOT DISTINCT FROM v1.o_custkey
+               AND v0.o_totalprice IS NOT DISTINCT FROM v1.o_totalprice
+               AND v0.o_orderdate IS NOT DISTINCT FROM v1.o_orderdate)
+    """,
+)
+def l15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3/S7] CDC SNAPSHOT DIFF certified — the changelog half of the
+    versioned-lake contract (l12 proves old versions stay READABLE; this
+    proves the change set BETWEEN two versions is derivable exactly):
+    v0 = pre-1997 orders; v1 = a restatement that PURGES pre-1995 rows
+    (retention), DOUBLES totals from 1996-06 on (correction), and lands
+    the 1997+ rows (new data). ``VersionedTable.diff`` classifies every
+    key as insert/delete/update/unchanged via ONE full outer join with
+    null-safe column comparison; the emitted change rows (unchanged
+    excluded — this is what a downstream consumer replays) hash-check
+    against a literal FULL OUTER JOIN oracle. This is the Delta
+    CDF / Iceberg-changelog capability on plain snapshot-versioned
+    parquet — no log, works between ANY two committed versions.
+
+    Scale shape: one key-partitioned shuffle per side feeding a single
+    sort-merge full outer join; column comparison is codegen'd per row.
+    At 100 TB the diff of two snapshots costs the same as one big join —
+    no per-merge log replay, and bucketing both snapshots by the merge
+    keys would eliminate even that shuffle."""
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+
+    o = t(spark, sf_dir, "orders")
+    v0 = o.where("o_orderdate < DATE '1997-01-01'").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    v1 = o.where("o_orderdate >= DATE '1995-01-01'").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") >= F.to_date(F.lit("1996-06-01")),
+            F.col("o_totalprice") * 2,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+    )
+    vt = VersionedTable(spark, _scratch_dir(spark, "l15"))
+    vt.write(v0)
+    vt.write(v1)
+    return (
+        vt.diff(0, 1, ["o_orderkey"])
+        .where("change_type <> 'unchanged'")
+        .select(
+            "change_type",
+            "o_orderkey",
+            "old_o_custkey",
+            "new_o_custkey",
+            "old_o_totalprice",
+            "new_o_totalprice",
+            "old_o_orderdate",
+            "new_o_orderdate",
+        )
+    )
+
+
+@register(
+    "l16_changelog_replay",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderdate >= DATE '1996-06-01'
+                THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate
+    FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+    """,
+)
+def l16_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3/S7] CHANGELOG REPLAY certified — the CONSUMER side of l15's
+    CDC contract: ``apply_changeset(v0, diff(v0, v1)) == v1``. A replica
+    holding only v0 plus the change rows reconstructs v1 exactly —
+    deletes anti-joined out, inserts/updates merged in — and the
+    reconstruction is (a) gated in-engine against the stored v1
+    (count + exceptAll must both agree; a lossy diff or a wrong apply
+    raises here) and (b) hash-checked against the restatement oracle.
+    Together l15+l16 prove the changelog is complete AND sufficient:
+    nothing the diff emits is wrong, and nothing it omits is needed.
+
+    Scale shape: replay costs O(base + changes) — one anti-join shuffle
+    and one merge shuffle, both on the table key; the replica never
+    rescans the source table. This is the snapshot-replication pattern
+    (Delta CDF consumers, cross-region replicas) on plain versioned
+    parquet."""
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+    from smfg_datawarehouse_spark.transform import apply_changeset
+
+    o = t(spark, sf_dir, "orders")
+    v0 = o.where("o_orderdate < DATE '1997-01-01'").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    v1 = o.where("o_orderdate >= DATE '1995-01-01'").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") >= F.to_date(F.lit("1996-06-01")),
+            F.col("o_totalprice") * 2,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+    )
+    vt = VersionedTable(spark, _scratch_dir(spark, "l16"))
+    vt.write(v0)
+    vt.write(v1)
+    changes = vt.diff(0, 1, ["o_orderkey"]).where("change_type <> 'unchanged'")
+    rec = apply_changeset(vt.read(0), changes, ["o_orderkey"]).persist()
+    try:
+        stored = vt.read(1)
+        n_rec, n_v1 = rec.count(), stored.count()
+        n_extra = rec.exceptAll(stored).count()
+        if n_rec != n_v1 or n_extra:
+            raise RuntimeError(
+                f"changelog replay diverged: reconstructed {n_rec} rows vs "
+                f"stored {n_v1}, {n_extra} rows not in v1"
+            )
+    finally:
+        # the persist only serves the two-count replay gate; release the
+        # cached partitions so repeated invocations in a long-lived app
+        # don't accumulate executor memory (the returned plan recomputes,
+        # which is fine — callers materialize once)
+        rec.unpersist()
+    return rec
+
+
+@register(
+    "l17_manifest_commit_lifecycle",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def l17_manifest_commit_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S3/S7] MANIFEST-COMMIT table lifecycle — the object-store-safe
+    commit protocol (Delta/Iceberg's core on plain parquet;
+    ``sources/manifest.py``), certifying the production answer to the
+    compaction race ``lake.compact`` documents: data files are immutable,
+    a commit is an atomic single-object CURRENT swap, and compaction
+    never deletes what a reader might hold.
+
+    Lifecycle, each transition gated in-engine (raise loudly, never
+    hash-fail mysteriously):
+
+    1. ``write`` (orders before 1996) → ``append`` (the rest): manifest
+       v2 must reference both batches' files.
+    2. ``compact()`` → v3 with strictly fewer files; the PRE-compaction
+       snapshot ``read(2)`` must still return identical counts AFTER the
+       compaction commit — snapshot isolation, the property a directory
+       swap cannot give.
+    3. ``vacuum(keep_last=1)`` must remove exactly the files v3 does not
+       reference, after which ``read(2)`` must fail (retention expired)
+       while ``read()`` still serves v3.
+
+    The returned priority rollup over the post-vacuum table hash-matches
+    the oracle over the raw fixture — the whole commit/compact/vacuum
+    chain is content-preserving."""
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
+
+    tmp = _scratch_dir(spark, "l17")
+    mt = ManifestTable(spark, os.path.join(tmp, "orders_mt"))
+    o = t(spark, sf_dir, "orders")
+    mt.write(o.where("o_orderdate < DATE '1996-01-01'").repartition(4))
+    v2 = mt.append(o.where("o_orderdate >= DATE '1996-01-01'").repartition(4))
+    files_v2 = set(mt.manifest(v2))
+    if len(files_v2) < 8:
+        raise RuntimeError(f"append manifest lists {len(files_v2)} files, expected >=8")
+    n_v2 = mt.read(v2).count()
+    v3 = mt.compact(target_file_bytes=10 * 1024 * 1024 * 1024)
+    files_v3 = set(mt.manifest(v3))
+    if not (len(files_v3) == 1 and files_v3.isdisjoint(files_v2)):
+        raise RuntimeError("compaction must commit one fresh file, touching none")
+    # snapshot isolation: the pre-compaction manifest still fully readable
+    if mt.read(v2).count() != n_v2:
+        raise RuntimeError("pre-compaction snapshot changed under compaction")
+    removed = set(mt.vacuum(keep_last=1))
+    if removed != files_v2:
+        raise RuntimeError(f"vacuum removed {removed ^ files_v2} unexpectedly")
+    try:
+        mt.read(v2).count()
+        raise RuntimeError("expired snapshot v2 still readable after vacuum")
+    except Exception as exc:
+        if isinstance(exc, RuntimeError):
+            raise
+        pass  # expected: v2's files are gone
+    return (
+        mt.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "l18_zonemap_pruned_scan",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def l18_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2/S3] Sorted export with a per-file ZONE MAP, then a pruned
+    range scan (``sources/lake.write_sorted_with_zonemap`` /
+    ``read_zonemap_pruned``): orders are range-partitioned and sorted by
+    o_orderdate into 8 files whose min/max zones are collected at write
+    time; a one-year predicate then reads ONLY the files whose zone
+    intersects it. The engine RAISES unless pruning actually skipped
+    files (the property being certified — a zone map that never skips is
+    a no-op), the exact predicate is re-applied after pruning (zone maps
+    are conservative), and the rollup hash-matches a plain filtered scan
+    of the raw fixture. This is the file-granularity layout/skipping
+    discipline that turns a 100 TB time-range query into a 1% read;
+    within each chosen file, parquet row-group stats (tight, because
+    sorted) let Spark's reader skip further. Reference intent: the
+    consolidated ordered extract of ``staging_data_extraction.py:30-80``,
+    re-done so the ordering pays off at read time."""
+    from smfg_datawarehouse_spark.sources.lake import (
+        read_zonemap_pruned,
+        write_sorted_with_zonemap,
+    )
+
+    tmp = _scratch_dir(spark, "l18")
+    path = os.path.join(tmp, "orders_sorted")
+    o = t(spark, sf_dir, "orders")
+    zonemap = write_sorted_with_zonemap(o, path, "o_orderdate", n_files=8)
+    import datetime
+
+    # fixture o_orderdate is parquet timestamp — bound with the same type
+    lo = datetime.datetime(1996, 1, 1)
+    end = datetime.datetime(1997, 1, 1)
+    hi = end - datetime.timedelta(microseconds=1)
+    pruned, n_read, n_total = read_zonemap_pruned(spark, zonemap, lo, hi)
+    if n_read >= n_total:
+        raise RuntimeError(
+            f"zone map skipped nothing ({n_read}/{n_total} files read)"
+        )
+    return (
+        pruned.where(
+            (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(end))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "l19_salted_skew_join",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def l19_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1/J2 skew tier] SALTED equi-join certified identical to the
+    plain join (``functions/skew.salted_join``): the fact side salts each
+    row into one of 8 sub-keys by deterministic ``xxhash64`` (replay- and
+    partition-invariant — retries salt identically), the dim side is
+    exploded ×8, and the join runs on (key, salt) so one hot key's rows
+    spread across 8 tasks instead of stalling one straggler. The oracle
+    is the UNSALTED join — the whole point is bit-identical results with
+    a bounded per-task key volume. This is the manual fallback tier for
+    the skew AQE can't fix (e.g. a downstream groupBy on the hot key, or
+    engines/stages where AQE skew-split doesn't apply); the engine's
+    default path stays plain + AQE. Uniform fixture keys don't exercise
+    the *imbalance*, so ``tests/test_skew.py`` additionally pins behavior
+    under a forced hot key; this query certifies end-to-end value
+    equality through the driver contract."""
+    from smfg_datawarehouse_spark.functions.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_partkey"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, o, ["l_orderkey"], salt_from=F.col("l_partkey"), buckets=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )

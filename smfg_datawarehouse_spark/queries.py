@@ -416,5032 +416,3 @@ def _davg_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)"
 
 
-# ---------------------------------------------------------------------------
-# Reference-parity analytical queries
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q01_pricing_summary",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           {_dsum_sql('l_quantity')} AS sum_qty,
-           {_dsum_sql('l_extendedprice')} AS sum_base_price,
-           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-           {_davg_sql('l_quantity')} AS avg_qty,
-           {_davg_sql('l_extendedprice')} AS avg_price,
-           {_davg_sql('l_discount')} AS avg_disc,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4] TPC-H-Q1-shaped grouped aggregation — the flagship analytical agg.
-
-    Single scan, partial (map-side) aggregation before the shuffle; at 100 TB
-    this is one shuffle of |groups| rows per partition — optimal.
-    """
-    li = t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-@register(
-    "q02_projection_rename_filter",
-    """
-    SELECT l_orderkey AS order_key,
-           l_linenumber AS line_no,
-           l_quantity AS qty,
-           l_extendedprice * (1 - l_discount) AS net_price
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
-      AND l_quantity > 45
-    """,
-)
-def q02_projection_rename_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[P1/P2/P3/P4] Include-flag pruning + alias map + expression transform +
-    incremental predicate — the compiled-extraction shape of the reference
-    (``Staging_Extraction_Metadata_Query.sql:20-52``) on a fact table.
-
-    Catalyst pushes both the projection and the predicates into the parquet
-    scan (verify: PushedFilters + ReadSchema in `.explain`).
-    """
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.where(
-            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-06-01 00:00:00")))
-            & (F.col("l_quantity") > 45)
-        )
-        .select(
-            F.col("l_orderkey").alias("order_key"),
-            F.col("l_linenumber").alias("line_no"),
-            F.col("l_quantity").alias("qty"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
-        )
-    )
-
-
-@register(
-    "q03_join_customer_orders",
-    f"""
-    SELECT c.c_mktsegment,
-           COUNT(*) AS order_cnt,
-           {_dsum_sql('o.o_totalprice')} AS total_revenue,
-           {_davg_sql('o.o_totalprice')} AS avg_order_value
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_mktsegment
-    """,
-)
-def q03_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J1/A4] Inner equi-join + grouped agg. Customer is the small side —
-    broadcast (no shuffle of orders); at 100 TB customer would exceed the
-    threshold and AQE falls back to sort-merge, which is correct.
-    """
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("order_cnt"),
-            dsum(F.col("o_totalprice")).alias("total_revenue"),
-            davg(F.col("o_totalprice")).alias("avg_order_value"),
-        )
-    )
-
-
-@register(
-    "q04_revenue_by_nation",
-    f"""
-    SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-           COUNT(*) AS line_cnt
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name, n.n_name
-    """,
-)
-def q04_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J1/J2/A4] 5-table star join. Dim tables broadcast; the only shuffle
-    is lineitem⋈orders (both big at scale — sort-merge on orderkey) plus the
-    final small agg shuffle.
-    """
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = t(spark, sf_dir, "nation")
-    r = t(spark, sf_dir, "region")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
-        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
-        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.count(F.lit(1)).alias("line_cnt"),
-        )
-    )
-
-
-@register(
-    "q05_ordered_group_concat",
-    """
-    SELECT r.r_name AS region_name,
-           string_agg(n.n_name, ', ' ORDER BY n.n_nationkey) AS nations,
-           COUNT(*) AS nation_cnt
-    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name
-    """,
-)
-def q05_ordered_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A1] Ordered GROUP_CONCAT — the reference's core compiler aggregate
-    (``Staging_Extraction_Metadata_Query.sql:33-40``), deterministic via
-    sort-inside-array (collect_list order is partition-dependent; the struct
-    sort makes it stable under any partitioning).
-    """
-    n = t(spark, sf_dir, "nation")
-    r = t(spark, sf_dir, "region")
-    return (
-        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("r_name").alias("region_name"))
-        .agg(
-            ordered_concat_ws(", ", "n_nationkey", "n_name").alias("nations"),
-            F.count(F.lit(1)).alias("nation_cnt"),
-        )
-    )
-
-
-@register(
-    "q06_window_top_order_per_customer",
-    """
-    SELECT o_custkey, o_orderkey, o_totalprice, rn
-    FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      FROM orders
-    ) WHERE rn <= 3
-    """,
-)
-def q06_window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[§2.5] Window function: top-3 orders per customer. One shuffle on the
-    partition key; unique o_orderkey tie-break keeps it deterministic.
-    """
-    o = t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-    )
-
-
-@register(
-    "q07_topk_orders",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 10
-    """,
-)
-def q07_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[O] Top-k: Spark plans TakeOrderedAndProject (per-partition heap +
-    driver merge — no global sort shuffle even at 100 TB).
-    """
-    o = t(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .limit(10)
-    )
-
-
-@register(
-    "q08_except_customers_without_orders",
-    """
-    SELECT c_custkey FROM customer
-    EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
-    """,
-)
-def q08_except_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[U] Set difference (EXCEPT DISTINCT)."""
-    c = t(spark, sf_dir, "customer").select("c_custkey")
-    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.subtract(o)
-
-
-@register(
-    "q09_anti_join_integrity",
-    """
-    SELECT c.c_custkey, c.c_name
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def q09_anti_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J4] Referential-integrity check as a left-anti join — the engine's
-    replacement for the reference's FK constraints
-    (``1. Metadata Creation.sql:43-46,98-99,137-139``).
-    """
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
-
-
-@register(
-    "q10_rollup_returns",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           {_dsum_sql('l_quantity')} AS sum_qty,
-           COUNT(*) AS cnt
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def q10_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4] ROLLUP hierarchy totals (subtotal + grand-total rows)."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        dsum(F.col("l_quantity")).alias("sum_qty"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-
-
-@register(
-    "q31_grouping_sets",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           {_dsum_sql('l_quantity')} AS sum_qty,
-           COUNT(*) AS cnt
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-    """,
-)
-def q31_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4] Non-hierarchical GROUPING SETS — two independent groupings in
-    one pass (Catalyst expands then aggregates once), not expressible as
-    rollup/cube."""
-    li = t(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("v_lineitem_gs")
-    return spark.sql(
-        f"""
-        SELECT l_returnflag, l_linestatus,
-               {_dsum_sql('l_quantity')} AS sum_qty,
-               COUNT(*) AS cnt
-        FROM v_lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        """
-    )
-
-
-@register(
-    "q11_case_bucketing",
-    f"""
-    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
-                WHEN o_totalprice < 200000 THEN 'medium'
-                ELSE 'large' END AS bucket,
-           COUNT(*) AS cnt,
-           {_dsum_sql('o_totalprice')} AS total
-    FROM orders
-    GROUP BY 1
-    """,
-)
-def q11_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[P3/§2.10] CASE WHEN expression transform (the metadata
-    ``TransformationLogic`` pattern) + aggregation."""
-    o = t(spark, sf_dir, "orders")
-    bucket = (
-        F.when(F.col("o_totalprice") < 50000, "small")
-        .when(F.col("o_totalprice") < 200000, "medium")
-        .otherwise("large")
-    )
-    return (
-        o.groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("o_totalprice")).alias("total"))
-    )
-
-
-@register(
-    "q12_string_functions",
-    """
-    SELECT p_partkey,
-           upper(p_brand) AS brand_u,
-           p_name || '/' || p_type AS full_name,
-           substring(p_name, 1, 8) AS name_prefix,
-           replace(p_type, ' ', '_') AS type_slug,
-           CAST(length(p_name) AS BIGINT) AS name_len,
-           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
-    FROM part
-    """,
-)
-def q12_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[§2.10] Scalar string surface (concat/upper/substring/replace/length/
-    lpad) — the function family metadata expressions draw from."""
-    p = t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_brand").alias("brand_u"),
-        F.concat(F.col("p_name"), F.lit("/"), F.col("p_type")).alias("full_name"),
-        F.substring("p_name", 1, 8).alias("name_prefix"),
-        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
-        F.length("p_name").cast("long").alias("name_len"),
-        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
-    )
-
-
-@register(
-    "q13_date_functions",
-    """
-    SELECT o_orderkey,
-           CAST(year(o_orderdate) AS BIGINT) AS order_year,
-           CAST(month(o_orderdate) AS BIGINT) AS order_month,
-           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           CAST(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01 00:00:00') AS BIGINT)
-             AS days_to_1999
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-    """,
-)
-def q13_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[§2.10] Date/time surface: year/month/trunc/diff with pushdown filter."""
-    o = t(spark, sf_dir, "orders")
-    return (
-        o.where(F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
-        .select(
-            "o_orderkey",
-            F.year("o_orderdate").cast("long").alias("order_year"),
-            F.month("o_orderdate").cast("long").alias("order_month"),
-            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-            F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date"))
-            .cast("long")
-            .alias("days_to_1999"),
-        )
-    )
-
-
-@register(
-    "q14_union_priority_classes",
-    f"""
-    SELECT 'urgent' AS class, COUNT(*) AS cnt, {_dsum_sql('o_totalprice')} AS total
-    FROM orders WHERE o_orderpriority = '1-URGENT'
-    UNION ALL
-    SELECT 'high' AS class, COUNT(*) AS cnt, {_dsum_sql('o_totalprice')} AS total
-    FROM orders WHERE o_orderpriority = '2-HIGH'
-    """,
-)
-def q14_union_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[U1] UNION ALL of two aggregate branches (the reference's config-seeding
-    idiom, ``2. SampleConfigInsert.sql:30-101``)."""
-    o = t(spark, sf_dir, "orders")
-
-    def branch(prio: str, label: str) -> DataFrame:
-        return (
-            o.where(F.col("o_orderpriority") == prio)
-            .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("o_totalprice")).alias("total"))
-            .select(F.lit(label).alias("class"), "cnt", "total")
-        )
-
-    return branch("1-URGENT", "urgent").unionByName(branch("2-HIGH", "high"))
-
-
-@register(
-    "q15_semi_join_active_parts",
-    """
-    SELECT p.p_partkey, p.p_name
-    FROM part p
-    WHERE EXISTS (
-      SELECT 1 FROM lineitem l
-      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49
-    )
-    """,
-)
-def q15_semi_join_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J] Left-semi join (EXISTS): parts with at least one big-quantity sale."""
-    p = t(spark, sf_dir, "part")
-    li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
-    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")
-
-
-# ---------------------------------------------------------------------------
-# Metadata-driven ETL core (the reference's defining capability, SURVEY §3)
-# ---------------------------------------------------------------------------
-
-_COMPILER_ORACLE = """
-    WITH table_config(TableID, SchemaName, TableName, ActiveFlag, LoadType, IncrementalFilter) AS (
-      VALUES (1,'tpch','lineitem',true,'INCREMENTAL','l_shipdate >= ''1995-06-01'''),
-             (2,'tpch','orders',true,'FULL',NULL),
-             (3,'tpch','customer',false,'FULL',NULL)
-    ),
-    column_config(ColumnID, TableID, ColumnName, AliasName, IncludeFlag, TransformationLogic) AS (
-      VALUES
-       (1,1,'l_orderkey','Order_Key',true,NULL),
-       (2,1,'l_linenumber',NULL,true,NULL),
-       (3,1,'l_quantity','Qty',true,NULL),
-       (4,1,'l_extendedprice','Net_Price',true,'l_extendedprice * (1 - l_discount)'),
-       (5,1,'l_returnflag','Return_Flag',true,'   '),
-       (6,1,'l_comment',NULL,false,NULL),
-       (7,2,'o_orderkey',NULL,true,NULL),
-       (8,2,'o_totalprice','Total_Price',true,NULL),
-       (9,2,'o_orderstatus','Status_Code',true,'CASE WHEN o_orderstatus = ''O'' THEN ''OPEN'' ELSE o_orderstatus END'),
-       (10,3,'c_custkey',NULL,true,NULL)
-    ),
-    tableDetail AS (SELECT * FROM table_config WHERE ActiveFlag),
-    columnDetail AS (
-      SELECT t.TableID, t.SchemaName, t.TableName, c.ColumnID,
-        (CASE WHEN c.TransformationLogic IS NULL OR TRIM(c.TransformationLogic) = ''
-              THEN c.ColumnName ELSE c.TransformationLogic END)
-        || ' AS ' || COALESCE(c.AliasName, c.ColumnName) AS modifiedColumns
-      FROM tableDetail t JOIN column_config c ON t.TableID = c.TableID
-      WHERE c.IncludeFlag
-    ),
-    finalColumnList AS (
-      SELECT cd.TableID, cd.SchemaName || '.' || cd.TableName AS FullTableName,
-             string_agg(cd.modifiedColumns, ', ' ORDER BY cd.ColumnID) AS FinalColumns
-      FROM columnDetail cd GROUP BY cd.TableID, cd.SchemaName || '.' || cd.TableName
-    )
-    SELECT CAST(f.TableID AS BIGINT) AS TableID, f.FullTableName,
-           'SELECT ' || f.FinalColumns || ' FROM ' || f.FullTableName ||
-           (CASE WHEN td.LoadType = 'INCREMENTAL' AND td.IncrementalFilter IS NOT NULL
-                 THEN ' WHERE ' || td.IncrementalFilter ELSE '' END) AS DataExtractQuery
-    FROM finalColumnList f JOIN tableDetail td ON f.TableID = td.TableID
-"""
-
-
-@register("q16_metadata_compiler", _COMPILER_ORACLE)
-def q16_metadata_compiler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S4/P1-P5/A1/O1] The metadata→SQL compiler itself, differentially
-    checked: the engine compiles the seeded config catalog into per-table
-    DataExtractQuery strings; the oracle replicates the reference's 5-CTE
-    pipeline (``Staging_Extraction_Metadata_Query.sql``) over the same
-    inline config rows. Exercises ActiveFlag/IncludeFlag filtering,
-    NULL-alias and whitespace-only-logic fallbacks, and ColumnID-ordered
-    deterministic concat."""
-    from smfg_datawarehouse_spark.compiler import compile_extraction_queries
-
-    cat = fixture_plans(spark)[0]
-    return compile_extraction_queries(cat).select(
-        F.col("TableID").cast("long").alias("TableID"),
-        "FullTableName",
-        "DataExtractQuery",
-    )
-
-
-@register(
-    "q17_config_driven_extraction",
-    """
-    SELECT l_orderkey AS Order_Key,
-           l_linenumber,
-           l_quantity AS Qty,
-           l_extendedprice * (1 - l_discount) AS Net_Price,
-           l_returnflag AS Return_Flag
-    FROM lineitem
-    WHERE l_shipdate >= '1995-06-01'
-    """,
-)
-def q17_config_driven_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S1/P1-P4] A compiled ExtractionPlan executed end-to-end against the
-    lineitem source — the engine's config-driven projection/rename/transform/
-    incremental-filter path (the reference's extract_table_data consuming a
-    generated query, ``staging_data_extraction.py:220-272``)."""
-    _cat, plans, _omp = fixture_plans(spark)
-    return plans["tpch.lineitem"].apply(t(spark, sf_dir, "lineitem"))
-
-
-@register(
-    "q18_output_mapping_load",
-    """
-    SELECT CAST(l_orderkey AS BIGINT) AS order_key,
-           CAST(l_linenumber AS INT) AS line_no,
-           CAST(CAST(l_quantity * 1.0 AS DECIMAL(18,2)) AS DOUBLE) AS quantity,
-           CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE)
-             AS net_price
-    FROM lineitem
-    WHERE l_shipdate >= '1995-06-01'
-    """,
-)
-def q18_output_mapping_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[P7/O3/J3-prep] The DW-load output mapping (the reference's declared
-    transformation stage): AdditionalTransform → cast(TargetDataType) →
-    TargetPosition ordering, from DW_Output_Column_Config metadata.
-
-    The mapping itself casts to the configured DECIMAL target types; this
-    query's *final output* casts those decimals back to double so the hash
-    representation is engine-independent (Python Decimal('23.00') vs DuckDB
-    float64 — values identical, repr not; the repo's dsum convention)."""
-    from pyspark.sql.types import DecimalType
-
-    from smfg_datawarehouse_spark.transform import apply_output_mapping
-
-    _cat, plans, (_target, mapping, _keys) = fixture_plans(spark)
-    staged = plans["tpch.lineitem"].apply(t(spark, sf_dir, "lineitem"))
-    mapped = apply_output_mapping(staged, mapping)
-    return mapped.select(
-        *[
-            F.col(f.name).cast("double").alias(f.name)
-            if isinstance(f.dataType, DecimalType)
-            else F.col(f.name)
-            for f in mapped.schema.fields
-        ]
-    )
-
-
-@register(
-    "q19_merge_upsert",
-    """
-    WITH target AS (
-      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-      FROM orders WHERE o_orderdate < DATE '1997-01-01'
-    ),
-    updates AS (
-      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate
-      FROM orders WHERE o_orderdate >= DATE '1996-01-01'
-    )
-    SELECT * FROM updates
-    UNION ALL
-    SELECT * FROM target
-    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
-    """,
-)
-def q19_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J3] Key-based MERGE (the reference's declared DW-load upsert,
-    ``DW_Output_Column_Config.IsKey`` — `1. Metadata Creation.sql:133`):
-    a 1996+ update batch (prices restated ×2) merged into a pre-1997
-    snapshot on o_orderkey. Updates win on match, unmatched target rows
-    survive, new keys insert — one shuffle on the key via the union +
-    latest-wins window (Delta ``MERGE INTO`` on a real lake)."""
-    from smfg_datawarehouse_spark.transform import merge_upsert
-
-    o = t(spark, sf_dir, "orders")
-    target = o.where("o_orderdate < DATE '1997-01-01'").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
-    )
-    updates = o.where("o_orderdate >= DATE '1996-01-01'").select(
-        "o_orderkey",
-        "o_custkey",
-        (F.col("o_totalprice") * 2).alias("o_totalprice"),
-        "o_orderdate",
-    )
-    return merge_upsert(target, updates, ["o_orderkey"])
-
-
-@register(
-    "l01_runner_audit_end_to_end",
-    """
-    SELECT 'tpch.lineitem' AS TableName, 'SUCCESS' AS Status,
-           CAST(COUNT(*) AS BIGINT) AS RowCount
-    FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'
-    UNION ALL
-    SELECT 'tpch.orders', 'SUCCESS', CAST(COUNT(*) AS BIGINT)
-    FROM orders
-    """,
-)
-def l01_runner_audit_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[L1-L6/S2/P1-P5] The whole extraction lifecycle as a checkable query:
-    compile the fixture catalog, run the staging extraction (FAIR-pooled
-    per-table jobs, per-table failure isolation), land parquet in the
-    staging zone, audit every stage — then return the audit ledger's
-    (table, status, rowcount) view. The oracle states what the ledger MUST
-    record: the incremental lineitem slice count and the full orders count,
-    both SUCCESS — reconciling audit metadata against source truth exactly
-    like the reference's RowCount columns (`1. Metadata Creation.sql:35-39`)."""
-    import os
-
-    from smfg_datawarehouse_spark.audit import AuditLedger
-    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
-    from smfg_datawarehouse_spark.runner import run_staging_extraction
-    from smfg_datawarehouse_spark.sources.lake import LakeZones
-
-    tmp = _scratch_dir(spark, "run")
-    zones = LakeZones(os.path.join(tmp, "lake"))
-    audit = AuditLedger(spark, os.path.join(tmp, "audit"))
-    cat = seed_fixture_catalog(spark)
-
-    def reader(s: SparkSession, plan) -> DataFrame:
-        return t(s, sf_dir, plan.table_name)
-
-    pid, _results = run_staging_extraction(
-        spark, cat, zones, audit, source_reader=reader
-    )
-    return (
-        audit.stage_detail()
-        .where(F.col("ProcessID") == pid)
-        .select("TableName", "Status", F.col("RowCount").cast("long").alias("RowCount"))
-    )
-
-
-@register(
-    "l02_versioned_merge_lifecycle",
-    """
-    WITH target AS (
-      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-      FROM orders WHERE o_orderdate < DATE '1997-01-01'
-    ),
-    updates AS (
-      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate
-      FROM orders WHERE o_orderdate >= DATE '1996-01-01'
-    )
-    SELECT * FROM updates
-    UNION ALL
-    SELECT * FROM target
-    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
-    """,
-)
-def l02_versioned_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J3/S7] q19's MERGE scenario run through the durable path: the
-    target snapshot lands as ``VersionedTable`` v0, the update batch
-    merges into an atomic v1 snapshot (old version intact for time
-    travel), and the returned state is read back FROM STORAGE — the
-    declared DW-load upsert with Delta-style visibility semantics on
-    plain parquet. Same oracle as q19: durability must not change MERGE
-    semantics."""
-    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
-
-    o = t(spark, sf_dir, "orders")
-    target = o.where("o_orderdate < DATE '1997-01-01'").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
-    )
-    updates = o.where("o_orderdate >= DATE '1996-01-01'").select(
-        "o_orderkey",
-        "o_custkey",
-        (F.col("o_totalprice") * 2).alias("o_totalprice"),
-        "o_orderdate",
-    )
-    vt = VersionedTable(spark, _scratch_dir(spark, "vt"))
-    vt.write(target)
-    vt.merge(updates, ["o_orderkey"])
-    return vt.read()
-
-
-_L03_FMT_SQL = """
-    SELECT '{fmt}' AS fmt,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
-           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
-    FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
-"""
-
-
-@register(
-    "l03_multiformat_roundtrip",
-    " UNION ALL ".join(_L03_FMT_SQL.format(fmt=f) for f in ["csv", "json", "orc"]),
-)
-def l03_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S2/§2.2] Format-agnostic source/sink certification: a lineitem
-    slice is written through ``write_sink`` to csv, json, and orc, read
-    back through ``read_source`` with an explicit schema (no inference
-    pass — the only scale-safe way to read schemaless formats), and each
-    round-trip is summarized (count + exact-decimal quantity sum + key
-    range). The oracle computes the same summaries straight from parquet:
-    a value drift in ANY format's writer/reader/schema handling
-    hash-fails. Covers the reference's format surface (MySQL+parquet,
-    ``staging_data_extraction.py:30-80``) extended to Spark's DataSource
-    formats."""
-    import os
-    import tempfile
-
-    from pyspark.sql import types as T
-
-    from smfg_datawarehouse_spark.sources.lake import read_source, write_sink
-
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .where("l_shipdate >= DATE '1997-01-01'")
-        .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
-    )
-    schema = T.StructType(
-        [
-            T.StructField("l_orderkey", T.LongType()),
-            T.StructField("l_quantity", T.DoubleType()),
-            T.StructField("l_returnflag", T.StringType()),
-            T.StructField("l_shipdate", T.DateType()),
-        ]
-    )
-    base = _scratch_dir(spark, "l03")
-    opts = {"csv": {"header": "true"}, "json": {}, "orc": {}}
-    parts = []
-    for fmt in ["csv", "json", "orc"]:
-        path = os.path.join(base, fmt)
-        write_sink(li, fmt, path, options=opts[fmt])
-        back = read_source(spark, fmt, path, schema=schema, options=opts[fmt])
-        parts.append(
-            back.agg(
-                F.lit(fmt).alias("fmt"),
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                dsum(F.col("l_quantity")).alias("sum_qty"),
-                F.min("l_orderkey").cast("long").alias("min_key"),
-                F.max("l_orderkey").cast("long").alias("max_key"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-@register(
-    "q33_intersect_nations",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def q33_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[U] INTERSECT (distinct set semantics): nations present on both the
-    customer and supplier side — completes the set-op family (union q14,
-    except q08, semi q15, anti q09)."""
-    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@register(
-    "q34_top_suppliers_by_revenue",
-    f"""
-    SELECT s.s_suppkey, s.s_name,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-           COUNT(*) AS n_lines
-    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    GROUP BY s.s_suppkey, s.s_name
-    ORDER BY revenue DESC, s_suppkey
-    LIMIT 10
-    """,
-)
-def q34_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J1/A4/O] Fact-dimension join + agg + top-k: supplier broadcast,
-    lineitem aggregated map-side first, TakeOrderedAndProject caps the
-    result driver-side — no full sort at any scale."""
-    li = t(spark, sf_dir, "lineitem")
-    s = t(spark, sf_dir, "supplier")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    return (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .groupBy("s_suppkey", "s_name")
-        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
-        .orderBy(F.col("revenue").desc(), "s_suppkey")
-        .limit(10)
-    )
-
-
-@register(
-    "q36_above_average_orders",
-    f"""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    WHERE o_totalprice > (
-      SELECT {_davg_sql('o_totalprice')} FROM orders
-    )
-    """,
-)
-def q36_above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4/§2.10] Scalar-subquery predicate: orders above the global mean.
-    Catalyst plans the subquery as a separate tiny job whose result folds
-    into the main scan's filter — two passes total, no join. The mean uses
-    the exact-decimal convention so the comparison boundary is bit-stable."""
-    o = t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("v_orders_q36")
-    return spark.sql(
-        f"""
-        SELECT o_orderkey, o_custkey, o_totalprice
-        FROM v_orders_q36
-        WHERE o_totalprice > (
-          SELECT {_davg_sql('o_totalprice')} FROM v_orders_q36
-        )
-        """
-    )
-
-
-@register(
-    "q37_part_brand_revenue",
-    f"""
-    SELECT p.p_brand,
-           COUNT(*) AS n_lines,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-           {_dsum_sql('l.l_quantity')} AS total_qty
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE p.p_size >= 20
-    GROUP BY p.p_brand
-    """,
-)
-def q37_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J1/P4/A4] Fact-dimension join with a dimension-side filter: the
-    p_size predicate prunes the broadcast side BEFORE the join (filter
-    pushdown into the dimension scan), shrinking the hash table every
-    executor holds."""
-    li = t(spark, sf_dir, "lineitem")
-    p = t(spark, sf_dir, "part").where(F.col("p_size") >= 20)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .groupBy("p_brand")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            dsum(rev).alias("revenue"),
-            dsum(F.col("l_quantity")).alias("total_qty"),
-        )
-    )
-
-
-@register(
-    "q39_customer_order_distribution",
-    """
-    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-    FROM (
-      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
-      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-      GROUP BY c.c_custkey
-    )
-    GROUP BY c_count
-    """,
-)
-def q39_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/A4] LEFT OUTER join + two-level aggregation (TPC-H-Q13 shape):
-    customers keep a row even with zero orders (COUNT over the null-extended
-    side counts matches only). The first groupBy key equals the join key, so
-    the sort-merge join's partitioning is reused — one shuffle for join+agg,
-    then a tiny shuffle on |distinct counts| rows."""
-    c = t(spark, sf_dir, "customer").select("c_custkey")
-    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
-        .groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-    )
-
-
-@register(
-    "q40_small_quantity_revenue",
-    """
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
-             AS avg_yearly
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#23'
-      AND l.l_quantity < (
-        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,6))) AS DOUBLE)
-                      / COUNT(*))
-        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
-      )
-    """,
-)
-def q40_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/A4/§2.10] Correlated scalar subquery (TPC-H-Q17 shape), manually
-    decorrelated the way Catalyst would: the per-part average joins back as
-    an aggregate, computed ONLY for the brand's parts (p_partkey determines
-    p_brand, so pre-filtering lineitem by the brand's partkeys yields the
-    identical per-part mean). At 100 TB the brand filter keeps the avg table
-    ~|part|/1000 rows — broadcastable — so lineitem is scanned once and
-    never shuffled. The mean uses the exact-decimal convention so the 0.2×
-    comparison boundary is bit-stable."""
-    pk = (
-        t(spark, sf_dir, "part")
-        .where(F.col("p_brand") == "Brand#23")
-        .select("p_partkey")
-    )
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_partkey", "l_quantity", "l_extendedprice")
-    )
-    avgs = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        davg(F.col("l_quantity")).alias("avg_qty")
-    )
-    return (
-        li.join(F.broadcast(avgs), F.col("l_partkey") == F.col("avg_partkey"))
-        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg((dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
-    )
-
-
-@register(
-    "q41_nation_presence_full_outer",
-    """
-    WITH cn AS (
-      SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
-      FROM customer GROUP BY 1
-    ),
-    sn AS (
-      SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp
-      FROM supplier GROUP BY 1
-    )
-    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
-           COALESCE(cn.n_cust, 0) AS n_cust,
-           COALESCE(sn.n_supp, 0) AS n_supp
-    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
-    """,
-)
-def q41_nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/U] FULL OUTER join of two aggregated sides: nations with customers
-    but no suppliers (and vice versa) survive null-extended. Aggregating
-    BEFORE the join shrinks both sides to |nation| rows — the outer join is
-    trivial at any scale, where outer-joining the raw tables then
-    aggregating would shuffle everything."""
-    cn = (
-        t(spark, sf_dir, "customer")
-        .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.count(F.lit(1)).alias("n_cust"))
-    )
-    sn = (
-        t(spark, sf_dir, "supplier")
-        .groupBy(F.col("s_nationkey").alias("nationkey"))
-        .agg(F.count(F.lit(1)).alias("n_supp"))
-    )
-    return cn.join(sn, ["nationkey"], "full").select(
-        "nationkey",
-        F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
-        F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
-    )
-
-
-@register(
-    "q43_except_all_open_vs_finished",
-    """
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    EXCEPT ALL
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
-def q43_except_all_open_vs_finished(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[U] EXCEPT ALL (multiset difference): each customer key survives
-    max(open_count − finished_count, 0) times — bag semantics q08's
-    EXCEPT DISTINCT can't express. Spark plans this as a single
-    count-differencing aggregation on the key (one shuffle), not a join."""
-    o = t(spark, sf_dir, "orders")
-    open_ = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
-    finished = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
-    return open_.exceptAll(finished)
-
-
-@register(
-    "q44_salted_event_type_totals",
-    f"""
-    SELECT event_type,
-           {_dsum_sql('value')} AS total_value,
-           COUNT(*) AS cnt
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def q44_salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4/skew] Skew-safe two-stage aggregation, oracle-checked against
-    the plain GROUP BY: events has only 5 event types, so every key is hot
-    — the worst case for a single-stage shuffle at scale. Stage 1
-    aggregates on (key, salt) bounding any task to 1/16 of a hot key;
-    stage 2 merges partials. Decimal partials are associative, so the
-    two-stage result is bit-identical to the one-stage plan."""
-    from smfg_datawarehouse_spark.functions.skew import salted_two_stage_agg
-
-    e = t(spark, sf_dir, "events")
-    return salted_two_stage_agg(
-        e,
-        keys=["event_type"],
-        salt_from=F.col("event_id"),
-        partial_aggs=[
-            F.sum(F.col("value").cast("decimal(30,6)")).alias("_s"),
-            F.count(F.lit(1)).alias("_c"),
-        ],
-        final_aggs=[
-            F.sum("_s").cast("double").alias("total_value"),
-            F.sum("_c").cast("long").alias("cnt"),
-        ],
-    )
-
-
-@register(
-    "q46_stratified_systematic_sample",
-    """
-    SELECT o_orderkey, o_orderstatus, o_totalprice
-    FROM (
-      SELECT o_orderkey, o_orderstatus, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-                                ORDER BY o_orderkey) AS rn
-      FROM orders
-    ) WHERE rn % 10 = 1
-    """,
-)
-def q46_stratified_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[§2.5/X] Stratified systematic sampling: every 10th row per stratum
-    in key order — reproducible (unlike ``df.sample``, whose output depends
-    on partitioning) and exactly proportional per stratum. One shuffle on
-    the stratum key. At 100 TB prefer the shuffle-free hash variant
-    (``pmod(hash(key), 10) = 0``) when per-stratum exactness isn't
-    required; both are deterministic."""
-    o = t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderstatus").orderBy("o_orderkey")
-    return (
-        o.select(
-            "o_orderkey",
-            "o_orderstatus",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-        )
-        .where(F.col("rn") % 10 == 1)
-        .drop("rn")
-    )
-
-
-@register(
-    "q47_ranking_variants",
-    """
-    SELECT o_custkey, o_orderkey, o_totalprice,
-           CAST(RANK() OVER w AS BIGINT) AS rnk,
-           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
-           CUME_DIST() OVER w AS cdist
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-    """,
-)
-def q47_ranking_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[§2.5] The remaining ranking-window family in one pass: RANK (gaps on
-    ties), DENSE_RANK (no gaps), CUME_DIST (rows ≤ current / total — a
-    ratio of exact ints, bit-stable). Per-customer partitions: one shuffle,
-    parallel across keys — the scalable window shape (contrast q38's
-    global window)."""
-    o = t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_totalprice",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.cume_dist().over(w).alias("cdist"),
-    )
-
-
-@register(
-    "q38_customer_order_quartiles",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice,
-           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-           PERCENT_RANK() OVER w AS pct_rank
-    FROM orders
-    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
-    """,
-)
-def q38_customer_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[§2.5] Ranking windows over the whole relation: NTILE quartiles +
-    PERCENT_RANK ((rank-1)/(n-1) — rational, bit-stable). A single-partition
-    global window is the one shape that does NOT scale (all rows through
-    one task); at 100 TB you bucket by a partition key first or use
-    approx quantiles — flagged here deliberately as the contrast case to
-    q24's per-entity windows."""
-    o = t(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_totalprice",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-    )
-
-
-@register(
-    "q48_volume_shipping",
-    f"""
-    WITH rev AS (
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
-      FROM lineitem l
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN orders o   ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
-      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
-    )
-    SELECT supp_nation, cust_nation, o_year,
-           {_dsum_sql('volume')} AS revenue
-    FROM rev GROUP BY supp_nation, cust_nation, o_year
-    """,
-)
-def q48_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/A4] TPC-H-Q7-shaped 6-way join: bilateral trade volume between two
-    nations by year. Catalyst plans the three dimension joins (supplier,
-    customer, nation x2) as broadcasts; only the lineitem<->orders join is a
-    big-big shuffle. The nation filter reaches the supplier/customer scans
-    as a semi-join reduction via the broadcast, so at 100 TB the post-join
-    stream is ~(2/|nation|)^2 of the raw join. Re-expresses the reference's
-    declared analytical surface (SURVEY.md 2.4 A4, dag placeholder
-    SMFG_DW_ETL_DAG.py:325-339)."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    pair = ["NATION_3", "NATION_7"]
-    n1 = n.where(F.col("n_name").isin(pair)).select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = n.where(F.col("n_name").isin(pair)).select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
-    )
-    return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
-        .where(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("o_orderdate").cast("long").alias("o_year"),
-        )
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
-    )
-
-
-@register(
-    "q49_market_share",
-    """
-    WITH alln AS (
-      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
-             n2.n_name AS supp_nation
-      FROM lineitem l
-      JOIN part p     ON p.p_partkey = l.l_partkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN orders o   ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
-      JOIN region r   ON r.r_regionkey = n1.n_regionkey
-      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
-      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
-    )
-    SELECT o_year,
-           CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_2' THEN volume
-                              ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
-             / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
-    FROM alln GROUP BY o_year
-    """,
-)
-def q49_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/A4] TPC-H-Q8-shaped market share: one nation's fraction of a
-    region's PROMO-part revenue per year. 8-way join where every dimension
-    broadcasts; the conditional-sum / total-sum ratio is two exact-decimal
-    sums divided once in double (single IEEE op -- bit-stable). The region
-    and part-type filters are pushed below the joins, so the fact stream is
-    pre-reduced before the one big shuffle (lineitem x orders)."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    p = (
-        t(spark, sf_dir, "part")
-        .where(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = t(spark, sf_dir, "nation")
-    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    n1 = n.join(
-        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
-    ).select(F.col("n_nationkey").alias("cn_key"))
-    n2 = n.select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    target = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))
-    return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
-        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg((dsum(target) / dsum(vol)).alias("mkt_share"))
-    )
-
-
-@register(
-    "q50_primary_supplier_parts",
-    """
-    WITH sp AS (
-      SELECT l_partkey, l_suppkey,
-             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS qty
-      FROM lineitem GROUP BY l_partkey, l_suppkey
-    ), ranked AS (
-      SELECT l_partkey, l_suppkey, qty,
-             ROW_NUMBER() OVER (PARTITION BY l_partkey
-                                ORDER BY qty DESC, l_suppkey) AS rn,
-             SUM(qty) OVER (PARTITION BY l_partkey) AS total_qty
-      FROM sp
-    )
-    SELECT l_suppkey AS s_suppkey,
-           CAST(COUNT(*) AS BIGINT) AS n_primary_parts,
-           CAST(SUM(qty) AS DOUBLE) AS primary_qty,
-           CAST(SUM(total_qty) AS DOUBLE) AS covered_qty
-    FROM ranked WHERE rn = 1
-    GROUP BY l_suppkey
-    """,
-)
-def q50_primary_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/A4/2.5] TPC-H-Q20-shaped supply-dominance analysis via two
-    aggregation granularities: per-(part, supplier) shipped quantity ranked
-    against the per-part total; the rank-1 supplier is each part's primary
-    source, rolled up per supplier with its share of covered volume.
-    Repartitioning by l_partkey FIRST lets the (partkey, suppkey) groupBy
-    AND both per-part windows reuse that single shuffle (hash partitioning
-    on a key prefix satisfies the clustered distribution of the wider
-    key) -- one fact exchange total where the naive plan pays three.
-    Decimal sums keep ranking and totals bit-stable under any partitioning."""
-    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
-    sp = (
-        li.repartition(F.col("l_partkey"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("qty"))
-    )
-    wr = W.partitionBy("l_partkey").orderBy(F.col("qty").desc(), F.col("l_suppkey"))
-    wt = W.partitionBy("l_partkey")
-    return (
-        sp.withColumn("rn", F.row_number().over(wr))
-        .withColumn("total_qty", F.sum("qty").over(wt))
-        .where(F.col("rn") == 1)
-        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
-        .agg(
-            F.count(F.lit(1)).alias("n_primary_parts"),
-            F.sum("qty").cast("double").alias("primary_qty"),
-            F.sum("total_qty").cast("double").alias("covered_qty"),
-        )
-    )
-
-
-@register(
-    "q51_idle_rich_customers",
-    f"""
-    WITH avg_bal AS (
-      SELECT {_davg_sql('c_acctbal')} AS ab
-      FROM customer WHERE c_acctbal > 0.0
-    )
-    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
-           {_dsum_sql('c_acctbal')} AS totacctbal
-    FROM customer c, avg_bal
-    WHERE c.c_acctbal > avg_bal.ab
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderstatus = 'F')
-    GROUP BY c_mktsegment
-    """,
-)
-def q51_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/A4/2.10] TPC-H-Q22 shape: above-average-balance customers with no
-    finished orders, rolled up by market segment. Composes an uncorrelated
-    scalar subquery (global positive-balance mean, 1-row broadcast -- never
-    a driver-side collect) with a filtered NOT EXISTS anti-join. At scale
-    the anti join shuffles customer against the status-filtered order
-    custkeys; the balance filter runs FIRST so only above-threshold
-    customers shuffle at all."""
-    c = t(spark, sf_dir, "customer")
-    o = (
-        t(spark, sf_dir, "orders")
-        .where(F.col("o_orderstatus") == "F")
-        .select("o_custkey")
-    )
-    thresh = (
-        c.where(F.col("c_acctbal") > 0.0)
-        .agg(davg(F.col("c_acctbal")).alias("ab"))
-    )
-    return (
-        c.join(F.broadcast(thresh))
-        .where(F.col("c_acctbal") > F.col("ab"))
-        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            dsum(F.col("c_acctbal")).alias("totacctbal"),
-        )
-    )
-
-
-@register(
-    "q52_unpivot_measures",
-    f"""
-    SELECT measure,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {_dsum_sql('val')} AS total,
-           {_davg_sql('val')} AS mean_val
-    FROM (
-      UNPIVOT lineitem
-      ON l_quantity, l_extendedprice, l_discount, l_tax
-      INTO NAME measure VALUE val
-    )
-    GROUP BY measure
-    """,
-)
-def q52_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4/P] UNPIVOT (wide -> long melt) of the fact table's measure
-    columns with per-measure profiling — the reshape the reference's
-    metadata-driven transform stage would need to audit a 74-column wide
-    table column-by-column (SURVEY 1.2: guarantee_accounts,
-    2. SampleConfigInsert.sql:30-101). Spark's native ``unpivot`` expands
-    rows scan-side (no shuffle for the melt itself); the aggregate then
-    collapses map-side to 4 groups. Decimal-exact sums keep the profile
-    bit-stable."""
-    li = t(spark, sf_dir, "lineitem")
-    long = li.unpivot(
-        [],
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        "measure",
-        "val",
-    )
-    return long.groupBy("measure").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("val")).alias("total"),
-        davg(F.col("val")).alias("mean_val"),
-    )
-
-
-@register(
-    "q53_shipping_priority",
-    f"""
-    SELECT l.l_orderkey,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-           o.o_orderdate, o.o_orderpriority
-    FROM customer c
-    JOIN orders o   ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-01-01'
-      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
-    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
-    LIMIT 10
-    """,
-)
-def q53_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/A4/O] TPC-H-Q3-shaped shipping-priority query: top-10 unshipped
-    orders by revenue for one market segment. The segment filter reaches the
-    customer scan, the date filters push into the orders/lineitem scans
-    (PushedFilters), and the filtered customer side broadcasts — the only
-    big-big shuffle is lineitem<->orders, which AQE can skew-split at scale.
-    Top-10 runs as TakeOrderedAndProject (per-partition heap + driver merge
-    of 10-row heads, no global sort) with a unique l_orderkey tie-break.
-    Re-expresses the reference's declared analytical stage (SURVEY.md 2.4
-    A4, dag/SMFG_DW_ETL_DAG.py:325-339)."""
-    c = t(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "BUILDING"
-    ).select("c_custkey")
-    o = t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-    li = t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
-    ).select("l_orderkey", "l_extendedprice", "l_discount")
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
-
-
-@register(
-    "q54_order_priority_check",
-    """
-    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
-      AND EXISTS (
-        SELECT 1 FROM lineitem l
-        WHERE l.l_orderkey = o.o_orderkey
-          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-      )
-    GROUP BY o.o_orderpriority
-    """,
-)
-def q54_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J2/A4] TPC-H-Q4-shaped order-priority check: orders in one quarter
-    with at least one line shipped >60 days after order date (the fixture
-    has no commit/receipt dates, so ship-lag stands in for the late-commit
-    predicate), counted by priority. EXISTS compiles to a LEFT SEMI join —
-    Spark stops probing an order after its first matching line, and the
-    quarter filter pushes into the orders scan so the semi join's build side
-    is already quarter-pruned. One shuffle pair (orderkey), then a 5-group
-    map-side-combined count. Covers the reference's correlated-existence
-    audit pattern (J4 orphan checks, 1. Metadata Creation.sql:43-46) on the
-    analytical surface (SURVEY.md 2.4 A4)."""
-    o = t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
-    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    matched = o.join(
-        li,
-        (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
-        "left_semi",
-    )
-    return matched.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("order_count")
-    )
-
-
-@register(
-    "q55_local_supplier_volume",
-    f"""
-    SELECT n.n_name,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
-    FROM customer c
-    JOIN orders o   ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-                   AND s.s_nationkey = c.c_nationkey
-    JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    JOIN region r   ON r.r_regionkey = n.n_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND EXTRACT(year FROM o.o_orderdate) = 1997
-    GROUP BY n.n_name
-    """,
-)
-def q55_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/A4] TPC-H-Q5-shaped local-supplier volume: revenue from lineitems
-    where customer and supplier share a nation inside one region, by nation.
-    The region->nation reduction happens driver-free: region joins nation
-    (both tiny, broadcast), and that 5-row filtered dimension broadcasts
-    into supplier and customer — so at 100 TB the fact stream is pre-pruned
-    to 1/|region| before the one big shuffle (lineitem<->orders). The
-    c_nationkey = s_nationkey co-location predicate rides the supplier
-    broadcast join, never a second fact shuffle. (SURVEY.md 2.3 J1/2.4 A4,
-    dag/SMFG_DW_ETL_DAG.py:325-339)."""
-    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    n = (
-        t(spark, sf_dir, "nation")
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("n_nationkey", "n_name")
-    )
-    s = (
-        t(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_nationkey", "n_name")
-    )
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    o = t(spark, sf_dir, "orders").where(
-        F.year("o_orderdate") == 1997
-    ).select("o_orderkey", "o_custkey")
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            F.broadcast(s),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("s_nationkey") == F.col("c_nationkey")),
-        )
-        .groupBy("n_name")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
-    )
-
-
-@register(
-    "q56_forecast_revenue_change",
-    f"""
-    SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue,
-           CAST(COUNT(*) AS BIGINT) AS n_lines
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate <  TIMESTAMP '1998-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def q56_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[P4/A4] TPC-H-Q6-shaped forecast-revenue-change: pure scan-filter-
-    aggregate, the canonical predicate-pushdown probe. All three range
-    predicates (ship year, discount band, quantity cap) appear in
-    PushedFilters and prune parquet row groups via min/max stats; the
-    4-column ReadSchema is the pruned projection; the global sum is a
-    map-side partial + 1-row final — no data ever shuffles beyond 32
-    partial rows. At 100 TB this runs at storage-scan speed. Mirrors the
-    reference's P4 predicate-injection idiom
-    (Staging_Extraction_Metadata_Query.sql:48-52) as a declarative filter."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.where(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("l_discount") >= 0.05)
-        & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24)
-    ).agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-    )
-
-
-@register(
-    "q57_returned_item_customers",
-    f"""
-    SELECT c.c_custkey, c.c_name,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-           c.c_acctbal, n.n_name
-    FROM customer c
-    JOIN orders o   ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN nation n   ON n.n_nationkey = c.c_nationkey
-    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
-      AND l.l_returnflag = 'R'
-    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-    ORDER BY revenue DESC, c.c_custkey
-    LIMIT 20
-    """,
-)
-def q57_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/A4/O] TPC-H-Q10-shaped returned-item report: top-20 customers by
-    revenue lost to returns in one quarter. Return-flag and quarter filters
-    push to the lineitem/orders scans; customer and nation broadcast onto
-    the fact stream after its single orderkey shuffle; the groupBy keys on
-    the customer attributes so no second join is needed to re-attach them.
-    Top-20 is TakeOrderedAndProject with c_custkey as the unique tie-break.
-    (SURVEY.md 2.4 A4, dag/SMFG_DW_ETL_DAG.py:325-339)."""
-    c = t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
-    )
-    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    o = t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
-    ).select("o_orderkey", "o_custkey")
-    li = t(spark, sf_dir, "lineitem").where(
-        F.col("l_returnflag") == "R"
-    ).select("l_orderkey", "l_extendedprice", "l_discount")
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.col("revenue").desc(), "c_custkey")
-        .limit(20)
-    )
-
-
-@register(
-    "q58_promo_revenue_ratio",
-    f"""
-    SELECT 100.0 * {_dsum_sql(
-        "CASE WHEN p.p_type = 'PROMO' "
-        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END"
-    )}
-           / {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')}
-             AS promo_revenue_pct,
-           CAST(COUNT(*) AS BIGINT) AS n_lines
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
-      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
-    """,
-)
-def q58_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J1/A4] TPC-H-Q14-shaped promotion effect: percent of one month's
-    revenue from PROMO-type parts. The month filter pushes into the
-    lineitem scan; part broadcasts (dimension) so there is NO shuffle at
-    all before the 1-row global aggregate — conditional and total sums
-    ride the same pass. Both sums are exact-decimal; the final pct is one
-    double divide of two bit-stable operands. (SURVEY.md 2.3 J1 / 2.4 A4)."""
-    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    li = t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
-    ).select("l_partkey", "l_extendedprice", "l_discount")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue_pct"),
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-        )
-    )
-
-
-@register(
-    "q59_top_supplier",
-    f"""
-    WITH rev AS (
-      SELECT l_suppkey,
-             {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate <  TIMESTAMP '1997-04-01'
-      GROUP BY l_suppkey
-    )
-    SELECT s.s_suppkey, s.s_name, rev.total_revenue
-    FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
-    WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
-    """,
-)
-def q59_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/A4/2.10] TPC-H-Q15-shaped top supplier: supplier(s) whose quarter
-    revenue equals the maximum. The CTE aggregates once; the scalar MAX is
-    a 1-row broadcast joined back (no second scan of lineitem, the agg
-    result is reused), and the equality is exact because both sides come
-    from the same decimal-summed values — the classic float-subquery trap
-    is defused by construction. Supplier attributes broadcast onto the
-    ~|supplier|-row aggregate. (SURVEY.md 2.10 scalar subquery)."""
-    li = t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
-    ).select("l_suppkey", "l_extendedprice", "l_discount")
-    rev = (
-        li.groupBy("l_suppkey")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_revenue"
-            )
-        )
-        .cache()
-    )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-@register(
-    "q60_parts_supplier_counts",
-    """
-    SELECT p.p_brand, p.p_type, p.p_size,
-           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand <> 'Brand#1'
-      AND p.p_size IN (1, 9, 19, 29, 39, 49)
-      AND l.l_suppkey NOT IN (
-        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
-      )
-    GROUP BY p.p_brand, p.p_type, p.p_size
-    """,
-)
-def q60_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/A4/U] TPC-H-Q16-shaped supplier diversity: distinct supplier count
-    per (brand, type, size) for a size/brand slice, excluding suppliers on
-    a deny-list (negative balance stands in for the complaints predicate;
-    the fixture supplier has no comment column). NOT IN compiles to a
-    broadcast LEFT ANTI join (keys are non-null, so the NOT-IN null trap is
-    void); the part slice broadcasts; the only shuffle is the distinct-agg
-    on (brand, type, size, suppkey) which Spark runs as a two-phase
-    partial-distinct + final count. (SURVEY.md 2.3 J4 orphan-exclusion
-    idiom, 2.4 A4)."""
-    deny = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
-        "s_suppkey"
-    )
-    p = t(spark, sf_dir, "part").where(
-        (F.col("p_brand") != "Brand#1")
-        & F.col("p_size").isin(1, 9, 19, 29, 39, 49)
-    ).select("p_partkey", "p_brand", "p_type", "p_size")
-    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    return (
-        li.join(F.broadcast(deny), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
-    )
-
-
-@register(
-    "q61_large_volume_customers",
-    f"""
-    WITH big AS (
-      SELECT l_orderkey, {_dsum_sql('l_quantity')} AS sum_qty
-      FROM lineitem GROUP BY l_orderkey
-      HAVING {_dsum_sql('l_quantity')} > 300.0
-    )
-    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-           o.o_totalprice, big.sum_qty
-    FROM big
-    JOIN orders o   ON o.o_orderkey = big.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    """,
-)
-def q61_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J2/A4/2.10] TPC-H-Q18-shaped large-volume customers: orders whose
-    total line quantity exceeds 300, with their customers. The IN-subquery
-    of the canonical form is decorrelated into an aggregate-then-join: one
-    orderkey shuffle builds the HAVING-filtered order set (at 100 TB the
-    partial aggregation combines map-side, and the >300 filter cuts the
-    join input to a sliver), which then joins orders on its shuffle-
-    partitioned key and broadcasts customer. No row of lineitem is read
-    twice. (SURVEY.md 2.10 decorrelated subquery, 2.4 A4)."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
-        .where(F.col("sum_qty") > 300.0)
-    )
-    o = t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
-    )
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return (
-        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-            "o_totalprice", "sum_qty",
-        )
-    )
-
-
-@register(
-    "q62_discounted_brand_revenue",
-    f"""
-    SELECT {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-           CAST(COUNT(*) AS BIGINT) AS n_lines
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
-           AND l.l_quantity BETWEEN 1 AND 11)
-       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 25
-           AND l.l_quantity BETWEEN 10 AND 20)
-       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 35
-           AND l.l_quantity BETWEEN 20 AND 30)
-    """,
-)
-def q62_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J1/P4/A4] TPC-H-Q19-shaped OR-of-ANDs revenue: three brand/size/
-    quantity conjunct groups unioned by OR, evaluated as a single
-    broadcast-hash-join residual predicate — one pass over lineitem, no
-    union of three subplans. Catalyst factors the common l_quantity range
-    (1..30) OR-envelope into a pushable scan filter while the cross-table
-    conjuncts stay as the join condition. (SURVEY.md 2.2 P4 compound
-    predicate injection, 2.4 A4)."""
-    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
-    )
-    cond = (
-        (F.col("p_brand") == "Brand#1")
-        & F.col("p_size").between(1, 15)
-        & F.col("l_quantity").between(1, 11)
-    ) | (
-        (F.col("p_brand") == "Brand#7")
-        & F.col("p_size").between(1, 25)
-        & F.col("l_quantity").between(10, 20)
-    ) | (
-        (F.col("p_brand") == "Brand#20")
-        & F.col("p_size").between(1, 35)
-        & F.col("l_quantity").between(20, 30)
-    )
-    return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .where(cond)
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-        )
-    )
-
-
-@register(
-    "q63_waiting_suppliers",
-    """
-    WITH late AS (
-      SELECT DISTINCT l.l_suppkey, l.l_orderkey
-      FROM lineitem l
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      WHERE o.o_orderstatus = 'F'
-        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-    ),
-    sole AS (
-      SELECT late.l_suppkey, late.l_orderkey
-      FROM late
-      WHERE EXISTS (
-        SELECT 1 FROM lineitem l2
-        WHERE l2.l_orderkey = late.l_orderkey
-          AND l2.l_suppkey <> late.l_suppkey
-      )
-      AND NOT EXISTS (
-        SELECT 1 FROM late late2
-        WHERE late2.l_orderkey = late.l_orderkey
-          AND late2.l_suppkey <> late.l_suppkey
-      )
-    )
-    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-    FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
-    GROUP BY s.s_name
-    ORDER BY numwait DESC, s.s_name
-    LIMIT 10
-    """,
-)
-def q63_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J2/A4/O] TPC-H-Q21-shaped suppliers-who-kept-orders-waiting: for
-    finished multi-supplier orders, the supplier who was the ONLY one to
-    ship >90 days late (ship-lag stands in for the fixture's missing
-    commit/receipt dates), counted per supplier, top-10. The EXISTS /
-    NOT-EXISTS pair compiles to LEFT SEMI + LEFT ANTI joins, all
-    co-partitioned on l_orderkey — one shuffle partitioning serves the
-    late-set distinct, the semi probe, and the anti probe, so the plan is
-    shuffle-reuse-friendly at scale; the `late` set is computed once and
-    reused for both sides of the anti self-probe. Top-10 is
-    TakeOrderedAndProject with s_name tie-break (names are unique).
-    (SURVEY.md 2.3 J4 existence patterns, 2.4 A4)."""
-    o = t(spark, sf_dir, "orders").where(
-        F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_orderdate")
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    late = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
-        .select("l_suppkey", "l_orderkey")
-        .distinct()
-        .cache()
-    )
-    other = li.select(
-        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
-    )
-    late2 = late.select(
-        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
-    )
-    sole = (
-        late.join(
-            other,
-            (F.col("x_orderkey") == F.col("l_orderkey"))
-            & (F.col("x_suppkey") != F.col("l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            late2,
-            (F.col("y_orderkey") == F.col("l_orderkey"))
-            & (F.col("y_suppkey") != F.col("l_suppkey")),
-            "left_anti",
-        )
-    )
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
-        .orderBy(F.col("numwait").desc(), "s_name")
-        .limit(10)
-    )
-
-
-@register(
-    "q64_event_funnel",
-    """
-    WITH v AS (
-      SELECT user_id, MIN(ts) AS t_view
-      FROM events WHERE event_type = 'view' GROUP BY user_id
-    ), c AS (
-      SELECT e.user_id, MIN(e.ts) AS t_click
-      FROM events e JOIN v ON v.user_id = e.user_id
-      WHERE e.event_type = 'click' AND e.ts > v.t_view
-      GROUP BY e.user_id
-    ), p AS (
-      SELECT e.user_id, MIN(e.ts) AS t_purchase
-      FROM events e JOIN c ON c.user_id = e.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-      GROUP BY e.user_id
-    )
-    SELECT stage, n_users FROM (
-      SELECT 1 AS stage_ord, 'view' AS stage,
-             CAST(COUNT(*) AS BIGINT) AS n_users FROM v
-      UNION ALL
-      SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
-      UNION ALL
-      SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
-    )
-    """,
-)
-def q64_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4/T2] Ordered event funnel (view -> click -> purchase): users who
-    completed each stage IN TIME ORDER (a click before the first view
-    doesn't count), the product-analytics staple the reference's REALTIME
-    cadence declares but never builds (1. Metadata Creation.sql:66).
-
-    ONE user-partitioned pass over the events scan: three stacked
-    unbounded-frame window MINs (first view; first click after it; first
-    purchase after that) share a single hash exchange on user_id, the
-    per-user rollup then reuses that partitioning (no second exchange —
-    HashPartitioning(user_id) already satisfies the groupBy), and the
-    3-row funnel is an unpivot of one global count row. Replaces the
-    former 3-scan/2-broadcast-join staged shape (9 exchanges → 3).
-    Timestamps compare exactly (micros); counts are BIGINT — nothing to
-    drift."""
-    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    w = W.partitionBy("user_id")
-    staged = (
-        e.withColumn(
-            "t_view",
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
-        )
-        .withColumn(
-            "t_click",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click")
-                    & (F.col("ts") > F.col("t_view")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-        .withColumn(
-            "t_purchase",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t_click")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-    )
-    per_user = staged.groupBy("user_id").agg(
-        F.first("t_view").alias("t_view"),
-        F.first("t_click").alias("t_click"),
-        F.first("t_purchase").alias("t_purchase"),
-    )
-    stats = per_user.agg(
-        F.count("t_view").cast("long").alias("n_view"),
-        F.count("t_click").cast("long").alias("n_click"),
-        F.count("t_purchase").cast("long").alias("n_purchase"),
-    )
-    return stats.select(
-        F.expr(
-            "stack(3, 'view', n_view, 'view>click', n_click, "
-            "'view>click>purchase', n_purchase) AS (stage, n_users)"
-        )
-    )
-
-
-@register(
-    "q65_cohort_retention",
-    """
-    WITH act AS (
-      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
-      FROM events
-    ), cohort AS (
-      SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id
-    )
-    SELECT c.cohort_wk,
-           CAST(date_diff('day', c.cohort_wk, a.wk) / 7 AS BIGINT)
-             AS week_offset,
-           CAST(COUNT(*) AS BIGINT) AS n_active_users
-    FROM act a JOIN cohort c ON c.user_id = a.user_id
-    GROUP BY c.cohort_wk, week_offset
-    """,
-)
-def q65_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4/T2] Weekly cohort-retention matrix: users grouped by first-seen
-    week, counted in each subsequent active week — the warehouse rollup
-    behind every retention dashboard. One pass builds the distinct
-    (user, week) activity set; the per-user MIN reduces it to a
-    |users|-row cohort table that BROADCASTS back onto the activity set,
-    so the only big exchanges are the activity distinct and the final
-    (cohort, offset) rollup. date_trunc('week') is ISO-Monday in both
-    engines; the offset is integer day-arithmetic — bit-stable. (The
-    distinct-(user,week) set is already user-partitioned after its
-    shuffle, so the cohort agg reuses that partitioning.)"""
-    e = t(spark, sf_dir, "events").select("user_id", "ts")
-    act = e.select(
-        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
-    ).distinct()
-    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    return (
-        act.join(F.broadcast(cohort), "user_id")
-        .groupBy(
-            "cohort_wk",
-            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
-            .cast("long")
-            .alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
-    )
-
-
-@register(
-    "q66_user_sessions",
-    f"""
-    WITH ordered AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-                    OR LAG(ts) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS is_start
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sess AS (
-      SELECT user_id, ts, value,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, user_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_no
-      FROM ordered
-    )
-    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           {_dsum_sql('value')} AS total_value
-    FROM sess GROUP BY user_id, session_no
-    """,
-)
-def q66_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4/2.5] Batch sessionization with explicit session IDs: a session
-    break is a >30-min silence; the break flags' running sum numbers each
-    user's sessions — lag + cumulative-sum, the standard gaps-and-islands
-    rewrite that needs NO self-join. Both windows and the final rollup
-    share one user_id partitioning, so the whole query is a single
-    shuffle; per-user state is a sort within a partition, exactly how it
-    scales on a 1000-executor cluster. Complements q22's session_window
-    agg (which fuses the numbering away) by materializing the session
-    identity a downstream join would need. event_id tie-breaks equal
-    timestamps; the micro-precision interval compare and BIGINT counts are
-    engine-exact; total_value uses the decimal-sum convention."""
-    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    is_start = F.when(
-        prev.isNull()
-        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")),
-        1,
-    ).otherwise(0)
-    sess = (
-        e.withColumn("is_start", is_start)
-        .withColumn(
-            "session_no",
-            F.sum("is_start")
-            .over(w.rowsBetween(W.unboundedPreceding, 0))
-            .cast("long"),
-        )
-    )
-    return sess.groupBy("user_id", "session_no").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        dsum(F.col("value")).alias("total_value"),
-    )
-
-
-@register(
-    "q67_rolling_active_users",
-    """
-    WITH ud AS (
-      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
-      FROM events
-    ), covered AS (
-      SELECT user_id, CAST(d + INTERVAL (i) DAY AS DATE) AS cover_d
-      FROM ud, UNNEST(range(7)) AS u(i)
-    )
-    SELECT c.cover_d AS d,
-           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
-    FROM covered c
-    WHERE c.cover_d IN (SELECT d FROM ud)
-    GROUP BY c.cover_d
-    """,
-)
-def q67_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4/2.5] Trailing-7-day active users per day (WAU) — the rolling
-    DISTINCT that a RANGE window cannot express (count distinct over a
-    sliding frame). Rewritten as coverage-explode: each (user, day) row
-    covers the 7 days it keeps the user 'active', then one distinct-count
-    per day — a LINEAR x7 row blowup and a single keyed shuffle, versus
-    the quadratic day-range self-join a naive rewrite does (and versus
-    recomputing 7 daily distincts). The observed-day semi filter keeps
-    only real days (broadcast, day-cardinality). Date arithmetic and
-    BIGINT counts only — engine-exact."""
-    e = t(spark, sf_dir, "events").select("user_id", "ts")
-    ud = e.select(
-        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
-    ).distinct()
-    days = ud.select("d").distinct()
-    covered = ud.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
-        ).alias("cover_d"),
-    )
-    return (
-        covered.join(
-            F.broadcast(days), F.col("cover_d") == F.col("d"), "left_semi"
-        )
-        .groupBy(F.col("cover_d").alias("d"))
-        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
-    )
-
-
-@register(
-    "q68_important_parts",
-    f"""
-    WITH pv AS (
-      SELECT l_partkey, {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS part_value
-      FROM lineitem GROUP BY l_partkey
-    ), tot AS (
-      SELECT {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_value
-      FROM lineitem
-    )
-    SELECT p.p_partkey, p.p_name, pv.part_value
-    FROM pv
-    JOIN part p ON p.p_partkey = pv.l_partkey
-    CROSS JOIN tot
-    WHERE pv.part_value > 0.0005 * tot.total_value
-    """,
-)
-def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4/2.10] TPC-H-Q11-shaped 'important stock': parts whose revenue
-    exceeds a fixed fraction of TOTAL corpus revenue — the
-    aggregate-vs-global-scalar pattern (HAVING > SUM(...) * k). Both the
-    per-part rollup and the 1-row total come from the SAME single scan
-    pass shape; the scalar broadcasts, so the filter costs nothing extra.
-    The comparison is between two decimal-exact sums scaled by one IEEE
-    multiply — deterministic on both engines; ties are impossible to
-    round differently. Part attributes broadcast on after the filter cuts
-    the key set. (SURVEY.md 2.10 scalar subquery, 2.4 A4)."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_extendedprice", "l_discount"
-    )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    pv = li.groupBy("l_partkey").agg(dsum(rev).alias("part_value"))
-    tot = li.agg(dsum(rev).alias("total_value"))
-    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    return (
-        pv.join(F.broadcast(tot))
-        .where(F.col("part_value") > 0.0005 * F.col("total_value"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select("p_partkey", "p_name", "part_value")
-    )
-
-
-@register(
-    "q69_monthly_revenue_growth",
-    f"""
-    WITH m AS (
-      SELECT n.n_name,
-             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
-             {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
-      FROM lineitem l
-      JOIN orders o   ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n   ON n.n_nationkey = c.c_nationkey
-      GROUP BY n.n_name, month
-    )
-    SELECT n_name, month, revenue,
-           revenue - LAG(revenue) OVER (PARTITION BY n_name ORDER BY month)
-             AS revenue_delta
-    FROM m
-    """,
-)
-def q69_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4/2.5] Month-over-month revenue delta per nation — the trend
-    panel behind every warehouse dashboard: aggregate to (nation, month),
-    then a lag window along each nation's month series. The fact stream
-    pays ONE shuffle (the fine-grained (nation, month) agg, with map-side
-    partials); the window's own exchange re-keys only the ~|nation x
-    month| aggregate rows — deliberately NOT pre-partitioned by nation,
-    which would shuffle the full fact on 25 keys. Month keys are exact
-    (date_trunc to DATE); deltas subtract two decimal-summed doubles, a
-    single IEEE op — bit-stable. The first month's delta is NULL on both
-    engines."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    m = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy(
-            "n_name",
-            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month"),
-        )
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
-    )
-    w = W.partitionBy("n_name").orderBy("month")
-    return m.select(
-        "n_name", "month", "revenue",
-        (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
-    )
-
-
-@register(
-    "q70_min_cost_supplier",
-    """
-    WITH costs AS (
-      SELECT DISTINCT l.l_partkey, l.l_suppkey,
-             s.s_acctbal, s.s_name, s.s_nationkey
-      FROM lineitem l
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    ), ranked AS (
-      SELECT c.l_partkey, c.l_suppkey, c.s_acctbal, c.s_name, c.s_nationkey,
-             ROW_NUMBER() OVER (PARTITION BY c.l_partkey
-                                ORDER BY c.s_acctbal, c.l_suppkey) AS rn
-      FROM costs c
-    )
-    SELECT p.p_partkey, p.p_name, p.p_size,
-           r.l_suppkey AS s_suppkey, r.s_name, n.n_name, r.s_acctbal
-    FROM ranked r
-    JOIN part p   ON p.p_partkey = r.l_partkey
-    JOIN nation n ON n.n_nationkey = r.s_nationkey
-    WHERE r.rn = 1 AND p.p_size <= 10
-    """,
-)
-def q70_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/2.5/2.10] TPC-H-Q2-shaped min-cost supplier per part (the
-    fixture has no partsupp, so the supplier relation is derived from
-    observed lineitems and account balance stands in for supply cost).
-    The canonical correlated MIN-subquery is rewritten as the argmin
-    window — ROW_NUMBER over (partkey; cost, suppkey) with a unique
-    tie-break — one shuffle on partkey over a DISTINCT-reduced
-    (part, supplier) relation, instead of re-scanning for the min and
-    joining back. Part (filtered p_size <= 10) and nation broadcast onto
-    the |parts|-row argmin output. (SURVEY.md 2.10 correlated subquery
-    -> window rewrite, 2.5 ranking window)."""
-    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    s = t(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_acctbal", "s_name", "s_nationkey"
-    )
-    costs = (
-        li.distinct()
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("l_partkey", "l_suppkey", "s_acctbal", "s_name", "s_nationkey")
-    )
-    w = W.partitionBy("l_partkey").orderBy("s_acctbal", "l_suppkey")
-    ranked = costs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    p = t(spark, sf_dir, "part").where(F.col("p_size") <= 10).select(
-        "p_partkey", "p_name", "p_size"
-    )
-    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (
-        ranked.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select(
-            "p_partkey", "p_name", "p_size",
-            F.col("l_suppkey").alias("s_suppkey"),
-            "s_name", "n_name", "s_acctbal",
-        )
-    )
-
-
-@register(
-    "q71_profit_by_nation_year",
-    f"""
-    SELECT n.n_name AS nation,
-           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-           {_dsum_sql(
-               'l.l_extendedprice * (1 - l.l_discount)'
-               ' - 0.1 * p.p_retailprice * l.l_quantity'
-           )} AS sum_profit
-    FROM lineitem l
-    JOIN part p     ON p.p_partkey = l.l_partkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN orders o   ON o.o_orderkey = l.l_orderkey
-    JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    WHERE p.p_type = 'ECONOMY'
-    GROUP BY nation, o_year
-    """,
-)
-def q71_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/A4] TPC-H-Q9-shaped product-type profit: revenue minus a supply
-    cost modeled as 10% of part retail price x quantity (the fixture has
-    no partsupp.ps_supplycost), for one part type, by supplier nation and
-    order year. Part (type-filtered), supplier, and nation broadcast; the
-    single big-big shuffle is lineitem<->orders. The per-row profit
-    expression is fixed-shape IEEE arithmetic; the rollup is
-    decimal-exact. The p_type filter semi-reduces the fact stream through
-    the part broadcast before the shuffle — the plan scales as
-    |lineitem|/|p_type-selectivity|. (SURVEY.md 2.3 J1, 2.4 A4)."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey",
-        "l_quantity", "l_extendedprice", "l_discount",
-    )
-    p = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select(
-        "p_partkey", "p_retailprice"
-    )
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
-    )
-    return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("long").alias("o_year"),
-        )
-        .agg(dsum(profit).alias("sum_profit"))
-    )
-
-
-@register(
-    "q72_price_histogram",
-    f"""
-    WITH b AS (
-      SELECT LEAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
-             o_totalprice
-      FROM orders
-    ), h AS (
-      SELECT bin,
-             CAST(bin * 50000 AS BIGINT) AS lo_edge,
-             CAST(COUNT(*) AS BIGINT) AS n_orders,
-             {_dsum_sql('o_totalprice')} AS total_price
-      FROM b GROUP BY bin
-    )
-    SELECT bin, lo_edge, n_orders, total_price,
-           CAST(SUM(n_orders) OVER (ORDER BY bin) AS BIGINT) AS cum_orders
-    FROM h
-    """,
-)
-def q72_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4] Fixed-width histogram + cumulative distribution of order value
-    (10 x 50k buckets, top bucket open) — the `width_bucket` profiling
-    shape used for skew diagnosis and bin-boundary planning. Bucketing is
-    a scan-side expression (map-side combine shrinks the shuffle to
-    |bins| partials); the CDF is a window cumsum over the 10-row
-    aggregate, so the second "pass" is free. At 100 TB the same plan
-    holds: the only data movement is |bins| rows."""
-    o = t(spark, sf_dir, "orders")
-    b = o.select(
-        F.least(F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(9))
-        .cast("long")
-        .alias("bin"),
-        "o_totalprice",
-    )
-    h = b.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        dsum(F.col("o_totalprice")).alias("total_price"),
-    ).select(
-        "bin",
-        (F.col("bin") * 50000).cast("long").alias("lo_edge"),
-        "n_orders",
-        "total_price",
-    )
-    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
-    return h.withColumn(
-        "cum_orders", F.sum("n_orders").over(wcum).cast("long")
-    )
-
-
-_L04_ORACLE = f"""
-    SELECT o.o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_lines,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderpriority
-"""
-
-
-@register("l04_bucketed_colocated_join", _L04_ORACLE)
-def l04_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S2/J] Bucketed-table co-located join lifecycle: fact and dimension
-    are written as BUCKETED parquet tables (8 buckets, hash(l_orderkey) /
-    hash(o_orderkey), sorted within buckets), read back through the
-    catalog, and joined WITHOUT a shuffle — Spark's answer to the
-    pre-partitioned co-located joins a 100 TB warehouse lives on. At that
-    scale both writes happen once at load time and every subsequent join
-    on the bucketing key skips its exchange entirely; the plan pin asserts
-    the join contributes ZERO exchanges (only the final per-priority
-    aggregation shuffles — 5 rows) and that the merge join needs no sort
-    (buckets are written pre-sorted). The oracle computes the same
-    join+agg straight from the raw parquet, so a value drift anywhere in
-    the bucketed write/read/join path hash-fails.
-
-    Reference parity: the reference's DW star schema loads into keyed
-    MySQL tables whose joins ride InnoDB PK order
-    (`source_code/sql/1. Metadata Creation.sql`); bucketing is the lake
-    equivalent of that physical key layout."""
-    import os as _os
-
-    from smfg_datawarehouse_spark.queries import _scratch_dir
-
-    base = _scratch_dir(spark, "l04")
-    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    for name, df, key in [("lineitem", li, "l_orderkey"), ("orders", od, "o_orderkey")]:
-        (
-            df.write.mode("overwrite")
-            .bucketBy(8, key)
-            .sortBy(key)
-            .option("path", _os.path.join(base, name))
-            .format("parquet")
-            .saveAsTable(f"l04_{name}_{app}")
-        )
-    lb = spark.table(f"l04_lineitem_{app}")
-    ob = spark.table(f"l04_orders_{app}")
-    joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
-    return joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-    )
-
-
-_L05_ORACLE = """
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents
-    WHERE source = 'src0'
-    GROUP BY lang
-"""
-
-
-@register("l05_partition_pruned_lake", _L05_ORACLE)
-def l05_partition_pruned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S2/S3/P4] Partition-pruned lake lifecycle: the documents corpus is
-    written Hive-partitioned by ``source`` (the lake layout a 100 TB
-    curated zone uses for its dominant filter key), read back through the
-    partition directory structure, and a per-source query proves PARTITION
-    PRUNING — the ``source = 'src0'`` predicate is resolved against
-    directory names at planning time, so only 1/|sources| of the files is
-    ever opened (the plan's scan node lists it under PartitionFilters;
-    tests/test_plans pins that). The oracle computes the same rollup from
-    the unpartitioned fixture, so a row lost or duplicated anywhere in the
-    partitioned write/read path hash-fails.
-
-    At scale this is the difference between scanning 100 TB and scanning
-    one partition: pruning happens before I/O, unlike a data filter which
-    still reads every file's pages. Reference parity: the staging-zone
-    per-table directory layout (`staging_data_extraction.py:94` writes
-    `{table}_part_*.parquet` per table dir) generalizes to value-partitioned
-    directories; the partition column is recovered from directory names on
-    read (Spark partition discovery), not stored in the files."""
-    base = _scratch_dir(spark, "l05")
-    d = t(spark, sf_dir, "documents")
-    d.write.mode("overwrite").partitionBy("source").parquet(base)
-    rd = spark.read.parquet(base).where(F.col("source") == "src0")
-    return rd.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-    )
-
-
-_Q81_M = 262144  # bloom bits — sized so |urgent keys|·k/m stays ≈0.5 at sf0.1
-_Q81_K = 4
-_Q81_BIT = (
-    "(('0x' || substring(md5(key), 1, 8))::BIGINT"
-    f" + j * ('0x' || substring(md5(key), 9, 8))::BIGINT) % {_Q81_M}"
-)
-
-_Q81_ORACLE = f"""
-    WITH urgent AS (
-      SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key
-      FROM orders WHERE o_orderpriority = '1-URGENT'
-    ),
-    js AS (SELECT unnest(range({_Q81_K})) AS j),
-    bits AS (
-      SELECT DISTINCT {_Q81_BIT} AS bit FROM urgent CROSS JOIN js
-    ),
-    dkeys AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem),
-    kb AS (SELECT key, {_Q81_BIT} AS bit FROM dkeys CROSS JOIN js),
-    verd AS (
-      SELECT kb.key,
-             CASE WHEN COUNT(b.bit) = {_Q81_K} THEN 1 ELSE 0 END AS pass
-      FROM kb LEFT JOIN bits b ON kb.bit = b.bit
-      GROUP BY kb.key
-    ),
-    rows_ AS (
-      SELECT v.pass,
-             CASE WHEN u.key IS NOT NULL THEN 1 ELSE 0 END AS hit
-      FROM lineitem l
-      JOIN verd v ON CAST(l.l_orderkey AS VARCHAR) = v.key
-      LEFT JOIN urgent u ON v.key = u.key
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitem,
-           CAST(SUM(pass) AS BIGINT) AS n_candidates,
-           CAST(SUM(hit) AS BIGINT) AS n_joined,
-           CAST(SUM(pass) - SUM(hit) AS BIGINT) AS false_pos_rows,
-           CAST(SUM(pass) AS DOUBLE) / COUNT(*) AS candidate_ratio
-    FROM rows_
-"""
-
-
-@register("q81_bloom_join_pushdown", _Q81_ORACLE)
-def q81_bloom_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J/§2.3/X] RUNTIME-FILTER join pushdown, made explicit and
-    measurable: the dimension side's join keys (urgent orders) compress
-    into an m-bit Bloom filter (Kirsch–Mitzenmacher double hashing — one
-    md5, k derived positions; the same portable family as x51), and the
-    FACT scan probes the filter as k scalar broadcast lookups BEFORE any
-    join shuffle would run — candidate_ratio is exactly the fraction of
-    fact rows that would survive into the shuffle. The exact-match count
-    rides along (one more broadcast marker join), so the oracle
-    re-asserts the defining invariants: no false negatives
-    (n_candidates ≥ n_joined, every true match passes) and the measured
-    false_pos_rows at this m/k operating point.
-
-    Why it matters at 100 TB: when the dim's key set is too big to
-    broadcast as a hash relation, its Bloom bitmap (m bits — here 32 KB
-    of set-bit rows, independent of key count) still broadcasts, and
-    pre-filtering the fact to candidate_ratio before a sort-merge join
-    cuts the dominant shuffle by 1/ratio. This is what Spark's AQE
-    runtime bloom filter does internally; expressed explicitly it is
-    oracle-checkable and tunable (m sizes to |dim keys|·k/ln2). The whole
-    plan is scan-side: k+2 broadcast joins, one single-row aggregate,
-    ZERO fact shuffles."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
-    urgent = (
-        t(spark, sf_dir, "orders")
-        .where(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_orderkey").cast("string").alias("key"))
-        .distinct()
-    )
-    key = F.col("key")
-    h1 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
-    bit_exprs = [((h1 + F.lit(j) * h2) % _Q81_M).alias(f"b{j}") for j in range(_Q81_K)]
-    bits = (
-        urgent.select(F.explode(F.array(*[(h1 + F.lit(j) * h2) % _Q81_M for j in range(_Q81_K)])).alias("bit"))
-        .distinct()
-    )
-    probe = li.select(F.col("l_orderkey").cast("string").alias("key")).select(
-        "key", *bit_exprs
-    )
-    for j in range(_Q81_K):
-        marker = bits.select(F.col("bit").alias(f"bit{j}")).withColumn(
-            f"m{j}", F.lit(1)
-        )
-        probe = probe.join(
-            F.broadcast(marker), probe[f"b{j}"] == marker[f"bit{j}"], "left"
-        )
-    passed = F.when(
-        sum(F.col(f"m{j}").isNotNull().cast("int") for j in range(_Q81_K)) == _Q81_K, 1
-    ).otherwise(0)
-    probe = probe.join(
-        F.broadcast(urgent.withColumn("_hit", F.lit(1))), "key", "left"
-    )
-    return probe.agg(
-        F.count(F.lit(1)).cast("long").alias("n_lineitem"),
-        F.sum(passed).cast("long").alias("n_candidates"),
-        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_joined"),
-        (F.sum(passed) - F.sum(F.coalesce(F.col("_hit"), F.lit(0))))
-        .cast("long")
-        .alias("false_pos_rows"),
-        (F.sum(passed).cast("double") / F.count(F.lit(1))).alias("candidate_ratio"),
-    )
-
-
-@register(
-    "l06_realtime_dispatch_lifecycle",
-    """
-    SELECT 'tpch.orders' AS TableName, 'SUCCESS' AS Status,
-           CAST(COUNT(*) AS BIGINT) AS RowCount
-    FROM orders
-    UNION ALL
-    SELECT 'tpch.orders@staging', 'SUCCESS', CAST(COUNT(*) AS BIGINT)
-    FROM orders
-    """,
-)
-def l06_realtime_dispatch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2/L1-L6/S2] The metadata-driven REALTIME path as a checkable
-    lifecycle (l01's streaming sibling): ``RefreshFrequency='REALTIME'``
-    in table metadata dispatches a Structured Streaming query through the
-    SAME compiled ExtractionPlan as the batch path — readStream over the
-    raw zone → foreachBatch → staging zone appends + per-micro-batch
-    audit rows → SUCCESS/PARTIAL/FAILED rollup. The returned rows
-    reconcile BOTH ledgers the reference's audit model demands
-    (`1. Metadata Creation.sql:35-39`): the table-level REALTIME_STAGING
-    audit row's RowCount, and an independent count read back from the
-    staged parquet itself — each must equal the raw source count, or the
-    hash fails. Checkpoints live inside the per-invocation scratch dir,
-    so every run drains from offset zero (the incremental
-    second-run-only-new-files behavior is pinned by
-    tests/test_streaming.py::test_metadata_realtime_dispatch_end_to_end)."""
-    import os
-
-    from smfg_datawarehouse_spark.audit import AuditLedger
-    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
-    from smfg_datawarehouse_spark.runner import run_realtime_staging
-    from smfg_datawarehouse_spark.sources.lake import LakeZones
-
-    tmp = _scratch_dir(spark, "l06")
-    zones = LakeZones(os.path.join(tmp, "lake"))
-    audit = AuditLedger(spark, os.path.join(tmp, "audit"))
-    t(spark, sf_dir, "orders").repartition(2).write.mode("overwrite").parquet(
-        os.path.join(zones.raw, "tpch", "orders")
-    )
-    cat = seed_fixture_catalog(spark)
-    cat.table_config = cat.table_config.withColumn(
-        "RefreshFrequency",
-        F.when(F.col("TableName") == "orders", F.lit("REALTIME")).otherwise(
-            F.col("RefreshFrequency")
-        ),
-    )
-    pid, _results = run_realtime_staging(spark, cat, zones, audit)
-    audit_rows = (
-        audit.stage_detail()
-        .where(
-            (F.col("ProcessID") == pid)
-            & (F.col("StageName") == "REALTIME_STAGING")
-        )
-        .select(
-            "TableName", "Status", F.col("RowCount").cast("long").alias("RowCount")
-        )
-    )
-    landed = spark.read.parquet(zones.staging_table_dir("tpch", "orders"))
-    landed_row = landed.agg(
-        F.lit("tpch.orders@staging").alias("TableName"),
-        F.lit("SUCCESS").alias("Status"),
-        F.count(F.lit(1)).cast("long").alias("RowCount"),
-    )
-    return audit_rows.unionByName(landed_row)
-
-
-@register(
-    "l07_compaction_lifecycle",
-    """
-    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents GROUP BY source
-    """,
-)
-def l07_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S3] The reference's chunk-consolidation step
-    (`staging_data_extraction.py:30-80`: glob part files → concat → one
-    snappy file) as a certified lake-maintenance lifecycle: the corpus is
-    written as MANY small part files (the real small-files problem a
-    chunked/streaming ingest creates), `compact` rewrites the directory
-    into size-targeted files with an atomic-ish swap, and the per-source
-    rollup read back from the compacted directory must hash-match the
-    oracle's rollup over the original fixture — compaction must be
-    byte-for-byte content-preserving. The small-files reduction itself is
-    asserted structurally in-query (fail loudly, not hash-fail
-    mysteriously): file count must strictly drop to 1 at this scale.
-
-    At 100 TB `target_file_bytes` sizes output files to the cluster's
-    scan sweet spot (Spark default 128 MB splits) instead of the
-    reference's force-one-file concat, which cannot scale past a single
-    worker's memory."""
-    import glob as _glob
-    import os
-
-    from smfg_datawarehouse_spark.sources.lake import compact
-
-    tmp = _scratch_dir(spark, "l07")
-    path = os.path.join(tmp, "documents")
-    t(spark, sf_dir, "documents").repartition(24).write.parquet(path)
-    n_before = len(_glob.glob(os.path.join(path, "part-*.parquet")))
-    compact(spark, path, target_file_bytes=10 * 1024 * 1024 * 1024)
-    n_after = len(_glob.glob(os.path.join(path, "part-*.parquet")))
-    if not (n_after < n_before and n_after == 1):
-        raise RuntimeError(
-            f"compaction did not reduce part files: {n_before} -> {n_after}"
-        )
-    return (
-        spark.read.parquet(path)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-    )
-
-
-@register(
-    "l08_partial_failure_rollup",
-    """
-    SELECT 'tpch.lineitem' AS Name, 'SUCCESS' AS Status,
-           CAST(COUNT(*) AS BIGINT) AS RowCount
-    FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'
-    UNION ALL
-    SELECT 'tpch.orders', 'FAILED', CAST(-1 AS BIGINT)
-    UNION ALL
-    SELECT 'RUN', 'PARTIAL', CAST(-1 AS BIGINT)
-    """,
-)
-def l08_partial_failure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[L6] The FAILURE side of the audit ledger certified (l01 proves the
-    happy path): one table's source reader raises mid-run (injected
-    outage on orders), the runner isolates the failure — lineitem still
-    extracts and audits SUCCESS with its incremental row count — the
-    failed table gets a FAILED stage row, and the master rolls up
-    **PARTIAL** exactly as the reference's status enum declares
-    (`1. Metadata Creation.sql:12`; finalizer shape
-    `dag/SMFG_DW_ETL_DAG.py:294-308`). The oracle pins all three ledger
-    facts; RowCount for non-count rows is -1 (sentinel, not NULL — a
-    nullable int column would surface as float through pandas and break
-    the hash)."""
-    import os
-
-    from smfg_datawarehouse_spark.audit import AuditLedger
-    from smfg_datawarehouse_spark.catalog import seed_fixture_catalog
-    from smfg_datawarehouse_spark.runner import run_staging_extraction
-    from smfg_datawarehouse_spark.sources.lake import LakeZones
-
-    tmp = _scratch_dir(spark, "l08")
-    zones = LakeZones(os.path.join(tmp, "lake"))
-    audit = AuditLedger(spark, os.path.join(tmp, "audit"))
-    cat = seed_fixture_catalog(spark)
-
-    def reader(s: SparkSession, plan) -> DataFrame:
-        if plan.table_name == "orders":
-            raise RuntimeError("injected source outage")
-        return t(s, sf_dir, plan.table_name)
-
-    pid, _results = run_staging_extraction(
-        spark, cat, zones, audit, source_reader=reader
-    )
-    stage_rows = (
-        audit.stage_detail()
-        .where(F.col("ProcessID") == pid)
-        .select(
-            F.col("TableName").alias("Name"),
-            "Status",
-            F.coalesce(F.col("RowCount").cast("long"), F.lit(-1)).alias("RowCount"),
-        )
-    )
-    master_row = (
-        audit.process_master()
-        .where(F.col("ProcessID") == pid)
-        .select(
-            F.lit("RUN").alias("Name"),
-            "Status",
-            F.lit(-1).cast("long").alias("RowCount"),
-        )
-    )
-    return stage_rows.unionByName(master_row)
-
-
-@register(
-    "l09_schema_evolution_lifecycle",
-    """
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_with_quality,
-           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN n_chars ELSE 0 END) AS BIGINT)
-             AS quality_chars
-    FROM documents
-    GROUP BY source
-    """,
-)
-def l09_schema_evolution_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S2/P7] SCHEMA EVOLUTION on the lake certified: an old batch lands
-    WITHOUT the ``quality`` column, a later batch lands WITH it (the
-    column-added-to-``DW_Column_Config`` scenario — the reference's
-    mutable column configs imply exactly this drift), and the merged
-    read (``mergeSchema``) must surface old rows with NULL quality while
-    new rows keep theirs — no rewrite of already-landed data. The
-    certified rollup counts per source how many docs carry the evolved
-    column and their char mass, which the oracle replays from the
-    batch-membership rule (doc_id % 3 = 0 → evolved batch), so a row
-    lost, duplicated, or mis-NULLed by the merge path hash-fails.
-
-    At 100 TB this is the difference between an O(new-batch) append and
-    an O(corpus) backfill: evolution must be metadata-only. Spark's
-    mergeSchema unions footers at planning time; per-file projection
-    fills the missing column with NULL at scan."""
-    import os
-
-    tmp = _scratch_dir(spark, "l09")
-    path = os.path.join(tmp, "documents")
-    d = t(spark, sf_dir, "documents")
-    old = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "source", "n_chars")
-    new = d.where(F.col("doc_id") % 3 == 0).select(
-        "doc_id", "source", "n_chars", F.col("n_chars").cast("long").alias("quality")
-    )
-    old.write.parquet(path)
-    new.write.mode("append").parquet(path)
-    from smfg_datawarehouse_spark.sources.lake import read_evolved_parquet
-
-    merged = read_evolved_parquet(spark, path)
-    return merged.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.col("quality").isNotNull().cast("long")).cast("long").alias("n_with_quality"),
-        F.sum(F.coalesce(F.col("quality"), F.lit(0))).cast("long").alias("quality_chars"),
-    )
-
-
-@register(
-    "l10_incremental_agg_maintenance",
-    """
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents
-    GROUP BY source
-    """,
-)
-def l10_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4/T1] INCREMENTAL VIEW MAINTENANCE certified: a per-source
-    rollup materialized from the base corpus is refreshed when a delta
-    batch arrives by merging the STORED aggregate with the DELTA's
-    aggregate — the base rows are never rescanned. Counts and sums are
-    self-mergeable (the same partial-aggregate algebra Spark uses
-    map-side), so refresh cost is O(delta) + O(|view|) instead of
-    O(corpus): at 100 TB that's the difference between a minute and a
-    day for every arriving batch. The refreshed view must hash-match the
-    oracle's full recompute over the complete corpus — merge drift
-    (double counting, lost rows, wrong null handling) fails loudly.
-
-    The same pattern maintains any commutative-monoid aggregate
-    (count/sum/min/max, sketches like x47's HLL or x52's quantile
-    digests — all mergeable); AVG-style ratios are maintained as
-    (sum, count) pairs and divided at read time."""
-    import os
-
-    tmp = _scratch_dir(spark, "l10")
-    mv_path = os.path.join(tmp, "mv_source_stats")
-    d = t(spark, sf_dir, "documents")
-    base = d.where(F.col("doc_id") % 3 != 0)
-    delta = d.where(F.col("doc_id") % 3 == 0)
-
-    def rollup(df: DataFrame) -> DataFrame:
-        return df.groupBy("source").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-
-    rollup(base).write.parquet(mv_path)  # the standing materialized view
-    stored = spark.read.parquet(mv_path)  # refresh reads the VIEW, not base
-    return (
-        stored.unionByName(rollup(delta))
-        .groupBy("source")
-        .agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("total_chars").cast("long").alias("total_chars"),
-        )
-    )
-
-
-_L11_ORACLE = f"""
-    WITH base AS (
-      SELECT strftime(ts, '%Y-%m-%d') AS day, value FROM events
-    ), m AS (SELECT MIN(day) AS d0 FROM base)
-    SELECT day, CAST(COUNT(*) AS BIGINT) AS cnt,
-           {_dsum_sql("CASE WHEN day = m.d0 THEN value * 2 ELSE value END")}
-             AS total_value
-    FROM base CROSS JOIN m
-    GROUP BY day
-"""
-
-
-@register("l11_dynamic_partition_overwrite", _L11_ORACLE)
-def l11_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S2/S7/J3] PARTITION-SCOPED UPDATE via dynamic partition
-    overwrite: the events table lands day-partitioned; a restatement
-    batch for ONE day (values doubled — a late-correction scenario)
-    overwrites in ``partitionOverwriteMode=dynamic``, which replaces
-    ONLY the partitions present in the incoming batch. A structural gate
-    asserts an untouched partition's file set is byte-name-identical
-    after the overwrite (static mode would have truncated the whole
-    table — THE classic lake data-loss failure this mode exists to
-    prevent), and the per-day rollup read back must hash-match the
-    oracle's restated expectation.
-
-    At 100 TB this is how daily restatements ship: O(one partition)
-    rewritten, every other partition physically untouched — the
-    partition-level complement to l02's row-level MERGE."""
-    import os
-
-    tmp = _scratch_dir(spark, "l11")
-    path = os.path.join(tmp, "events_by_day")
-    e = t(spark, sf_dir, "events").select(
-        F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
-    )
-    e.write.partitionBy("day").parquet(path)
-    days = sorted(
-        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("day=")
-    )
-    target, untouched = days[0], days[1]
-    before = sorted(os.listdir(os.path.join(path, f"day={untouched}")))
-    upd = e.where(F.col("day") == target).withColumn("value", F.col("value") * 2)
-    (
-        upd.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
-        .parquet(path)
-    )
-    after = sorted(os.listdir(os.path.join(path, f"day={untouched}")))
-    if before != after:
-        raise RuntimeError(
-            f"dynamic overwrite touched partition day={untouched}: "
-            f"{before} -> {after}"
-        )
-    return (
-        spark.read.parquet(path)
-        .groupBy("day")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("cnt"),
-            dsum(F.col("value")).alias("total_value"),
-        )
-    )
-
-
-@register(
-    "l12_time_travel_read",
-    """
-    WITH target AS (
-      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-      FROM orders WHERE o_orderdate < DATE '1997-01-01'
-    ),
-    updates AS (
-      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate
-      FROM orders WHERE o_orderdate >= DATE '1996-01-01'
-    ),
-    v1 AS (
-      SELECT * FROM updates
-      UNION ALL
-      SELECT * FROM target
-      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
-    )
-    SELECT CAST(0 AS BIGINT) AS version, * FROM target
-    UNION ALL
-    SELECT CAST(1 AS BIGINT) AS version, * FROM v1
-    """,
-)
-def l12_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J3/S7] TIME TRAVEL certification: l02's merge lifecycle, then
-    BOTH snapshots are read back from storage — ``read(version=0)`` must
-    still return the exact pre-merge state after the merge has moved the
-    current pointer to v1, and ``read()`` must return the merged state.
-    The union (tagged with a version column) hash-checks both reads in
-    one oracle: a merge that mutated v0 in place, or a version pointer
-    that resolves wrongly, fails the hash. This is the audit/debugging
-    contract a versioned lake exists for (reproduce yesterday's training
-    mix exactly); the reference declares the same intent with its
-    RecordAdded/RecordUpdated bookkeeping
-    (reference/source_code/sql/1. Metadata Creation.sql:133,146).
-
-    Scale shape: snapshots are directory-versioned parquet — each read
-    is a plain pruned scan of ONE version directory; no log replay, no
-    copy-on-read. The merge itself is l02's single key-shuffle."""
-    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
-
-    o = t(spark, sf_dir, "orders")
-    target = o.where("o_orderdate < DATE '1997-01-01'").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
-    )
-    updates = o.where("o_orderdate >= DATE '1996-01-01'").select(
-        "o_orderkey",
-        "o_custkey",
-        (F.col("o_totalprice") * 2).alias("o_totalprice"),
-        "o_orderdate",
-    )
-    vt = VersionedTable(spark, _scratch_dir(spark, "l12"))
-    vt.write(target)
-    vt.merge(updates, ["o_orderkey"])
-    v0 = vt.read(version=0).select(F.lit(0).cast("long").alias("version"), "*")
-    v1 = vt.read().select(F.lit(1).cast("long").alias("version"), "*")
-    return v0.unionByName(v1)
-
-
-@register(
-    "l13_vacuum_lifecycle",
-    """
-    WITH target AS (
-      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-      FROM orders WHERE o_orderdate < DATE '1997-01-01'
-    ),
-    updates AS (
-      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate
-      FROM orders WHERE o_orderdate >= DATE '1996-01-01'
-    )
-    SELECT * FROM updates
-    UNION ALL
-    SELECT * FROM target
-    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
-    """,
-)
-def l13_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J3/S7] RETENTION/VACUUM certification, the storage-cost half of
-    the versioned-lake contract (l12 proves old versions stay readable;
-    this proves they can be RECLAIMED without touching the current one):
-    write v0 → merge to v1 → ``vacuum(keep_last=1)``. Structural gates
-    raise if vacuum kept the wrong set (versions() must be exactly [1])
-    or if the evicted v0 is still readable (time travel to it must now
-    fail) — then the surviving current snapshot is read back from
-    storage and hash-checked against the same MERGE oracle as l02: a
-    vacuum that deleted files out from under v1 hash-fails, a vacuum
-    that missed v0 raises.
-
-    At 100 TB vacuum IS the cost model — snapshots-forever doubles
-    storage every restatement cycle; this certifies eviction is exact
-    (newest-k survive, everything else physically gone)."""
-    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
-
-    o = t(spark, sf_dir, "orders")
-    target = o.where("o_orderdate < DATE '1997-01-01'").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
-    )
-    updates = o.where("o_orderdate >= DATE '1996-01-01'").select(
-        "o_orderkey",
-        "o_custkey",
-        (F.col("o_totalprice") * 2).alias("o_totalprice"),
-        "o_orderdate",
-    )
-    vt = VersionedTable(spark, _scratch_dir(spark, "l13"))
-    vt.write(target)
-    vt.merge(updates, ["o_orderkey"])
-    removed = vt.vacuum(keep_last=1)
-    if removed != [0] or vt.versions() != [1]:
-        raise RuntimeError(
-            f"vacuum kept wrong versions: removed={removed}, left={vt.versions()}"
-        )
-    try:
-        vt.read(version=0)
-    except FileNotFoundError:
-        pass
-    else:
-        raise RuntimeError("vacuumed v0 is still readable")
-    return vt.read()
-
-
-@register(
-    "q86_order_consistency_audit",
-    """
-    WITH li AS (
-      SELECT l_orderkey,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           AS DECIMAL(30,6))) AS DOUBLE) AS charge
-      FROM lineitem GROUP BY l_orderkey
-    ),
-    j AS (
-      SELECT o.o_orderkey, o.o_totalprice, li.charge,
-             CASE WHEN li.charge IS NULL THEN CAST(-1 AS BIGINT)
-                  ELSE CAST(LEAST(CAST(FLOOR(
-                         ABS(o.o_totalprice - li.charge) / o.o_totalprice * 10.0
-                       ) AS BIGINT), 10) AS BIGINT) END AS band
-      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
-    )
-    SELECT band,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
-             AS total_declared,
-           CAST(SUM(CAST(COALESCE(charge, 0.0) AS DECIMAL(30,6))) AS DOUBLE)
-             AS total_derived
-    FROM j GROUP BY band
-    """,
-)
-def q86_order_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J4/A4/§2.7] FINANCIAL CONSISTENCY AUDIT between the order header
-    and its lines: each order's declared o_totalprice vs the
-    lineitem-derived charge (Σ extprice·(1−disc)·(1+tax), exact decimal
-    accumulation), bucketed by relative-discrepancy decile (band 10 =
-    ≥100% off, band −1 = orders with NO lineitems — the referential
-    orphans J4's anti-join would flag). A warehouse load that drifted a
-    discount sign, dropped lines, or double-applied tax shows up as mass
-    outside band 0 — the aggregate-level data-quality gate that
-    complements row-level FK checks (q09), certified against the same
-    bands computed by the oracle.
-
-    Determinism: per-order charge is a decimal exact sum cast double;
-    the band arithmetic is the identical double expression in both
-    engines; totals are decimal sums. Scale shape: ONE key shuffle
-    (groupBy l_orderkey) + one join on the same key (co-partitioned —
-    AQE plans it without a second lineitem shuffle), then a
-    map-side-combined rollup onto ≤ 12 bands."""
-    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
-        dsum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-        ).alias("charge")
-    )
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
-    band = F.when(F.col("charge").isNull(), F.lit(-1).cast("long")).otherwise(
-        F.least(
-            F.floor(
-                F.abs(F.col("o_totalprice") - F.col("charge"))
-                / F.col("o_totalprice")
-                * 10.0
-            ).cast("long"),
-            F.lit(10).cast("long"),
-        )
-    )
-    return j.select(band.alias("band"), "o_totalprice", "charge").groupBy("band").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        dsum(F.col("o_totalprice")).alias("total_declared"),
-        dsum(F.coalesce(F.col("charge"), F.lit(0.0))).alias("total_derived"),
-    )
-
-
-@register(
-    "l14_jdbc_extraction_lifecycle",
-    f"""
-    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           {_dsum_sql('o_totalprice')} AS total_price,
-           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
-           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
-    FROM orders
-    WHERE o_orderdate >= DATE '1997-01-01'
-    GROUP BY EXTRACT(year FROM o_orderdate)
-    """,
-)
-def l14_jdbc_extraction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S1/§2.1] The chunked JDBC extraction certified END-TO-END against
-    a REAL database: an orders slice is LOADED into embedded Apache
-    Derby through Spark's JDBC sink (4 concurrent insert streams,
-    batched prepared statements — the DW-load direction), then EXTRACTED
-    back through the engine's range-partitioned JDBC scan
-    (``sources/jdbc.py``: 8 bounded slices on o_orderkey, bounded
-    fetchsize — the Spark-parallel replacement for the reference's
-    serial 100k-row cursor loop,
-    reference/source_code/python/airflow_utility/staging_data_extraction.py:83-106),
-    and the extracted rows are aggregated and hash-checked against the
-    oracle computed straight from parquet. Any drift in the JDBC type
-    round-trip (DOUBLE, DATE, BIGINT), partition-slice union, or
-    pushdown surfaces as a hash mismatch. Derby is in Spark's JVM by
-    default (the Hive-metastore store), so this runs the SAME
-    DriverManager code path a MySQL/Postgres URL takes on a production
-    cluster — only the URL differs.
-
-    Scale shape: the partitioned read opens N bounded cursors
-    concurrently (memory per connection bounded by fetchsize); the
-    rollup is a map-side-combined groupBy onto |years| rows."""
-    import os
-
-    from smfg_datawarehouse_spark.sources.jdbc import jdbc_reader_options, read_jdbc
-
-    jvm = spark._jvm
-    # Embedded Derby keeps a booted database pinned in the JVM; clearing
-    # the scratch dir under a booted DB leaves the engine pointing at
-    # deleted files ("ERROR 08003: No current connection" on the next
-    # invocation). Shut the previous invocation's DB down FIRST — a
-    # successful shutdown itself raises (SQLState 08006, by Derby design).
-    prev = os.path.join(_scratch_path(spark, "l14"), "db")
-    try:
-        jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{prev};shutdown=true")
-    except Exception:
-        pass  # 08006 on success; also lands here if nothing was booted
-
-    db_path = os.path.join(_scratch_dir(spark, "l14"), "db")
-    url = f"jdbc:derby:{db_path}"
-    try:
-        jvm.java.sql.DriverManager.getConnection(url + ";create=true").close()
-    except Exception:  # driver not auto-registered in this JVM yet
-        jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
-        jvm.java.sql.DriverManager.getConnection(url + ";create=true").close()
-
-    o = t(spark, sf_dir, "orders").where(
-        "o_orderdate >= DATE '1997-01-01'"
-    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-    (
-        o.repartition(4)
-        .write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", "orders_stage")
-        .option("batchsize", "5000")
-        .mode("overwrite")
-        .save()
-    )
-    bounds = o.agg(
-        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
-    ).collect()[0]
-    opts = jdbc_reader_options(
-        url,
-        "orders_stage",
-        is_query=False,
-        partition_column="o_orderkey",
-        lower_bound=int(bounds["lo"]),
-        upper_bound=int(bounds["hi"]) + 1,
-        num_partitions=8,
-        fetch_size=100_000,
-    )
-    back = read_jdbc(spark, opts)
-    return back.groupBy(
-        F.year("o_orderdate").cast("long").alias("o_year")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        dsum(F.col("o_totalprice")).alias("total_price"),
-        F.min("o_orderkey").cast("long").alias("min_key"),
-        F.max("o_orderkey").cast("long").alias("max_key"),
-    )
-
-
-@register(
-    "l15_snapshot_diff",
-    """
-    WITH v0 AS (
-      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-      FROM orders WHERE o_orderdate < DATE '1997-01-01'
-    ),
-    v1 AS (
-      SELECT o_orderkey, o_custkey,
-             CASE WHEN o_orderdate >= DATE '1996-06-01'
-                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
-             o_orderdate
-      FROM orders WHERE o_orderdate >= DATE '1995-01-01'
-    )
-    SELECT CASE WHEN v0.o_orderkey IS NULL THEN 'insert'
-                WHEN v1.o_orderkey IS NULL THEN 'delete'
-                ELSE 'update' END AS change_type,
-           COALESCE(v0.o_orderkey, v1.o_orderkey) AS o_orderkey,
-           v0.o_custkey AS old_o_custkey, v1.o_custkey AS new_o_custkey,
-           v0.o_totalprice AS old_o_totalprice,
-           v1.o_totalprice AS new_o_totalprice,
-           v0.o_orderdate AS old_o_orderdate, v1.o_orderdate AS new_o_orderdate
-    FROM v0 FULL OUTER JOIN v1 ON v0.o_orderkey = v1.o_orderkey
-    WHERE NOT (v0.o_orderkey IS NOT NULL AND v1.o_orderkey IS NOT NULL
-               AND v0.o_custkey IS NOT DISTINCT FROM v1.o_custkey
-               AND v0.o_totalprice IS NOT DISTINCT FROM v1.o_totalprice
-               AND v0.o_orderdate IS NOT DISTINCT FROM v1.o_orderdate)
-    """,
-)
-def l15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J3/S7] CDC SNAPSHOT DIFF certified — the changelog half of the
-    versioned-lake contract (l12 proves old versions stay READABLE; this
-    proves the change set BETWEEN two versions is derivable exactly):
-    v0 = pre-1997 orders; v1 = a restatement that PURGES pre-1995 rows
-    (retention), DOUBLES totals from 1996-06 on (correction), and lands
-    the 1997+ rows (new data). ``VersionedTable.diff`` classifies every
-    key as insert/delete/update/unchanged via ONE full outer join with
-    null-safe column comparison; the emitted change rows (unchanged
-    excluded — this is what a downstream consumer replays) hash-check
-    against a literal FULL OUTER JOIN oracle. This is the Delta
-    CDF / Iceberg-changelog capability on plain snapshot-versioned
-    parquet — no log, works between ANY two committed versions.
-
-    Scale shape: one key-partitioned shuffle per side feeding a single
-    sort-merge full outer join; column comparison is codegen'd per row.
-    At 100 TB the diff of two snapshots costs the same as one big join —
-    no per-merge log replay, and bucketing both snapshots by the merge
-    keys would eliminate even that shuffle."""
-    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
-
-    o = t(spark, sf_dir, "orders")
-    v0 = o.where("o_orderdate < DATE '1997-01-01'").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
-    )
-    v1 = o.where("o_orderdate >= DATE '1995-01-01'").select(
-        "o_orderkey",
-        "o_custkey",
-        F.when(
-            F.col("o_orderdate") >= F.to_date(F.lit("1996-06-01")),
-            F.col("o_totalprice") * 2,
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-        "o_orderdate",
-    )
-    vt = VersionedTable(spark, _scratch_dir(spark, "l15"))
-    vt.write(v0)
-    vt.write(v1)
-    return (
-        vt.diff(0, 1, ["o_orderkey"])
-        .where("change_type <> 'unchanged'")
-        .select(
-            "change_type",
-            "o_orderkey",
-            "old_o_custkey",
-            "new_o_custkey",
-            "old_o_totalprice",
-            "new_o_totalprice",
-            "old_o_orderdate",
-            "new_o_orderdate",
-        )
-    )
-
-
-@register(
-    "l16_changelog_replay",
-    """
-    SELECT o_orderkey, o_custkey,
-           CASE WHEN o_orderdate >= DATE '1996-06-01'
-                THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
-           o_orderdate
-    FROM orders WHERE o_orderdate >= DATE '1995-01-01'
-    """,
-)
-def l16_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J3/S7] CHANGELOG REPLAY certified — the CONSUMER side of l15's
-    CDC contract: ``apply_changeset(v0, diff(v0, v1)) == v1``. A replica
-    holding only v0 plus the change rows reconstructs v1 exactly —
-    deletes anti-joined out, inserts/updates merged in — and the
-    reconstruction is (a) gated in-engine against the stored v1
-    (count + exceptAll must both agree; a lossy diff or a wrong apply
-    raises here) and (b) hash-checked against the restatement oracle.
-    Together l15+l16 prove the changelog is complete AND sufficient:
-    nothing the diff emits is wrong, and nothing it omits is needed.
-
-    Scale shape: replay costs O(base + changes) — one anti-join shuffle
-    and one merge shuffle, both on the table key; the replica never
-    rescans the source table. This is the snapshot-replication pattern
-    (Delta CDF consumers, cross-region replicas) on plain versioned
-    parquet."""
-    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
-    from smfg_datawarehouse_spark.transform import apply_changeset
-
-    o = t(spark, sf_dir, "orders")
-    v0 = o.where("o_orderdate < DATE '1997-01-01'").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
-    )
-    v1 = o.where("o_orderdate >= DATE '1995-01-01'").select(
-        "o_orderkey",
-        "o_custkey",
-        F.when(
-            F.col("o_orderdate") >= F.to_date(F.lit("1996-06-01")),
-            F.col("o_totalprice") * 2,
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-        "o_orderdate",
-    )
-    vt = VersionedTable(spark, _scratch_dir(spark, "l16"))
-    vt.write(v0)
-    vt.write(v1)
-    changes = vt.diff(0, 1, ["o_orderkey"]).where("change_type <> 'unchanged'")
-    rec = apply_changeset(vt.read(0), changes, ["o_orderkey"]).persist()
-    try:
-        stored = vt.read(1)
-        n_rec, n_v1 = rec.count(), stored.count()
-        n_extra = rec.exceptAll(stored).count()
-        if n_rec != n_v1 or n_extra:
-            raise RuntimeError(
-                f"changelog replay diverged: reconstructed {n_rec} rows vs "
-                f"stored {n_v1}, {n_extra} rows not in v1"
-            )
-    finally:
-        # the persist only serves the two-count replay gate; release the
-        # cached partitions so repeated invocations in a long-lived app
-        # don't accumulate executor memory (the returned plan recomputes,
-        # which is fine — callers materialize once)
-        rec.unpersist()
-    return rec
-
-
-@register(
-    "l17_manifest_commit_lifecycle",
-    """
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
-             AS total_price
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def l17_manifest_commit_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S3/S7] MANIFEST-COMMIT table lifecycle — the object-store-safe
-    commit protocol (Delta/Iceberg's core on plain parquet;
-    ``sources/manifest.py``), certifying the production answer to the
-    compaction race ``lake.compact`` documents: data files are immutable,
-    a commit is an atomic single-object CURRENT swap, and compaction
-    never deletes what a reader might hold.
-
-    Lifecycle, each transition gated in-engine (raise loudly, never
-    hash-fail mysteriously):
-
-    1. ``write`` (orders before 1996) → ``append`` (the rest): manifest
-       v2 must reference both batches' files.
-    2. ``compact()`` → v3 with strictly fewer files; the PRE-compaction
-       snapshot ``read(2)`` must still return identical counts AFTER the
-       compaction commit — snapshot isolation, the property a directory
-       swap cannot give.
-    3. ``vacuum(keep_last=1)`` must remove exactly the files v3 does not
-       reference, after which ``read(2)`` must fail (retention expired)
-       while ``read()`` still serves v3.
-
-    The returned priority rollup over the post-vacuum table hash-matches
-    the oracle over the raw fixture — the whole commit/compact/vacuum
-    chain is content-preserving."""
-    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
-
-    tmp = _scratch_dir(spark, "l17")
-    mt = ManifestTable(spark, os.path.join(tmp, "orders_mt"))
-    o = t(spark, sf_dir, "orders")
-    mt.write(o.where("o_orderdate < DATE '1996-01-01'").repartition(4))
-    v2 = mt.append(o.where("o_orderdate >= DATE '1996-01-01'").repartition(4))
-    files_v2 = set(mt.manifest(v2))
-    if len(files_v2) < 8:
-        raise RuntimeError(f"append manifest lists {len(files_v2)} files, expected >=8")
-    n_v2 = mt.read(v2).count()
-    v3 = mt.compact(target_file_bytes=10 * 1024 * 1024 * 1024)
-    files_v3 = set(mt.manifest(v3))
-    if not (len(files_v3) == 1 and files_v3.isdisjoint(files_v2)):
-        raise RuntimeError("compaction must commit one fresh file, touching none")
-    # snapshot isolation: the pre-compaction manifest still fully readable
-    if mt.read(v2).count() != n_v2:
-        raise RuntimeError("pre-compaction snapshot changed under compaction")
-    removed = set(mt.vacuum(keep_last=1))
-    if removed != files_v2:
-        raise RuntimeError(f"vacuum removed {removed ^ files_v2} unexpectedly")
-    try:
-        mt.read(v2).count()
-        raise RuntimeError("expired snapshot v2 still readable after vacuum")
-    except Exception as exc:
-        if isinstance(exc, RuntimeError):
-            raise
-        pass  # expected: v2's files are gone
-    return (
-        mt.read()
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("total_price"),
-        )
-    )
-
-
-@register(
-    "l18_zonemap_pruned_scan",
-    f"""
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           {_dsum_sql('o_totalprice')} AS total_price
-    FROM orders
-    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
-    GROUP BY o_orderpriority
-    """,
-)
-def l18_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S2/S3] Sorted export with a per-file ZONE MAP, then a pruned
-    range scan (``sources/lake.write_sorted_with_zonemap`` /
-    ``read_zonemap_pruned``): orders are range-partitioned and sorted by
-    o_orderdate into 8 files whose min/max zones are collected at write
-    time; a one-year predicate then reads ONLY the files whose zone
-    intersects it. The engine RAISES unless pruning actually skipped
-    files (the property being certified — a zone map that never skips is
-    a no-op), the exact predicate is re-applied after pruning (zone maps
-    are conservative), and the rollup hash-matches a plain filtered scan
-    of the raw fixture. This is the file-granularity layout/skipping
-    discipline that turns a 100 TB time-range query into a 1% read;
-    within each chosen file, parquet row-group stats (tight, because
-    sorted) let Spark's reader skip further. Reference intent: the
-    consolidated ordered extract of ``staging_data_extraction.py:30-80``,
-    re-done so the ordering pays off at read time."""
-    from smfg_datawarehouse_spark.sources.lake import (
-        read_zonemap_pruned,
-        write_sorted_with_zonemap,
-    )
-
-    tmp = _scratch_dir(spark, "l18")
-    path = os.path.join(tmp, "orders_sorted")
-    o = t(spark, sf_dir, "orders")
-    zonemap = write_sorted_with_zonemap(o, path, "o_orderdate", n_files=8)
-    import datetime
-
-    # fixture o_orderdate is parquet timestamp — bound with the same type
-    lo = datetime.datetime(1996, 1, 1)
-    end = datetime.datetime(1997, 1, 1)
-    hi = end - datetime.timedelta(microseconds=1)
-    pruned, n_read, n_total = read_zonemap_pruned(spark, zonemap, lo, hi)
-    if n_read >= n_total:
-        raise RuntimeError(
-            f"zone map skipped nothing ({n_read}/{n_total} files read)"
-        )
-    return (
-        pruned.where(
-            (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(end))
-        )
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("total_price"),
-        )
-    )
-
-
-@register(
-    "l19_salted_skew_join",
-    f"""
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           {_dsum_sql('l_quantity')} AS sum_qty
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY o_orderpriority
-    """,
-)
-def l19_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J1/J2 skew tier] SALTED equi-join certified identical to the
-    plain join (``functions/skew.salted_join``): the fact side salts each
-    row into one of 8 sub-keys by deterministic ``xxhash64`` (replay- and
-    partition-invariant — retries salt identically), the dim side is
-    exploded ×8, and the join runs on (key, salt) so one hot key's rows
-    spread across 8 tasks instead of stalling one straggler. The oracle
-    is the UNSALTED join — the whole point is bit-identical results with
-    a bounded per-task key volume. This is the manual fallback tier for
-    the skew AQE can't fix (e.g. a downstream groupBy on the hot key, or
-    engines/stages where AQE skew-split doesn't apply); the engine's
-    default path stays plain + AQE. Uniform fixture keys don't exercise
-    the *imbalance*, so ``tests/test_skew.py`` additionally pins behavior
-    under a forced hot key; this query certifies end-to-end value
-    equality through the driver contract."""
-    from smfg_datawarehouse_spark.functions.skew import salted_join
-
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_partkey"
-    )
-    o = t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
-    )
-    joined = salted_join(
-        li, o, ["l_orderkey"], salt_from=F.col("l_partkey"), buckets=8
-    )
-    return joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        dsum(F.col("l_quantity")).alias("sum_qty"),
-    )
-
-
-_PROFILE_NUM = [
-    ("o_orderkey", "o_orderkey"),
-    ("o_custkey", "o_custkey"),
-    ("o_totalprice", "o_totalprice"),
-    ("o_orderdate", "unix_micros(CAST(o_orderdate AS TIMESTAMP))"),
-]
-_PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
-
-
-@register(
-    "q88_table_profile",
-    """
-    SELECT 'o_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
-           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
-           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
-           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
-           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-    FROM orders
-    UNION ALL
-    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
-           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
-           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
-           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
-           NULL, NULL
-    FROM orders
-    UNION ALL
-    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
-           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
-           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
-           MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
-           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
-           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
-           CAST(MIN(epoch_us(o_orderdate)) AS DOUBLE),
-           CAST(MAX(epoch_us(o_orderdate)) AS DOUBLE), NULL, NULL
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
-           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
-           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           MIN(o_orderstatus), MAX(o_orderstatus)
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
-           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
-           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           MIN(o_orderpriority), MAX(o_orderpriority)
-    FROM orders
-    """,
-)
-def q88_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S4/A4] TABLE PROFILER — the ANALYZE/data-card pass every
-    warehouse runs before trusting a table (per-column null count, exact
-    distinct cardinality, min/max): one row per column of ``orders``,
-    computed in a SINGLE scan-side aggregation then unpivoted with
-    ``stack``. Numeric and timestamp columns report min/max as doubles
-    (timestamps as epoch microseconds — exact below 2^53, and immune to
-    the cross-engine double→string formatting divergence a stringly
-    profile would hit); string columns report binary-collation min/max
-    strings. Exact ``count_distinct`` here because the oracle must
-    replay it; the 100 TB path swaps in ``approx_count_distinct``
-    (within-5%% gate certified by x47) without changing the output
-    schema. Reference parity: the metadata/config catalog surface (S4)
-    describes declared shape; this describes the DATA."""
-    o = t(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for name, expr in _PROFILE_NUM:
-        c = F.expr(expr)
-        aggs += [
-            F.count(c).alias(f"{name}_nn"),
-            F.count_distinct(c).alias(f"{name}_nd"),
-            F.min(c).cast("double").alias(f"{name}_min"),
-            F.max(c).cast("double").alias(f"{name}_max"),
-        ]
-    for name in _PROFILE_STR:
-        c = F.col(name)
-        aggs += [
-            F.count(c).alias(f"{name}_nn"),
-            F.count_distinct(c).alias(f"{name}_nd"),
-            F.min(c).alias(f"{name}_min"),
-            F.max(c).alias(f"{name}_max"),
-        ]
-    prof = o.agg(*aggs)
-    parts = []
-    for name, _ in _PROFILE_NUM:
-        parts.append(
-            f"'{name}', n_rows, n_rows - {name}_nn, {name}_nd, "
-            f"{name}_min, {name}_max, CAST(NULL AS STRING), CAST(NULL AS STRING)"
-        )
-    for name in _PROFILE_STR:
-        parts.append(
-            f"'{name}', n_rows, n_rows - {name}_nn, {name}_nd, "
-            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), {name}_min, {name}_max"
-        )
-    n = len(parts)
-    return prof.select(
-        F.expr(
-            f"stack({n}, " + ", ".join(parts) + ") AS "
-            "(column_name, n_rows, n_nulls, n_distinct, "
-            "min_num, max_num, min_str, max_str)"
-        )
-    ).select(
-        "column_name",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("n_nulls").cast("long").alias("n_nulls"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        "min_num", "max_num", "min_str", "max_str",
-    )
-
-
-@register(
-    "q89_dq_rule_audit",
-    """
-    SELECT 'orders_totalprice_positive' AS rule_id,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-             WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS n_violations
-    UNION ALL
-    SELECT 'orders_custkey_not_null',
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL)
-    UNION ALL
-    SELECT 'orders_orderdate_bounds',
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-             WHERE o_orderdate IS NULL
-                OR o_orderdate < TIMESTAMP '1990-01-01'
-                OR o_orderdate >= TIMESTAMP '2010-01-01')
-    UNION ALL
-    SELECT 'lineitem_quantity_range',
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-             WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
-    UNION ALL
-    SELECT 'lineitem_fk_orders',
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
-             WHERE NOT EXISTS (SELECT 1 FROM orders o
-                               WHERE o.o_orderkey = l.l_orderkey))
-    UNION ALL
-    SELECT 'lineitem_pk_unique',
-           (SELECT CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
-              FROM lineitem),
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM
-             (SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber
-              HAVING COUNT(*) > 1))
-    """,
-)
-def q89_dq_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[J4/A2 extension] DECLARATIVE DATA-QUALITY RULE AUDIT (the Deequ /
-    dbt-test shape): six constraint classes — positivity, not-null,
-    domain bounds, range, referential integrity, key uniqueness —
-    evaluated as ONE row per rule with checked/violation counts, the
-    artifact a load pipeline gates promotion on (reference intent: the
-    FK-integrity checks of the metadata catalog, J4/q09, generalized to
-    a rule VOCABULARY). Scale shape: the three orders rules share one
-    conditional-aggregation scan and the lineitem range rule one more;
-    referential integrity is a broadcast-anti-join count; uniqueness is
-    one groupBy on the key. Violations are COUNTED, not materialized —
-    at 100 TB the row-level violation sample is a LIMITed side output,
-    never a driver collect."""
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    o_stats = o.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.when(
-                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
-            ).otherwise(0)
-        ).alias("v_price"),
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
-            "v_cust"
-        ),
-        F.sum(
-            F.when(
-                F.col("o_orderdate").isNull()
-                | (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
-                | (
-                    F.col("o_orderdate")
-                    >= F.lit("2010-01-01").cast("timestamp")
-                ),
-                1,
-            ).otherwise(0)
-        ).alias("v_date"),
-    )
-    li_stats = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.when(
-                F.col("l_quantity").isNull()
-                | (F.col("l_quantity") < 1)
-                | (F.col("l_quantity") > 50),
-                1,
-            ).otherwise(0)
-        ).alias("v_qty"),
-    )
-    orphans = (
-        li.join(
-            F.broadcast(o.select(F.col("o_orderkey").alias("l_orderkey"))),
-            "l_orderkey",
-            "left_anti",
-        )
-        .agg(F.count(F.lit(1)).alias("v_fk"))
-    )
-    keys = li.groupBy("l_orderkey", "l_linenumber").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    key_stats = keys.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("v_pk"),
-    )
-    joined = (
-        o_stats.crossJoin(F.broadcast(li_stats.withColumnRenamed("n", "n_li")))
-        .crossJoin(F.broadcast(orphans))
-        .crossJoin(F.broadcast(key_stats))
-    )
-    return joined.select(
-        F.expr(
-            "stack(6, "
-            "'orders_totalprice_positive', n, v_price, "
-            "'orders_custkey_not_null', n, v_cust, "
-            "'orders_orderdate_bounds', n, v_date, "
-            "'lineitem_quantity_range', n_li, v_qty, "
-            "'lineitem_fk_orders', n_li, v_fk, "
-            "'lineitem_pk_unique', n_keys, v_pk"
-            ") AS (rule_id, n_checked, n_violations)"
-        )
-    ).select(
-        "rule_id",
-        F.col("n_checked").cast("long").alias("n_checked"),
-        F.col("n_violations").cast("long").alias("n_violations"),
-    )
-
-
-@register(
-    "l20_join_view_maintenance",
-    f"""
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           {_dsum_sql('l_extendedprice')} AS total_extended
-    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    GROUP BY o_orderpriority
-    """,
-)
-def l20_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S7/T1] INCREMENTAL JOIN-VIEW MAINTENANCE — the delta rule
-    Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB applied to a MATERIALIZED join view,
-    certified against full recomputation. l10 maintains an AGGREGATE
-    incrementally; this maintains a row-level JOIN view — the other
-    half of incremental view maintenance, and the one that saves a full
-    fact-×-fact recompute when both sides receive appends (at 100 TB the
-    delta joins touch |Δ| rows, not |A|+|B|).
-
-    Lifecycle: V₀ = A₀⋈B₀ is WRITTEN to parquet (the standing view);
-    both sides then receive appends (orders after 1998-01-01; lineitem
-    rows with odd partkey); the maintenance reads V₀ back and unions the
-    three delta joins. Gate, in-engine: the maintained view must be
-    multiset-identical to the from-scratch join (count equality +
-    exceptAll empty — raise, never hash-fail mysteriously). The returned
-    priority rollup over the MAINTAINED view hash-matches the oracle's
-    full join, so the certification chain covers write→read→delta→union.
-    Delta splits are deterministic predicates (date, key parity) —
-    replay-safe."""
-    proj = ["o_orderkey", "o_orderpriority", "l_linenumber", "l_extendedprice"]
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    cut = F.lit("1998-01-01").cast("timestamp")
-    a0 = o.where(F.col("o_orderdate") < cut)
-    da = o.where(F.col("o_orderdate") >= cut)
-    b0 = li.where(F.col("l_partkey") % 2 == 0)
-    db = li.where(F.col("l_partkey") % 2 == 1)
-
-    def jv(a, b):
-        return a.join(
-            b, a["o_orderkey"] == b["l_orderkey"], "inner"
-        ).select(*proj)
-
-    tmp = _scratch_dir(spark, "l20")
-    v0_path = os.path.join(tmp, "join_view")
-    jv(a0, b0).write.mode("overwrite").parquet(v0_path)
-    v1 = (
-        spark.read.parquet(v0_path)
-        .unionByName(jv(da, b0))
-        .unionByName(jv(a0, db))
-        .unionByName(jv(da, db))
-    )
-    full = jv(o, li)
-    n_v1, n_full = v1.count(), full.count()
-    if n_v1 != n_full:
-        raise RuntimeError(f"maintained view {n_v1} rows vs recompute {n_full}")
-    if v1.exceptAll(full).limit(1).count() != 0:
-        raise RuntimeError("maintained view diverges from recomputation")
-    return v1.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        dsum(F.col("l_extendedprice")).alias("total_extended"),
-    )
-
-
-@register(
-    "q90_last_touch_attribution",
-    f"""
-    WITH seq AS (
-      SELECT user_id, ts, event_id, event_type, value,
-             last_value(CASE WHEN event_type IN ('view','click') THEN ts END
-                        IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS touch_ts,
-             last_value(CASE WHEN event_type IN ('view','click')
-                             THEN event_type END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS touch_type
-      FROM events
-    )
-    SELECT CASE WHEN touch_ts IS NOT NULL
-                 AND touch_ts >= ts - INTERVAL 7 DAY
-                THEN touch_type ELSE 'direct' END AS channel,
-           CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           {_dsum_sql('value')} AS attributed_value
-    FROM seq WHERE event_type = 'purchase'
-    GROUP BY 1
-    """,
-)
-def q90_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[§2.5/A4] LAST-TOUCH REVENUE ATTRIBUTION — the marketing-analytics
-    classic: each purchase's value is credited to the channel (view or
-    click) of the user's most recent PRECEDING touch within a 7-day
-    lookback, else to 'direct'. One pass, no self-join: two
-    ``last(..., ignorenulls=True)`` window expressions over the same
-    (user, ts, event_id)-ordered frame pick the touch's timestamp and
-    type from the same row (their NULL masks are identical), so the pair
-    is always consistent — the asof-join shape (q30/q77) expressed as a
-    running window.
-
-    Scale shape: ONE user-keyed shuffle for the window, then a map-side-
-    combined rollup onto ≤3 channel rows. The 7-day constraint is a
-    per-row comparison, not a range-join. Determinism: ties broken by
-    event_id in the window order; interval arithmetic is exact timestamp
-    math in both engines."""
-    e = load_events(spark, sf_dir)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    touch = F.when(F.col("event_type").isin("view", "click"), True)
-    seq = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        "value",
-        F.last(F.when(touch, F.col("ts")), ignorenulls=True)
-        .over(w)
-        .alias("touch_ts"),
-        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
-        .over(w)
-        .alias("touch_type"),
-    )
-    purchases = seq.where(F.col("event_type") == "purchase")
-    channel = F.when(
-        F.col("touch_ts").isNotNull()
-        & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
-        F.col("touch_type"),
-    ).otherwise(F.lit("direct"))
-    return purchases.groupBy(channel.alias("channel")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_purchases"),
-        dsum(F.col("value")).alias("attributed_value"),
-    )
-
-
-@register(
-    "q91_ab_welch_ttest",
-    """
-    WITH assigned AS (
-      SELECT event_type,
-             CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
-                  THEN 'A' ELSE 'B' END AS variant,
-             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_us
-      FROM events
-    ), stats AS (
-      SELECT event_type,
-             CAST(COUNT(CASE WHEN variant = 'A' THEN 1 END) AS BIGINT) AS n_a,
-             CAST(COUNT(CASE WHEN variant = 'B' THEN 1 END) AS BIGINT) AS n_b,
-             CAST(SUM(CASE WHEN variant = 'A' THEN CAST(v_us AS DECIMAL(38,0)) END) AS DOUBLE) AS s_a,
-             CAST(SUM(CASE WHEN variant = 'B' THEN CAST(v_us AS DECIMAL(38,0)) END) AS DOUBLE) AS s_b,
-             CAST(SUM(CASE WHEN variant = 'A' THEN CAST(v_us * v_us AS DECIMAL(38,0)) END) AS DOUBLE) AS q_a,
-             CAST(SUM(CASE WHEN variant = 'B' THEN CAST(v_us * v_us AS DECIMAL(38,0)) END) AS DOUBLE) AS q_b
-      FROM assigned GROUP BY event_type
-      HAVING COUNT(CASE WHEN variant = 'A' THEN 1 END) > 1
-         AND COUNT(CASE WHEN variant = 'B' THEN 1 END) > 1
-    )
-    SELECT event_type, n_a, n_b,
-           s_a / n_a / 1000000.0 AS mean_a,
-           s_b / n_b / 1000000.0 AS mean_b,
-           (s_a / n_a - s_b / n_b)
-             / sqrt((q_a - s_a * (s_a / n_a)) / (n_a - 1) / n_a
-                    + (q_b - s_b * (s_b / n_b)) / (n_b - 1) / n_b)
-             AS welch_t
-    FROM stats
-    """,
-)
-def q91_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4 extension] A/B EXPERIMENT READOUT with Welch's t-statistic —
-    the experimentation-platform aggregate every growth team runs:
-    deterministic 50/50 variant assignment from a salted-free md5 of
-    user_id (the portable-uniform idiom x84/x67 use — partition- and
-    retry-invariant, identically replayable in the oracle), per-metric
-    (event_type) group sizes, means, and the Welch t statistic for the
-    A-vs-B mean gap under unequal variances.
-
-    Exactness discipline: the metric is first fixed to integer
-    MICRO-units (q85's convention), so the per-variant sums and
-    sums-of-squares are EXACT DECIMAL(38,0) integers in both engines;
-    the only floating-point steps are the final identical double
-    expressions (means, pooled variance, sqrt — IEEE-correctly-rounded
-    in both), which therefore reproduce bit-for-bit. Scale shape: one
-    map-side-combined conditional aggregation; no shuffle beyond the
-    |event_type|-sized rollup. Variance uses the one-pass
-    (Σx² − Σx·mean)/(n−1) form on exact integer sums — no catastrophic
-    cancellation because the sums are exact before the subtraction."""
-    e = load_events(spark, sf_dir)
-    u = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    assigned = e.select(
-        "event_type",
-        F.when(u % 2 == 0, "A").otherwise("B").alias("variant"),
-        F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("v_us"),
-    )
-    dec = "decimal(38,0)"
-    is_a, is_b = F.col("variant") == "A", F.col("variant") == "B"
-    stats = (
-        assigned.groupBy("event_type")
-        .agg(
-            F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
-            F.count(F.when(is_b, 1)).cast("long").alias("n_b"),
-            F.sum(F.when(is_a, F.col("v_us").cast(dec))).cast("double").alias("s_a"),
-            F.sum(F.when(is_b, F.col("v_us").cast(dec))).cast("double").alias("s_b"),
-            F.sum(F.when(is_a, (F.col("v_us") * F.col("v_us")).cast(dec)))
-            .cast("double")
-            .alias("q_a"),
-            F.sum(F.when(is_b, (F.col("v_us") * F.col("v_us")).cast(dec)))
-            .cast("double")
-            .alias("q_b"),
-        )
-        .where((F.col("n_a") > 1) & (F.col("n_b") > 1))
-    )
-    return stats.select(
-        "event_type",
-        "n_a",
-        "n_b",
-        (F.col("s_a") / F.col("n_a") / 1000000.0).alias("mean_a"),
-        (F.col("s_b") / F.col("n_b") / 1000000.0).alias("mean_b"),
-        (
-            (F.col("s_a") / F.col("n_a") - F.col("s_b") / F.col("n_b"))
-            / F.sqrt(
-                (F.col("q_a") - F.col("s_a") * (F.col("s_a") / F.col("n_a")))
-                / (F.col("n_a") - 1)
-                / F.col("n_a")
-                + (F.col("q_b") - F.col("s_b") * (F.col("s_b") / F.col("n_b")))
-                / (F.col("n_b") - 1)
-                / F.col("n_b")
-            )
-        ).alias("welch_t"),
-    )
-
-
-@register(
-    "l21_subject_erasure",
-    """
-    SELECT c_nationkey,
-           CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_acctbal
-    FROM customer
-    WHERE c_custkey % 53 <> 0
-    GROUP BY c_nationkey
-    """,
-)
-def l21_subject_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S7/J3] RIGHT-TO-BE-FORGOTTEN lifecycle (GDPR Art. 17 erasure) on
-    the versioned lake — the compliance workflow every real warehouse
-    must support, certified end-to-end:
-
-    1. v0 = the full customer snapshot (contains the subjects).
-    2. v1 = v0 anti-joined against the erasure set (``c_custkey % 53 = 0``
-       — in production, the DSR queue); the deletion is a NEW atomic
-       snapshot, so readers never see a half-deleted table.
-    3. ``diff(0, 1)`` must be exactly |subjects| deletes and ZERO
-       inserts/updates (survivors classify as ``unchanged``) — the
-       erasure manifest (counted only; the certification never
-       re-materializes subject PII outside the table).
-    4. ``vacuum(keep_last=1)`` physically destroys v0 — erasure is not
-       erasure while an old snapshot still serves the data; time travel
-       to v0 must now RAISE (asserted), and the erasure set anti-joined
-       against the surviving snapshot must be empty (asserted).
-
-    The returned per-nation rollup reads the post-vacuum table from
-    storage and hash-checks against the oracle's filtered aggregate — a
-    vacuum that deleted v1 files, or an anti-join that dropped the wrong
-    rows, fails the hash; a retained subject or readable v0 raises.
-
-    Scale shape: the erasure set is a broadcast anti-join (DSR queues are
-    tiny vs the table); the rewrite is one full-table scan+write — the
-    honest cost of physical erasure on immutable files, the same
-    copy-on-write price Delta/Iceberg DELETE pays. Reference parity: the
-    curated-zone delete path the reference declares but never built
-    (reference/dag/SMFG_DW_ETL_DAG.py load stage)."""
-    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
-
-    c = t(spark, sf_dir, "customer")
-    subjects = c.where(F.col("c_custkey") % 53 == 0).select("c_custkey")
-    n_subjects = subjects.count()
-
-    vt = VersionedTable(spark, _scratch_dir(spark, "l21"))
-    vt.write(c)
-    survivors = c.join(F.broadcast(subjects), "c_custkey", "left_anti")
-    vt.write(survivors)
-
-    changes = vt.diff(0, 1, ["c_custkey"])
-    n_deletes = changes.where(F.col("change_type") == "delete").count()
-    n_mutations = changes.where(
-        F.col("change_type").isin("insert", "update")
-    ).count()
-    if n_deletes != n_subjects or n_mutations != 0:
-        raise RuntimeError(
-            f"erasure changelog wrong: {n_deletes} deletes (want {n_subjects}),"
-            f" {n_mutations} inserts/updates (want 0)"
-        )
-
-    removed = vt.vacuum(keep_last=1)
-    if removed != [0] or vt.versions() != [1]:
-        raise RuntimeError(
-            f"vacuum kept wrong versions: removed={removed}, left={vt.versions()}"
-        )
-    try:
-        vt.read(version=0)
-    except FileNotFoundError:
-        pass
-    else:
-        raise RuntimeError("erased v0 snapshot is still readable")
-
-    current = vt.read()
-    leaked = current.join(F.broadcast(subjects), "c_custkey", "left_semi")
-    if leaked.limit(1).count() != 0:
-        raise RuntimeError("subject rows survived erasure")
-    return current.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        dsum(F.col("c_acctbal")).alias("total_acctbal"),
-    )
-
-
-@register(
-    "q92_lateral_top_orders",
-    """
-    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
-    FROM customer c, LATERAL (
-      SELECT o_orderkey, o_totalprice FROM orders
-      WHERE o_custkey = c.c_custkey
-      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
-    ) o
-    """,
-)
-def q92_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A4/§2.5] CORRELATED LATERAL SUBQUERY surface (ANSI lateral
-    join, Spark ≥3.2): top-3 orders by value per customer expressed as
-    the per-row dependent subquery a SQL-first user writes — the same
-    semantics q06's window-function form computes, here certifying the
-    LATERAL + correlated ORDER BY/LIMIT path through Catalyst's
-    decorrelation (it rewrites to a ranked window/join under the hood,
-    so the plan scales like q06, NOT like N per-customer scans).
-    Customers with no orders emit nothing (inner lateral). Ties broken
-    by o_orderkey, so the top-3 set is deterministic. The oracle runs
-    the IDENTICAL text in DuckDB — the query string itself is the
-    portable artifact here."""
-    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
-        FROM customer c, LATERAL (
-          SELECT o_orderkey, o_totalprice FROM orders
-          WHERE o_custkey = c.c_custkey
-          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
-        ) o
-        """
-    )
-
-
-_Q97_RECURSIVE_SQL = """
-    WITH RECURSIVE reach(node, hops) AS (
-      SELECT 'signup' AS node, 0 AS hops
-      UNION ALL
-      SELECT e.to_type AS node, r.hops + 1 AS hops
-      FROM reach r JOIN edges e ON e.from_type = r.node
-      WHERE r.hops < 4
-    )
-    SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops,
-           CAST(COUNT(*) AS BIGINT) AS n_paths
-    FROM reach GROUP BY node
-"""
-
-_Q97_EDGES_SQL = """
-      SELECT DISTINCT event_type AS from_type, next_type AS to_type
-      FROM (
-        SELECT event_type,
-               LEAD(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS next_type
-        FROM events
-      ) WHERE next_type IS NOT NULL
-"""
-
-
-@register(
-    "q97_recursive_reachability",
-    f"""
-    WITH edges AS ({_Q97_EDGES_SQL}),
-    out AS ({_Q97_RECURSIVE_SQL})
-    SELECT * FROM out
-    """,
-)
-def q97_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[§2.5 extension] RECURSIVE CTE on the engine's SQL surface
-    (Spark 4's ``WITH RECURSIVE``, executed as an iterative union-loop
-    by the planner): the per-user event sequence induces a transition
-    graph (edge = consecutive event types, one ``LEAD`` window), and the
-    recursion walks every path of length ≤ 4 from ``signup``, reporting
-    per reachable node the minimum hop count and the number of distinct
-    paths. This is the graph-closure idiom (BOM explosion, org
-    hierarchies, lineage walks) expressed declaratively instead of a
-    driver loop — the engine owns iteration, checkpointing each
-    anchor/step as a plain join+union plan. The hop bound makes the
-    recursion finite on a cyclic graph and is replayed verbatim by
-    DuckDB's identical WITH RECURSIVE evaluation. At 100 TB the edge
-    derivation is one user-keyed window; the recursion itself runs over
-    the DISTINCT transition graph, which is type-cardinality-sized (tiny
-    by construction), so each step is a broadcast join."""
-    ev = load_events(spark, sf_dir)
-    ev.createOrReplaceTempView("events")
-    edges = spark.sql(_Q97_EDGES_SQL)
-    edges.createOrReplaceTempView("edges")
-    return spark.sql(_Q97_RECURSIVE_SQL)
-
-
-@register(
-    "l22_deletion_vector_delete",
-    f"""
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {_dsum_sql('o_totalprice')} AS revenue
-    FROM orders
-    WHERE NOT (o_orderpriority = '1-URGENT') AND NOT (o_totalprice < 5000.0)
-    GROUP BY o_orderpriority
-    """,
-)
-def l22_deletion_vector_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S7/S3] DELETE WITHOUT REWRITE certified — deletion vectors
-    (``sources/deletion_vectors.DeletionVectorTable``), the Delta/Iceberg
-    v2 merge-on-read mechanism: orders land once as immutable base files
-    with (chunk, ordinal) row identity; two predicate DELETEs append
-    packed 62-bit bitmap words to a manifest-committed sidecar; the read
-    path anti-filters survivors by bit test against the broadcast
-    vector. The certification RAISES unless (a) every base part file's
-    mtime is byte-for-byte untouched after both deletes — the zero
-    write-amplification property that distinguishes this from a rewrite
-    delete, (b) each delete reports exactly the expected newly-deleted
-    count (the second predicate overlaps the first; overlapping rows
-    must not double-count — bit_or is idempotent), and (c) a replayed
-    delete is a no-op (delta 0). The surviving rollup hash-matches a
-    plain NOT(p1) AND NOT(p2) scan of the raw fixture. At 100 TB: delete
-    cost ∝ deleted_rows/62 longs + one manifest swap; read overhead is
-    one broadcast join against a sidecar ≤0.2% of base bytes even at
-    100% deletion; ``compact_into`` is the threshold-triggered rewrite
-    path. Reference intent: the curated-zone MERGE upkeep of
-    ``1. Metadata Creation.sql:133-146``, delete half."""
-    from smfg_datawarehouse_spark.sources.deletion_vectors import (
-        DeletionVectorTable,
-    )
-
-    base = _scratch_dir(spark, "l22")
-    o = t(spark, sf_dir, "orders")
-    dvt = DeletionVectorTable(spark, os.path.join(base, "orders_dv"), "o_orderkey")
-    dvt.write_base(o)
-    mt0 = dvt.base_file_mtimes()
-    p1 = "o_orderpriority = '1-URGENT'"
-    p2 = "o_totalprice < 5000.0"
-    exp1 = o.where(p1).count()
-    exp2 = o.where(f"({p2}) AND NOT ({p1})").count()
-    n1 = dvt.delete(p1)
-    n2 = dvt.delete(p2)
-    n3 = dvt.delete(p1)  # replay: must be a no-op
-    if (n1, n2, n3) != (exp1, exp2, 0):
-        raise RuntimeError(
-            f"l22 deletion deltas diverged: got {(n1, n2, n3)}, "
-            f"expected {(exp1, exp2, 0)}"
-        )
-    if dvt.base_file_mtimes() != mt0:
-        raise RuntimeError("l22 base files were rewritten by a delete")
-    return dvt.read().groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        dsum(F.col("o_totalprice")).alias("revenue"),
-    )
-
-
-@register(
-    "l23_write_audit_publish",
-    f"""
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {_dsum_sql('o_totalprice')} AS revenue
-    FROM orders
-    WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 997 = 0)
-    GROUP BY o_orderpriority
-    """,
-)
-def l23_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S6/S7/L6] WRITE-AUDIT-PUBLISH certified — the Iceberg WAP /
-    Netflix pattern that keeps bad batches out of readers' sight: a new
-    batch is STAGED as uncommitted files, a data-quality audit runs
-    against the staged snapshot, and only a passing audit PUBLISHES (one
-    atomic manifest swap). The certification: (1) the standing table
-    (non-%7 orders) publishes as v1; (2) an incoming batch (the %7 rows)
-    arrives with corrupted rows (price negated for %997 keys), its audit
-    (no negative totalprice, no null keys) FAILS, publish is refused —
-    and the RAISE-checked invariant is that readers still see v1
-    byte-for-byte (staged files exist on disk but no manifest references
-    them); (3) the quarantined rows are dropped, the repaired batch
-    audits clean and append-publishes as v2. The final rollup
-    hash-matches a plain scan that never saw the corruption. At 100 TB
-    this is the only delete-free way to gate petabyte loads: audit cost
-    is a scan of the BATCH, publish cost is one CAS on the manifest
-    pointer, rollback cost is nothing (the manifest never moved).
-    Reference parity: the FAILED/PARTIAL gating of the reference's audit
-    ledger (L6, ``audit.py``) promoted from process metadata to the
-    storage commit protocol itself."""
-    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
-
-    base = _scratch_dir(spark, "l23")
-    mt = ManifestTable(spark, os.path.join(base, "orders_wap"))
-    o = t(spark, sf_dir, "orders")
-    standing = o.where("o_orderkey % 7 != 0")
-    mt.write(standing)
-    v1 = mt.current_version()
-    n_v1 = mt.read().count()
-
-    batch = o.where("o_orderkey % 7 = 0").withColumn(
-        "o_totalprice",
-        F.when(F.col("o_orderkey") % 997 == 0, -F.col("o_totalprice")).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
-
-    def audit(df: DataFrame) -> int:
-        return df.where(
-            (F.col("o_totalprice") < 0) | F.col("o_orderkey").isNull()
-        ).count()
-
-    # stage + audit the bad batch: files land, manifest must not move
-    staged = mt.stage(batch)
-    violations = audit(mt.read_staged(staged))
-    if violations == 0:
-        raise RuntimeError("l23 expected the corrupted batch to fail its audit")
-    if mt.current_version() != v1 or mt.read().count() != n_v1:
-        raise RuntimeError(
-            "l23 WAP isolation broken: a failed audit must leave the "
-            "published snapshot untouched"
-        )
-
-    repaired = mt.stage(batch.where(F.col("o_totalprice") >= 0))
-    if audit(mt.read_staged(repaired)) != 0:
-        raise RuntimeError("l23 repaired batch still fails its audit")
-    mt.publish_append(repaired)
-    if mt.current_version() == v1:
-        raise RuntimeError("l23 passing audit must publish a new version")
-    return mt.read().groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        dsum(F.col("o_totalprice")).alias("revenue"),
-    )
-
-
-@register(
-    "l24_partition_retention",
-    f"""
-    SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS year_start,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {_dsum_sql('o_totalprice')} AS revenue
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
-    GROUP BY 1
-    """,
-)
-def l24_partition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S3/S7/T1] TIME-BASED RETENTION (TTL) certified as a manifest
-    pointer move: orders land year by year as separate manifest-committed
-    file groups (the time-partitioned landing layout); expiring the
-    pre-1999 years is ``publish_replace`` with only the retained years'
-    files — NO data is rewritten and NO file is deleted at expiry time
-    (in-flight readers of the old snapshot stay consistent; vacuum later
-    reclaims bytes, and the cert verifies both states: expired files
-    still on disk after the retention commit, gone after vacuum while
-    the retained read is unchanged). This is how a 100 TB raw zone
-    enforces "keep 3 years": O(1) commit, zero write amplification,
-    deferred physical delete — vs the rewrite-the-table DELETE a naive
-    pipeline runs. Retained rollup hash-matches a cutoff-filtered scan
-    of the raw fixture. Reference intent: the dated staging layout of
-    ``staging_data_extraction.py:30-80`` plus the incremental-load
-    watermark discipline (T1) applied to retention."""
-    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
-
-    base = _scratch_dir(spark, "l24")
-    mt = ManifestTable(spark, os.path.join(base, "orders_ttl"))
-    o = t(spark, sf_dir, "orders")
-    years = sorted(
-        r["y"] for r in o.select(F.year("o_orderdate").alias("y")).distinct().collect()
-    )
-    files_by_year: dict[int, list[str]] = {}
-    for y in years:
-        staged = mt.stage(o.where(F.year("o_orderdate") == y))
-        mt.publish_append(staged)
-        files_by_year[y] = staged
-    n_full = mt.read().count()
-    if n_full != o.count():
-        raise RuntimeError("l24 landing lost rows before retention")
-
-    retained = [f for y in years if y >= 1999 for f in files_by_year[y]]
-    expired = [f for y in years if y < 1999 for f in files_by_year[y]]
-    v_before = mt.current_version()
-    mt.publish_replace(retained)
-    if mt.current_version() == v_before:
-        raise RuntimeError("l24 retention must commit a new version")
-    # expiry is a pointer move: expired bytes still on disk for readers
-    missing = [f for f in expired if not os.path.exists(os.path.join(mt.path, f))]
-    if missing:
-        raise RuntimeError(f"l24 retention deleted files at commit time: {missing}")
-    n_retained = mt.read().count()
-    removed = mt.vacuum(keep_last=1)
-    if not set(expired) <= set(removed):
-        raise RuntimeError("l24 vacuum failed to reclaim expired files")
-    if mt.read().count() != n_retained:
-        raise RuntimeError("l24 vacuum changed the retained snapshot")
-    return mt.read().groupBy(
-        F.date_trunc("year", "o_orderdate").alias("year_start")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        dsum(F.col("o_totalprice")).alias("revenue"),
-    )
-
-
-@register(
-    "q101_sole_failing_supplier",
-    """
-    WITH base AS (SELECT DISTINCT l_orderkey, l_suppkey, l_returnflag FROM lineitem)
-    SELECT s.s_suppkey, s.s_name,
-           CAST(COUNT(*) AS BIGINT) AS numwait
-    FROM base l1
-    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-    WHERE l1.l_returnflag = 'R'
-      AND EXISTS (
-        SELECT 1 FROM base l2
-        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-      )
-      AND NOT EXISTS (
-        SELECT 1 FROM base l3
-        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-          AND l3.l_returnflag = 'R'
-      )
-    GROUP BY s.s_suppkey, s.s_name
-    """,
-)
-def q101_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[§2.10/J] TPC-H Q21 SHAPE — the hardest correlated pattern in the
-    suite (EXISTS + NOT EXISTS, both correlated self-references on the
-    fact table): suppliers who were the SOLE return-flagged supplier in
-    a multi-supplier order (fixture lacks receipt/commit dates, so the
-    return flag stands in for lateness; the correlation structure is
-    Q21's exactly). Spark-first decorrelation: instead of two
-    re-scans per outer row, ONE per-order aggregate computes distinct
-    supplier count, distinct flagged-supplier count, and the flagged
-    supplier's key when unique — the EXISTS becomes n_supp >= 2, the
-    NOT EXISTS becomes n_flagged == 1, and the whole query is one fact
-    shuffle (by order) + one broadcast of the supplier dim + one
-    supplier-keyed count. The oracle runs the textbook correlated form;
-    both must agree supplier by supplier. Per-(order, supplier) dedup
-    FIRST (base) keeps multi-line orders from inflating either side.
-    Reference tag: §2.10 correlated-subquery surface, Q21 tier."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_returnflag"
-    )
-    base = li.select(
-        "l_orderkey", "l_suppkey", (F.col("l_returnflag") == "R").alias("flagged")
-    ).groupBy("l_orderkey", "l_suppkey").agg(F.max("flagged").alias("flagged"))
-    per_order = base.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.when(F.col("flagged"), 1).otherwise(0)).alias("n_flagged"),
-        F.min(F.when(F.col("flagged"), F.col("l_suppkey"))).alias("sole_supp"),
-    )
-    hits = per_order.where((F.col("n_supp") >= 2) & (F.col("n_flagged") == 1))
-    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        hits.join(F.broadcast(supp), hits.sole_supp == supp.s_suppkey)
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
-    )
-
-
-@register(
-    "l26_multi_table_transaction",
-    f"""
-    SELECT o.o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_lines,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
-    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderkey % 3 != 2
-    GROUP BY o.o_orderpriority
-    """,
-)
-def l26_multi_table_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S7/L6] ATOMIC MULTI-TABLE TRANSACTION certified
-    (``sources/manifest.MultiTableCatalog``): orders and their lineitems
-    land TOGETHER — two per-table manifest commits followed by one atomic
-    catalog-pointer swap — so a reader joining fact to detail can never
-    see an order without its lines or vice versa. Two consistent
-    transactions publish (orderkey%3==0, then %3==1); then a TORN third
-    write is simulated: orders %3==2 commits to its own table but the
-    catalog swap never happens (the crash window of every multi-table
-    load). The cert RAISES unless (a) the catalog still resolves the
-    second snapshot — the torn orders rows are INVISIBLE via catalog
-    reads even though the table-level pointer ran ahead, and (b) the
-    catalog-read join has zero orphans in either direction (full
-    fact↔detail consistency). The final rollup hash-matches a raw-scan
-    join of exactly the two published transactions. This is the
-    consistency gap single-table commit protocols leave open, closed at
-    O(1) swap cost — at 100 TB a multi-table load's crash recovery is
-    'do nothing': the catalog never moved. Reference intent: the
-    multi-table curated load list of ``SMFG_DW_ETL_DAG.py``, made
-    transactional."""
-    from smfg_datawarehouse_spark.sources.manifest import MultiTableCatalog
-
-    base = _scratch_dir(spark, "l26")
-    cat = MultiTableCatalog(spark, os.path.join(base, "warehouse"))
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-
-    for part in (0, 1):
-        cat.transaction(
-            {
-                # coalesce: certification batches are small; files-per-commit
-                # is a layout choice, not part of the protocol under test
-                "orders": o.where(F.col("o_orderkey") % 3 == part).coalesce(4),
-                "lineitem": li.where(F.col("l_orderkey") % 3 == part).coalesce(4),
-            }
-        )
-    pinned_v2 = cat.current()
-    n_orders_v2 = cat.read("orders").count()
-
-    # torn write: the orders table commits, the catalog swap "crashes"
-    cat.table("orders").append(o.where(F.col("o_orderkey") % 3 == 2).coalesce(4))
-    if cat.current() != pinned_v2:
-        raise RuntimeError("l26 torn write moved the catalog pointer")
-    if cat.read("orders").count() != n_orders_v2:
-        raise RuntimeError(
-            "l26 catalog read leaked a table-level commit that was never "
-            "published by a catalog swap"
-        )
-    co = cat.read("orders").select("o_orderkey", "o_orderpriority")
-    cl = cat.read("lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    # detail-side orphans (lines whose order is missing) are the torn-state
-    # signature; orders without lines are a legitimate data property
-    orphans = cl.join(co, cl.l_orderkey == co.o_orderkey, "left_anti").count()
-    if orphans:
-        raise RuntimeError(f"l26 catalog join has {orphans} orphan lineitems")
-    return (
-        co.join(cl, co.o_orderkey == cl.l_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
-        )
-    )
-
-
-@register(
-    "l27_zero_copy_clone",
-    f"""
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {_dsum_sql('o_totalprice')} AS revenue
-    FROM (
-      SELECT * FROM orders
-      UNION ALL
-      SELECT * FROM orders WHERE o_orderkey % 100 = 7
-    )
-    GROUP BY o_orderpriority
-    """,
-)
-def l27_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S7/S3] ZERO-COPY SHALLOW CLONE certified
-    (``sources/manifest.shallow_clone``): a clone of the orders table is
-    created by committing a manifest that points at the SOURCE's data
-    files — the cert RAISES unless the clone's own data directory holds
-    ZERO bytes after cloning (nothing was copied) while reading
-    identically to the source; the clone then DIVERGES (appends the
-    %100==7 slice), and the cert raises unless the source still reads
-    its original snapshot byte-for-byte (copy-on-write isolation) and
-    the clone's vacuum leaves every source file untouched (a clone can
-    never reclaim its parent's storage). Final clone rollup hash-matches
-    the UNION ALL oracle. At 100 TB this is the free dev/test/bisect
-    environment: clone cost is O(manifest), divergence cost is only the
-    new data — the experimentation story manifest-pointer tables exist
-    for. Reference intent: the staging→curated promotion flow of
-    ``SMFG_DW_ETL_DAG.py`` where a candidate load is validated against a
-    clone before touching production."""
-    from smfg_datawarehouse_spark.sources.manifest import (
-        ManifestTable,
-        shallow_clone,
-    )
-
-    base = _scratch_dir(spark, "l27")
-    src = ManifestTable(spark, os.path.join(base, "orders_src"))
-    o = t(spark, sf_dir, "orders")
-    src.write(o.coalesce(4))
-    n_src = src.read().count()
-
-    clone = shallow_clone(src, os.path.join(base, "orders_clone"))
-
-    def _data_bytes(mt: ManifestTable) -> int:
-        total = 0
-        for root, _d, files in os.walk(os.path.join(mt.path, "data")):
-            total += sum(
-                os.path.getsize(os.path.join(root, f))
-                for f in files
-                if f.endswith(".parquet")
-            )
-        return total
-
-    if _data_bytes(clone) != 0:
-        raise RuntimeError("l27 shallow clone copied data bytes")
-    if clone.read().count() != n_src:
-        raise RuntimeError("l27 clone does not read the source snapshot")
-
-    src_files_before = {
-        f: os.path.getmtime(os.path.join(src.path, f)) for f in src.manifest()
-    }
-    clone.append(o.where("o_orderkey % 100 = 7").coalesce(1))
-    if src.read().count() != n_src:
-        raise RuntimeError("l27 clone divergence leaked into the source")
-    clone.vacuum(keep_last=1)
-    src_files_after = {
-        f: os.path.getmtime(os.path.join(src.path, f)) for f in src.manifest()
-    }
-    if src_files_before != src_files_after:
-        raise RuntimeError("l27 clone vacuum touched source files")
-    if src.read().count() != n_src:
-        raise RuntimeError("l27 source snapshot changed after clone vacuum")
-    return clone.read().groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        dsum(F.col("o_totalprice")).alias("revenue"),
-    )
-
-
-@register(
-    "q103_pareto_abc",
-    f"""
-    WITH rev AS (
-      SELECT p.p_brand,
-             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                      AS DECIMAL(30,6))) AS rev_dec
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-      GROUP BY p.p_brand
-    ),
-    w AS (
-      SELECT p_brand,
-             CAST(rev_dec AS DOUBLE) AS brand_revenue,
-             CAST(ROW_NUMBER() OVER (ORDER BY rev_dec DESC, p_brand)
-                  AS BIGINT) AS rev_rank,
-             CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, p_brand
-                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-               / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS cum_share
-      FROM rev
-    )
-    SELECT p_brand, brand_revenue, rev_rank, cum_share,
-           CASE WHEN cum_share <= 0.7 THEN 'A'
-                WHEN cum_share <= 0.9 THEN 'B'
-                ELSE 'C' END AS abc_class
-    FROM w
-    """,
-)
-def q103_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A/O] PARETO / ABC CONTRIBUTION ANALYSIS — the inventory-policy
-    classic (80/20 rule): brands ranked by revenue, each annotated with
-    its cumulative revenue share and bucketed A (builds the first 70% of
-    revenue), B (to 90%), C (the long tail). The big join
-    (lineitem ⋈ part on partkey) aggregates BEFORE the window — the
-    cumulative scan runs over one row per brand, never over line items —
-    so at 100 TB the only corpus-sized exchange is the partkey join
-    (AQE-shuffled, map-side-combined rollup); the unpartitioned window
-    is brand-cardinality-sized by construction. Revenue accumulates in
-    exact decimal through BOTH the rollup and the running window (float
-    running sums are order-sensitive; decimals are not), and the share
-    is one double division of two exact totals, so class boundaries
-    replay bit-exactly in the oracle."""
-    li = t(spark, sf_dir, "lineitem")
-    p = t(spark, sf_dir, "part")
-    rev = (
-        li.join(p, li["l_partkey"] == p["p_partkey"])
-        .groupBy("p_brand")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(30,6)"
-                )
-            ).alias("rev_dec")
-        )
-    )
-    wrank = W.orderBy(F.col("rev_dec").desc(), F.col("p_brand"))
-    wcum = wrank.rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.partitionBy()
-    out = rev.select(
-        "p_brand",
-        F.col("rev_dec").cast("double").alias("brand_revenue"),
-        F.row_number().over(wrank).cast("long").alias("rev_rank"),
-        (
-            F.sum("rev_dec").over(wcum).cast("double")
-            / F.sum("rev_dec").over(wall).cast("double")
-        ).alias("cum_share"),
-    )
-    return out.withColumn(
-        "abc_class",
-        F.when(F.col("cum_share") <= 0.7, "A")
-        .when(F.col("cum_share") <= 0.9, "B")
-        .otherwise("C"),
-    )
-
-
-@register(
-    "l28_clustered_rewrite",
-    f"""
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           {_dsum_sql('o_totalprice')} AS total_price
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def l28_clustered_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S3] CLUSTERED REWRITE — the ``OPTIMIZE ... CLUSTER BY`` lake
-    maintenance op: a hash-laid-out table (every file spans the whole
-    key range, so zone maps skip NOTHING — the layout every
-    shuffle-then-write job produces) is rewritten range-clustered on
-    o_orderdate via the same writer l18 certifies. The cert RAISES
-    unless measured zone-overlap actually collapses: before, all
-    file-pair zones intersect (full overlap by construction); after,
-    pairwise intersections must drop ≥ 4× — the property that turns a
-    time-range query from a full scan into a 1%-of-files read. Content
-    preservation is the hash gate: the rollup read back from the
-    REWRITTEN files must match the oracle over the raw fixture
-    bit-for-bit. Complements l07 (size compaction, layout-agnostic) and
-    l18 (writes sorted from scratch); this is the in-place maintenance
-    pass a 100 TB table needs after ingest has fragmented its
-    clustering. Zone stats are one bounded per-file min/max rollup
-    (n_files rows), never row-shaped on the driver."""
-    from smfg_datawarehouse_spark.sources.lake import write_sorted_with_zonemap
-
-    tmp = _scratch_dir(spark, "l28")
-    raw_path = os.path.join(tmp, "orders_hash_layout")
-    clustered_path = os.path.join(tmp, "orders_clustered")
-
-    o = t(spark, sf_dir, "orders")
-    o.repartition(8).write.mode("overwrite").parquet(raw_path)
-
-    def zone_overlap_pairs(zones: list[dict]) -> int:
-        n = len(zones)
-        return sum(
-            1
-            for i in range(n)
-            for j in range(i + 1, n)
-            if not (zones[i]["hi"] < zones[j]["lo"] or zones[i]["lo"] > zones[j]["hi"])
-        )
-
-    before = [
-        {"file": r["file"], "lo": r["lo"], "hi": r["hi"]}
-        for r in spark.read.parquet(raw_path)
-        .groupBy(F.input_file_name().alias("file"))
-        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
-        .collect()
-    ]
-    zones_after = write_sorted_with_zonemap(
-        spark.read.parquet(raw_path), clustered_path, "o_orderdate", n_files=8
-    )
-    ov_before = zone_overlap_pairs(before)
-    ov_after = zone_overlap_pairs(zones_after)
-    if ov_before == 0:
-        raise RuntimeError("l28 precondition broken: hash layout already clustered")
-    if ov_after * 4 > ov_before:
-        raise RuntimeError(
-            f"clustered rewrite did not collapse zone overlap "
-            f"({ov_before} -> {ov_after} intersecting file pairs)"
-        )
-    return (
-        spark.read.parquet(clustered_path)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("total_price"),
-        )
-    )
-
-
-@register(
-    "q104_semi_additive_balance",
-    f"""
-    WITH closing AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value
-      FROM (
-        SELECT user_id, ts, event_id, value,
-               ROW_NUMBER() OVER (
-                 PARTITION BY user_id, date_trunc('day', ts)
-                 ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events
-      ) WHERE rn = 1
-    )
-    SELECT day,
-           CAST(COUNT(*) AS BIGINT) AS n_accounts,
-           {_dsum_sql('value')} AS total_closing,
-           {_davg_sql('value')} AS avg_closing
-    FROM closing GROUP BY day
-    """,
-)
-def q104_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[A/§2.5] SEMI-ADDITIVE MEASURE rollup (Kimball's balance
-    pattern): a balance-like measure sums across ACCOUNTS but not across
-    TIME — the daily fact is each user's CLOSING value (last event of
-    the day by (ts, event_id), the deterministic latest-wins window x07
-    certifies), and only that per-(user, day) snapshot enters the daily
-    total. Getting this wrong (SUMming every event) is the classic
-    finance-mart bug; the engine form is one window + one rollup, both
-    keyed on (user_id, day) — the window's partitioning is reused by
-    the groupBy, so the corpus crosses the wire once. Decimal-exact
-    totals; AVG follows the engine's exact-sum/count convention."""
-    e = t(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
-    w = W.partitionBy("user_id", day).orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    closing = (
-        e.select("user_id", "ts", "event_id", "value", day.alias("day"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-    )
-    return closing.groupBy("day").agg(
-        F.count(F.lit(1)).cast("long").alias("n_accounts"),
-        dsum(F.col("value")).alias("total_closing"),
-        davg(F.col("value")).alias("avg_closing"),
-    )
-
-
-_L29_M = 65536  # per-file bloom bits (8 KB bitmap per file as manifest metadata)
-_L29_K = 3
-_L29_WORD = 62  # packed-word width (sign-safe BIGINT shifts, q95 idiom)
-
-
-@register(
-    "l29_bloom_file_index",
-    f"""
-    WITH probe AS (
-      SELECT o_custkey FROM orders GROUP BY o_custkey
-      ORDER BY COUNT(*), o_custkey LIMIT 5
-    )
-    SELECT o.o_custkey,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           {_dsum_sql('o.o_totalprice')} AS total_price
-    FROM orders o JOIN probe p ON o.o_custkey = p.o_custkey
-    GROUP BY o.o_custkey
-    """,
-)
-def l29_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S3/J] PER-FILE BLOOM INDEX — the point-lookup file-skipping story
-    zone maps CANNOT cover: the table is laid out by DATE (the natural
-    ingest clustering, l18/l28), so a lookup on the *unclustered*
-    high-cardinality key (o_custkey) intersects every file's date zone
-    and a zonemap skips nothing. A per-file Bloom bitmap over custkey
-    (Kirsch–Mitzenmacher double hashing, q81/x51's portable md5 family;
-    m=64 Ki bits ≈ 8 KB per file — manifest-metadata-sized at any scale,
-    exactly what Delta/Iceberg attach to file entries) lets the reader
-    skip every file whose bitmap cannot contain the probed key. The cert
-    probes the 5 rarest customers (deterministic: fewest orders, key
-    tie-break), RAISES unless files were actually skipped, re-applies
-    the exact predicate after pruning (blooms are conservative: false
-    positives read harmlessly, false negatives are impossible by
-    construction), and hash-gates the rollup against a plain filtered
-    scan of the raw fixture. Bloom build is one column-pruned scan
-    rolled up ENTIRELY executor-side to packed 62-bit words (q95's
-    ``bit_or(1 << bit)`` idiom, map-side partial combine); the driver
-    collects only the ≤ m/62 non-zero (file, word, bits) manifest rows
-    per file — never a row-shaped or bit-shaped set."""
-    import hashlib as _hashlib
-
-    from smfg_datawarehouse_spark.sources.lake import write_sorted_with_zonemap
-
-    base = _scratch_dir(spark, "l29")
-    path = os.path.join(base, "orders_by_date")
-    o = t(spark, sf_dir, "orders")
-    write_sorted_with_zonemap(o, path, "o_orderdate", n_files=8)
-
-    rd = spark.read.parquet(path)
-    ha = F.conv(F.substring(F.md5(F.col("key")), 1, 8), 16, 10).cast("long")
-    hb = F.conv(F.substring(F.md5(F.col("key")), 9, 8), 16, 10).cast("long")
-    words = (
-        rd.select(
-            F.input_file_name().alias("file"),
-            F.col("o_custkey").cast("string").alias("key"),
-        )
-        .distinct()
-        .select(
-            "file",
-            F.explode(F.array(*[F.lit(j) for j in range(_L29_K)])).alias("j"),
-            ha.alias("ha"),
-            hb.alias("hb"),
-        )
-        .select("file", ((F.col("ha") + F.col("j") * F.col("hb")) % _L29_M).alias("bit"))
-        .select(
-            "file",
-            F.expr(f"bit DIV {_L29_WORD}").alias("word"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_L29_WORD} AS INT))"
-            ).alias("mask"),
-        )
-        .groupBy("file", "word")
-        .agg(F.bit_or("mask").alias("bits"))
-        .collect()
-    )
-    bloom: dict[str, dict[int, int]] = {}
-    for r in words:
-        bloom.setdefault(r["file"], {})[r["word"]] = r["bits"]
-    n_total = len(bloom)
-
-    probe_keys = [
-        r["o_custkey"]
-        for r in o.groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("cnt", "o_custkey")
-        .limit(5)
-        .collect()
-    ]
-
-    def key_bits(k: int) -> list[int]:
-        h = _hashlib.md5(str(k).encode()).hexdigest()
-        a, b = int(h[:8], 16), int(h[8:16], 16)
-        return [(a + j * b) % _L29_M for j in range(_L29_K)]
-
-    def has_bit(bs: dict[int, int], bit: int) -> bool:
-        return bool(bs.get(bit // _L29_WORD, 0) >> (bit % _L29_WORD) & 1)
-
-    keep = sorted(
-        f
-        for f, bs in bloom.items()
-        if any(all(has_bit(bs, bit) for bit in key_bits(k)) for k in probe_keys)
-    )
-    if not keep or len(keep) >= n_total:
-        raise RuntimeError(
-            f"bloom file index skipped nothing ({len(keep)}/{n_total} files read)"
-        )
-    return (
-        spark.read.parquet(*keep)
-        .where(F.col("o_custkey").isin(probe_keys))
-        .groupBy("o_custkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("total_price"),
-        )
-    )
-
-
-@register(
-    "l30_binpack_minor_compaction",
-    """
-    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents GROUP BY source
-    """,
-)
-def l30_binpack_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[S3] MINOR (incremental) COMPACTION — the hourly maintenance pass
-    of a continuously-ingesting table: only the small-file backlog is
-    rewritten (first-fit-decreasing bin-packing into target-sized
-    groups, planned over file METADATA only), while files already at
-    target size are carried across as hard links. The cert stages the
-    classic mixed layout (two large base files + eight small ingest
-    files), runs ``sources.lake.binpack_compact``, and RAISES unless
-    (a) the small files actually merged (file count strictly drops and
-    every small file is gone), and (b) the large files are bit-level
-    UNTOUCHED — same inode after the swap, the zero-copy proof — so the
-    pass's cost provably scaled with the backlog, not the table. l07
-    certifies the full rewrite; this is the one you can afford to run
-    every hour at 100 TB. Content preservation is the hash gate against
-    the raw-fixture rollup."""
-    from smfg_datawarehouse_spark.sources.lake import binpack_compact
-
-    base = _scratch_dir(spark, "l30")
-    path = os.path.join(base, "documents")
-    d = t(spark, sf_dir, "documents")
-    # mixed layout: 75% of rows in 2 base files, 25% across 8 small files
-    d.where(F.col("doc_id") % 4 != 0).repartition(2).write.mode(
-        "overwrite"
-    ).parquet(path)
-    d.where(F.col("doc_id") % 4 == 0).repartition(8).write.mode(
-        "append"
-    ).parquet(path)
-
-    import glob as _glob
-
-    files = _glob.glob(os.path.join(path, "*.parquet"))
-    total_bytes = sum(os.path.getsize(f) for f in files)
-    target = total_bytes // 5  # between small (~3%) and base (~37%) sizes
-    big_inodes = {
-        os.path.basename(f): os.stat(f).st_ino
-        for f in files
-        if os.path.getsize(f) >= target
-    }
-    if not big_inodes or len(big_inodes) == len(files):
-        raise RuntimeError("l30 precondition broken: staged layout not mixed")
-
-    stats = binpack_compact(spark, path, target_file_bytes=int(target))
-    if not (stats["n_after"] < stats["n_before"]):
-        raise RuntimeError(f"minor compaction did not reduce files: {stats}")
-    if sorted(stats["kept"]) != sorted(big_inodes):
-        raise RuntimeError(f"minor compaction rewrote a base file: {stats}")
-    for name, ino in big_inodes.items():
-        now = os.stat(os.path.join(path, name)).st_ino
-        if now != ino:
-            raise RuntimeError(
-                f"base file {name} was copied (inode {ino} -> {now}), "
-                "not hard-linked — the pass paid table-sized I/O"
-            )
-    return (
-        spark.read.parquet(path)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-    )

@@ -237,7 +237,7 @@ def test_dup_histogram_mass_conservation(spark):
     bands == |documents|, and removable == n_docs − n_clusters per band."""
     from pyspark.sql import functions as F
 
-    from smfg_datawarehouse_spark.operators.text_analysis import (
+    from smfg_datawarehouse_spark.operators.text_quality import (
         x83_dup_cluster_histogram,
     )
     from smfg_datawarehouse_spark.queries import t
@@ -274,7 +274,7 @@ def test_lang_confusion_rows_normalize(spark):
     cell counts must total the corpus."""
     from collections import defaultdict
 
-    from smfg_datawarehouse_spark.operators.text_analysis import (
+    from smfg_datawarehouse_spark.operators.text_quality import (
         x82_lang_confusion,
     )
     from smfg_datawarehouse_spark.queries import t
