@@ -17,6 +17,7 @@ def register_all() -> None:
     _REGISTERED = True
     # Imports are for registration side effects.
     from smfg_datawarehouse_spark.operators import (  # noqa: F401
+        ann_graph,
         dedup,
         etl_core,
         events_analytics,
@@ -26,6 +27,7 @@ def register_all() -> None:
         olap_indexing,
         relational,
         similarity,
+        streaming_certs,
         text_analysis,
         text_corpus_index,
         text_quality,

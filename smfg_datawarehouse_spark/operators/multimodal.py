@@ -528,12 +528,38 @@ def encode_wav_pcm16(n_samples: int, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav_pcm16(payload: bytes) -> dict:
-    """REAL RIFF parse: header + size validation, chunk walk by embedded
-    chunk sizes (word-aligned), fmt sanity (PCM, 16-bit), int16 unpack of
-    the data chunk, then peak/abs-sum reduction."""
+def _parse_wav_pcm16(payload: bytes) -> tuple | None:
+    """REAL RIFF parse shared by the stat and frame decoders: header +
+    size validation, chunk walk by embedded chunk sizes (word-aligned),
+    fmt sanity (PCM, 16-bit), int16 unpack of the data chunk. Returns
+    ``(fmt_tuple, data_len, samples)`` or None when invalid."""
     import struct
 
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if riff_size != len(payload) - 8:
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        cdata = payload[pos + 8 : pos + 8 + csize]
+        if ctype == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", cdata[:16])
+        elif ctype == b"data":
+            data = cdata
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None or fmt[0] != 1 or fmt[5] != 16:
+        return None
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    return fmt, len(data), samples
+
+
+def decode_wav_pcm16(payload: bytes) -> dict:
+    """Stat decoder over the shared REAL RIFF parse: peak/abs-sum
+    reduction plus rate/layout validation."""
     bad = {
         "sample_rate": None,
         "n_channels": None,
@@ -545,26 +571,12 @@ def decode_wav_pcm16(payload: bytes) -> dict:
         "pcm_ok": False,
     }
     try:
-        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        parsed = _parse_wav_pcm16(payload)
+        if parsed is None:
             return bad
-        (riff_size,) = struct.unpack("<I", payload[4:8])
-        if riff_size != len(payload) - 8:
-            return bad
-        pos, fmt, data = 12, None, None
-        while pos + 8 <= len(payload):
-            ctype = payload[pos : pos + 4]
-            (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-            cdata = payload[pos + 8 : pos + 8 + csize]
-            if ctype == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", cdata[:16])
-            elif ctype == b"data":
-                data = cdata
-            pos += 8 + csize + (csize & 1)  # chunks are word-aligned
-        if fmt is None or data is None or fmt[0] != 1 or fmt[5] != 16:
-            return bad
+        fmt, data_len, samples = parsed
         audio_fmt, n_ch, rate, byte_rate, block_align, bits = fmt
-        n = len(data) // 2
-        samples = struct.unpack(f"<{n}h", data[: n * 2])
+        n = len(samples)
         return {
             "sample_rate": rate,
             "n_channels": n_ch,
@@ -575,7 +587,7 @@ def decode_wav_pcm16(payload: bytes) -> dict:
             "abs_sum": sum(abs(s) for s in samples),
             "pcm_ok": byte_rate == rate * n_ch * 2
             and block_align == n_ch * 2
-            and len(data) == n * 2,
+            and data_len == n * 2,
         }
     except Exception:
         return bad
@@ -837,3 +849,104 @@ def x107_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_same_hash",
         F.count(F.lit(1)).over(W.partitionBy("ahash_hi", "ahash_lo")).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x122: frame-level audio features from REALLY-decoded PCM — the feature-
+# extraction stage an audio curation pipeline runs after decode (VAD-style
+# energy gating, silence trimming, clipping detection all consume per-frame
+# energy + zero-crossing tracks). Same dependency-free certification
+# geometry as x91: the engine computes features from the real bytes (RIFF
+# walk + int16 unpack + framing), the oracle recomputes them from the
+# generator's closed form via a range() reduction and never sees a byte.
+# ---------------------------------------------------------------------------
+
+WAV_FRAME = 64  # samples per analysis frame
+
+WAV_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("n_in_frame", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("peak_abs", T.LongType(), True),
+        T.StructField("crossings", T.LongType(), True),
+    ]
+)
+
+
+def wav_frame_features(payload: bytes, frame: int = WAV_FRAME) -> list[dict]:
+    """Per-frame (n, Σs², max|s|, sign crossings) from a real PCM parse.
+
+    All-integer reductions (no float RMS — Σs² carries the same signal
+    exactly), crossings counted on strict sign products within the frame
+    so the closed-form SQL replay is unambiguous."""
+    parsed = _parse_wav_pcm16(payload)
+    if parsed is None:
+        return []
+    _, _, samples = parsed
+    out = []
+    for f in range(0, len(samples), frame):
+        chunk = samples[f : f + frame]
+        out.append(
+            {
+                "frame_idx": f // frame,
+                "n_in_frame": len(chunk),
+                "sum_sq": sum(s * s for s in chunk),
+                "peak_abs": max(abs(s) for s in chunk),
+                "crossings": sum(
+                    1 for a, b in zip(chunk, chunk[1:]) if a * b < 0
+                ),
+            }
+        )
+    return out
+
+
+_X122_ORACLE = f"""
+    WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    dims AS (
+      SELECT doc_id, 64 + {_hex2('h', 5)} % 192 AS n FROM hashed
+    ),
+    samples AS (
+      SELECT doc_id, i, i // {WAV_FRAME} AS frame_idx,
+             ((i * 37) % 199) - 99 AS s,
+             CASE WHEN i % {WAV_FRAME} = 0 THEN NULL
+                  ELSE (((i - 1) * 37) % 199) - 99 END AS prev_s
+      FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM dims)
+    )
+    SELECT doc_id AS asset_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_in_frame,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           CAST(SUM(CASE WHEN prev_s * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS crossings
+    FROM samples GROUP BY doc_id, frame_idx
+"""
+
+
+@register("x122_audio_frame_features", _X122_ORACLE)
+def x122_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] FRAME-LEVEL AUDIO FEATURES from real bytes: synthesize the x91
+    PCM-16 WAV per document, REALLY parse it back (shared RIFF walk), cut
+    the samples into 64-sample frames, and emit the integer feature track
+    (Σs², max|s|, strict sign crossings) every audio curation gate
+    consumes. Arrow-batched ``mapInPandas``; one output row per frame.
+    The oracle replays the generator's closed form per (doc, frame) —
+    a framing off-by-one, endianness slip, or dropped tail frame cannot
+    hash-match."""
+    assets = documents_as_wav_assets(t(spark, sf_dir, "documents"))
+    n_parts = assets.sparkSession.sparkContext.defaultParallelism
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for feat in wav_frame_features(payload):
+                    rows.append({"asset_id": int(aid), **feat})
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in WAV_FRAME_SCHEMA.fields],
+            )
+
+    return assets.repartition(n_parts).mapInPandas(batches, WAV_FRAME_SCHEMA)

@@ -1242,3 +1242,132 @@ def x87_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# x121: bigram language-model scoring (train-split counts → val perplexity
+# proxy). The Markov upgrade of x37's unigram mean-token-probability: CCNet/
+# Gopher-style LM quality signals rank documents by how probable a small LM
+# finds them; a bigram model with add-one smoothing is the largest such
+# model whose training AND scoring are pure relational algebra (two keyed
+# rollups + two joins) — no log/exp anywhere (libm divergence), so the
+# scores replay bit-exactly: every conditional probability is a ratio of
+# exact BIGINTs, quantized to nano-units before the per-doc integer sum.
+# ---------------------------------------------------------------------------
+
+_X121_ORACLE = r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR)) < 'c' AS is_train,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, source, is_train, u.pair[1] AS w1, u.pair[2] AS w2
+      FROM tk, UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(pair)
+      WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM bi WHERE is_train GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+           FROM bi WHERE is_train GROUP BY w1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      FROM tk, UNNEST(t) AS u(tok) WHERE is_train
+    ),
+    scored AS (
+      SELECT b.doc_id, b.source,
+             CAST(floor(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+                        / (COALESCE(c1.c1, 0) + vocab.v)
+                        * 1000000000.0 + 0.5) AS BIGINT) AS p_nano
+      FROM bi b
+      LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      LEFT JOIN c1 ON c1.w1 = b.w1
+      CROSS JOIN vocab
+      WHERE NOT b.is_train
+    )
+    SELECT doc_id, source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(p_nano) AS BIGINT) AS sum_p_nano,
+           CAST(SUM(p_nano) AS DOUBLE) / COUNT(*) / 1000000000.0 AS avg_p
+    FROM scored GROUP BY doc_id, source
+"""
+
+
+@register("x121_bigram_lm_score", _X121_ORACLE)
+def x121_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] BIGRAM LM QUALITY SCORE: train add-one-smoothed bigram
+    conditionals on the x29 hash train split, score every held-out doc by
+    its mean conditional token probability p(w2|w1) = (c(w1,w2)+1)/
+    (c(w1·)+|V|) — the relational instance of the LM-based quality
+    ranking CCNet/Gopher pipelines run before sampling training data
+    (x70 buckets externally-supplied scores; this TRAINS the scorer
+    in-engine). All probabilities are ratios of exact BIGINT counts,
+    quantized half-up to nano-units and integer-summed per doc, so the
+    score is partition-order-free and engine-exact; the only floats are
+    one final division pair written identically in both engines.
+
+    Scale shape: bigram counts are ONE keyed shuffle over the train
+    corpus (map-side combined); scoring joins val bigrams against the
+    count tables keyed on (w1[,w2]) — broadcastable when the vocabulary
+    is, shuffle joins otherwise — then one doc-keyed rollup. No window,
+    no collect, no transcendental."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        "source",
+        (F.md5(F.col("doc_id").cast("string")) < "c").alias("is_train"),
+        word_tokens(F.col("text")).alias("t"),
+    )
+    bi = (
+        tk.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            "is_train",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)"),
+                    F.expr("slice(t, 2, size(t) - 1)"),
+                )
+            ).alias("pr"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "is_train",
+            F.col("pr")["0"].alias("w1"),
+            F.col("pr")["1"].alias("w2"),
+        )
+    )
+    train = bi.where("is_train")
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        tk.where("is_train")
+        .select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    p = (
+        (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+    )
+    scored = (
+        bi.where(~F.col("is_train"))
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            F.floor(p * 1000000000.0 + 0.5).cast("long").alias("p_nano"),
+        )
+    )
+    return scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("p_nano").cast("long").alias("sum_p_nano"),
+        (
+            F.sum("p_nano").cast("double") / F.count(F.lit(1)) / 1000000000.0
+        ).alias("avg_p"),
+    )

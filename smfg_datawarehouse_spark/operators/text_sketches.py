@@ -668,3 +668,152 @@ def x118_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x123: b-bit MinHash (Li & König 2010) — keep only the LOWEST BIT of each
+# minhash value. Storage per signature drops 64× (16 bits vs 16 BIGINTs);
+# the estimator debiases the collision floor: for b=1, E[bit match] =
+# J + (1−J)/2, so Ĵ = 2·m − 1 (clamped at 0). The audit emits, per LSH
+# candidate pair, the full-width estimate next to the 1-bit estimate —
+# the sizing evidence for shrinking a 100 TB dedup index's signature
+# store. Every term is exact dyadic arithmetic (int matches / 16, ×2, −1),
+# so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_X123_BANDS = 4
+
+
+def _bbit_pairs(docs: DataFrame) -> DataFrame:
+    from smfg_datawarehouse_spark.operators.dedup import (
+        _NUM_HASHES,
+        minhash_signatures,
+    )
+
+    rows_per_band = _NUM_HASHES // _X123_BANDS
+    sig = minhash_signatures(docs, "text", "doc_id", k=3, num_hashes=_NUM_HASHES)
+    stacked = (
+        sig.select(
+            "doc_id",
+            F.array(*[F.col(f"mh{i}") for i in range(_NUM_HASHES)]).alias("sig"),
+        )
+        .select(
+            "doc_id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("bi"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at(
+                                        "sig", b * rows_per_band + r + 1
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            ).alias("bh"),
+                        )
+                        for b in range(_X123_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "sig", F.col("band.bi").alias("bi"), F.col("band.bh").alias("bh"))
+        .cache()
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+
+    def fold_matches(cmp):
+        return F.aggregate(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), cmp),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
+    full = fold_matches(lambda x, y: F.when(x == y, 1).otherwise(0))
+    bits = fold_matches(lambda x, y: F.when(x % 2 == y % 2, 1).otherwise(0))
+    est_full = (full / F.lit(float(_NUM_HASHES))).cast("double")
+    est_1bit = F.greatest(
+        F.lit(0.0),
+        (F.lit(2.0) * bits / F.lit(float(_NUM_HASHES)) - F.lit(1.0)).cast("double"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est_full.alias("est_full"),
+            est_1bit.alias("est_1bit"),
+            F.abs(est_1bit - est_full).alias("abs_diff"),
+        )
+        .distinct()
+    )
+
+
+def _x123_oracle() -> str:
+    from smfg_datawarehouse_spark.operators.dedup import (
+        _NUM_HASHES,
+        _WORD_SHINGLE_SQL,
+        _band_cols,
+        _band_union,
+        _match_sum,
+        _minhash_cols,
+        _minhash_hashed_sql,
+    )
+
+    bit_sum = " + ".join(
+        f"CASE WHEN sa.mh{i} % 2 = sb.mh{i} % 2 THEN 1 ELSE 0 END"
+        for i in range(_NUM_HASHES)
+    )
+    return f"""
+    WITH sh AS ({_WORD_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id,
+           {_minhash_cols}
+      FROM ({_minhash_hashed_sql}) GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+           {_band_cols}
+      FROM sig
+    ),
+    stacked AS (
+{_band_union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM stacked a JOIN stacked b
+        ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(({_match_sum}) AS DOUBLE) / {_NUM_HASHES}.0 AS est_full,
+           GREATEST(0.0, 2.0 * ({bit_sum}) / {_NUM_HASHES}.0 - 1.0) AS est_1bit,
+           ABS(GREATEST(0.0, 2.0 * ({bit_sum}) / {_NUM_HASHES}.0 - 1.0)
+               - CAST(({_match_sum}) AS DOUBLE) / {_NUM_HASHES}.0) AS abs_diff
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+
+
+def _register_x123() -> None:
+    @register("x123_bbit_minhash_error", _x123_oracle())
+    def x123_bbit_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """[X] b-BIT MINHASH AUDIT: for every LSH candidate pair, the
+        full-width MinHash Jaccard estimate beside the 1-bit-per-hash
+        estimate (Li & König's storage-collapsed variant, debiased
+        Ĵ = 2·m − 1 clamped at 0) and their divergence — the evidence for
+        deciding whether a signature store can drop 64× in size before
+        the banding calibration (x105) re-runs. One signature pass feeds
+        both estimators; the pair space stays LSH-bounded (never N²)."""
+        return _bbit_pairs(t(spark, sf_dir, "documents"))
+
+
+_register_x123()

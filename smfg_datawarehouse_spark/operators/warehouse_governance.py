@@ -1476,3 +1476,174 @@ def l30_binpack_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@register(
+    "l31_optimistic_commit_conflict",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def l31_optimistic_commit_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S7/L] MULTI-WRITER OPTIMISTIC CONCURRENCY certified
+    (``sources/manifest.ManifestTable.append_optimistic``): two appenders
+    race on one manifest table — the lost-update scenario every
+    concurrent lakehouse load hits. Writer B stages its files, and
+    BETWEEN B's staging and B's commit a second writer's append moves
+    CURRENT (injected deterministically via a stage() hook). B's first
+    conditional commit must be REFUSED (``CommitConflict``: its file
+    list was derived from a stale snapshot), and its retry must rebase
+    onto the new manifest and publish — appends commute at the file
+    level, so the rebase re-reads a pointer, rewrites nothing. The cert
+    RAISES unless exactly one conflict was hit and three versions exist;
+    the hash gate proves NO LOST UPDATE: the final snapshot carries all
+    three writers' rows (the three doc_id%3 slices = the whole fixture).
+
+    At 100 TB the conditional swap is one If-Match PUT on the CURRENT
+    object; data staging stays fully parallel per writer — only the O(1)
+    pointer swap serializes, which is the entire concurrency cost."""
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
+
+    base = _scratch_dir(spark, "l31")
+    path = os.path.join(base, "documents_occ")
+    d = t(spark, sf_dir, "documents")
+
+    table = ManifestTable(spark, path)
+    table.write(d.where(F.col("doc_id") % 3 == 0))  # v1
+
+    class _RacingTable(ManifestTable):
+        """Injects a competing append between B's base-snapshot read and
+        B's conditional commit — the object-store race window, made
+        deterministic for certification."""
+
+        _raced = False
+
+        def manifest(self, version: int | None = None) -> list[str]:
+            files = super().manifest(version)
+            if not _RacingTable._raced and version is not None:
+                _RacingTable._raced = True
+                ManifestTable(spark, path).append(
+                    d.where(F.col("doc_id") % 3 == 1)
+                )
+            return files
+
+    version, n_conflicts = _RacingTable(spark, path).append_optimistic(
+        d.where(F.col("doc_id") % 3 == 2)
+    )
+    if n_conflicts != 1:
+        raise RuntimeError(
+            f"expected exactly one CommitConflict retry, saw {n_conflicts}"
+        )
+    if version != 3:
+        raise RuntimeError(f"expected final version 3, got v{version}")
+    return (
+        table.read()
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_Q105_ORACLE = """
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.user_id, p.ts AS p_ts, p.event_id AS p_id, p.v_us,
+             e.event_type AS channel, e.ts AS t_ts, e.event_id AS t_id
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type IN ('view', 'click')
+       AND e.ts >= p.ts - INTERVAL 7 DAY
+       AND (e.ts < p.ts OR (e.ts = p.ts AND e.event_id < p.event_id))
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, p_id
+                                ORDER BY t_ts, t_id) AS pos,
+             COUNT(*) OVER (PARTITION BY user_id, p_id) AS n
+      FROM j
+    ),
+    credited AS (
+      SELECT channel,
+             CASE WHEN n = 1 THEN v_us
+                  WHEN n = 2 THEN (v_us * 5000) // 10000
+                  WHEN pos = 1 OR pos = n THEN (v_us * 4000) // 10000
+                  ELSE (v_us * 2000) // (10000 * (n - 2))
+             END AS credit_us
+      FROM ranked
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(credit_us) AS BIGINT) AS credited_micros,
+           CAST(SUM(credit_us) AS DOUBLE) / 1000000.0 AS credited_value
+    FROM credited GROUP BY channel
+"""
+
+
+@register("q105_position_attribution", _Q105_ORACLE)
+def q105_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/A4] U-SHAPED (position-based) REVENUE ATTRIBUTION — q90's
+    multi-touch sibling: each purchase's value is split across ALL of the
+    user's view/click touches in the 7-day lookback — 40% to the first
+    touch, 40% to the last, the middle 20% shared evenly — the standard
+    position-based model marketing teams run beside last-touch. All
+    credits are exact integer micro-unit arithmetic (``v·4000 DIV 10⁴``,
+    middles ``v·2000 DIV (10⁴·(n−2))``; single-/two-touch journeys
+    degenerate to 100% / 50-50), so rounding is floor-deterministic and
+    identical in both engines; only the final display division is float.
+
+    Scale shape: ONE user-keyed equi-join bounded by the 7-day interval
+    predicate (state O(rate × window), the q30/q77 asof family's join
+    twin), one (user, purchase)-keyed window for position/count, one
+    map-side-combined rollup onto ≤2 channel rows. Ties broken by
+    event_id everywhere."""
+    e = load_events(spark, sf_dir)
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("v_us"),
+    )
+    tch = e.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+    )
+    j = p.join(tch, "user_id").where(
+        (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+        & (
+            (F.col("t_ts") < F.col("p_ts"))
+            | ((F.col("t_ts") == F.col("p_ts")) & (F.col("t_id") < F.col("p_id")))
+        )
+    )
+    wp = W.partitionBy("user_id", "p_id")
+    ranked = j.select(
+        "channel",
+        "v_us",
+        F.row_number().over(wp.orderBy("t_ts", "t_id")).alias("pos"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.col("v_us"))
+        .when(F.col("n") == 2, F.expr("(v_us * 5000) DIV 10000"))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.expr("(v_us * 4000) DIV 10000"),
+        )
+        .otherwise(F.expr("(v_us * 2000) DIV (10000 * (n - 2))"))
+    )
+    return ranked.select("channel", credit.alias("credit_us")).groupBy(
+        "channel"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.sum("credit_us").cast("long").alias("credited_micros"),
+        (F.sum("credit_us").cast("double") / 1000000.0).alias("credited_value"),
+    )

@@ -40,6 +40,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflict(RuntimeError):
+    """Another writer moved CURRENT since this commit's base snapshot."""
+
+
 class ManifestTable:
     """Parquet table with manifest commits and snapshot-isolated reads."""
 
@@ -72,13 +76,27 @@ class ManifestTable:
         with open(self._manifest_path(v)) as fh:
             return json.load(fh)["files"]
 
-    def _commit(self, files: list[str]) -> int:
+    def _commit(self, files: list[str], expected_version: int | None = None) -> int:
         """Write manifest v{N+1} then atomically swap CURRENT to it.
 
         The swap is the ONLY mutation of shared state: ``os.replace`` is
         atomic on POSIX (object stores: conditional PUT). Everything
         before it is invisible to readers; a crash at any point leaves
-        the previous snapshot intact and readable."""
+        the previous snapshot intact and readable.
+
+        ``expected_version`` makes the commit CONDITIONAL (optimistic
+        concurrency): raise :class:`CommitConflict` instead of publishing
+        when CURRENT no longer points at the version this commit's file
+        list was derived from. On an object store the check-and-swap is
+        one conditional PUT (If-Match on CURRENT's ETag); the local twin
+        checks then replaces, which is race-free for the single-driver
+        certification and documents the contract."""
+        if expected_version is not None:
+            cur = self.current_version() or 0
+            if cur != expected_version:
+                raise CommitConflict(
+                    f"commit based on v{expected_version}, CURRENT is v{cur}"
+                )
         v = (self.current_version() or 0) + 1
         with open(self._manifest_path(v), "w") as fh:
             json.dump({"version": v, "files": sorted(files)}, fh)
@@ -87,6 +105,19 @@ class ManifestTable:
             json.dump({"version": v}, fh)
         os.replace(tmp, self._current_path())
         return v
+
+    def _next_batch(self) -> int:
+        """Allocate a batch number past EVERY existing data dir — version
+        counters don't work here: a WAP-staged (uncommitted) batch or a
+        concurrent writer's staging dir would collide with a
+        version-derived number and be silently overwritten."""
+        data_root = os.path.join(self.path, "data")
+        existing = [
+            int(d.split("-", 1)[1])
+            for d in os.listdir(data_root)
+            if d.startswith("batch-") and d.split("-", 1)[1].isdigit()
+        ]
+        return max(existing, default=0) + 1
 
     def _stage(self, df: DataFrame, batch: int) -> list[str]:
         """Write df's files under data/batch-{batch}/ (immutable once
@@ -104,14 +135,42 @@ class ManifestTable:
 
     def write(self, df: DataFrame) -> int:
         """Replace the table content (manifest = the staged files only)."""
-        return self._commit(self._stage(df, (self.current_version() or 0) + 1))
+        return self._commit(self._stage(df, self._next_batch()))
 
     def append(self, df: DataFrame) -> int:
         """Append (manifest = previous files + staged files)."""
         prior = self.manifest()
         return self._commit(
-            prior + self._stage(df, (self.current_version() or 0) + 1)
+            prior + self._stage(df, self._next_batch())
         )
+
+    def append_optimistic(
+        self, df: DataFrame, max_retries: int = 3
+    ) -> tuple[int, int]:
+        """Append under OPTIMISTIC CONCURRENCY CONTROL — the Delta/Iceberg
+        multi-writer protocol: stage files once (immutable, invisible),
+        then try to commit ``base-manifest + staged`` conditionally on
+        CURRENT still being the base version. On :class:`CommitConflict`
+        (another writer won the race) re-resolve the NEW current manifest
+        and retry with the same staged files — appends commute on the
+        file level, so a rebase is just re-reading the prior file list;
+        no data is rewritten. Returns ``(version, n_conflicts)``.
+
+        This is why manifest tables scale to many concurrent writers:
+        the data plane (staging) is fully parallel and conflict-free;
+        only the O(1) pointer swap serializes."""
+        staged = self.stage(df)
+        for attempt in range(max_retries + 1):
+            base = self.current_version() or 0
+            prior = self.manifest(base) if base else []
+            try:
+                return self._commit(
+                    prior + staged, expected_version=base
+                ), attempt
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: resolve a manifest once, read exactly its files.
@@ -134,7 +193,7 @@ class ManifestTable:
         )
         n_files = max(1, total // target_file_bytes)
         df = self.read().coalesce(int(n_files))
-        return self._commit(self._stage(df, (self.current_version() or 0) + 1))
+        return self._commit(self._stage(df, self._next_batch()))
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete data files referenced by none of the last ``keep_last``
@@ -177,13 +236,7 @@ class ManifestTable:
         reader until :meth:`publish_append`. Batch numbers are allocated
         past any existing dir, so staged-but-never-published batches can't
         collide with later commits."""
-        data_root = os.path.join(self.path, "data")
-        existing = [
-            int(d.split("-", 1)[1])
-            for d in os.listdir(data_root)
-            if d.startswith("batch-") and d.split("-", 1)[1].isdigit()
-        ]
-        return self._stage(df, max(existing, default=0) + 1)
+        return self._stage(df, self._next_batch())
 
     def read_staged(self, files: list[str]) -> DataFrame:
         """WAP step 2 input: read EXACTLY a staged file set (for audits)."""
