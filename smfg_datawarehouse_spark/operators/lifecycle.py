@@ -1177,3 +1177,103 @@ def l19_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         dsum(F.col("l_quantity")).alias("sum_qty"),
     )
+
+
+_L32_ORACLE = f"""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+      FROM events
+    )
+    SELECT CAST(e.ts AS DATE) AS probe_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_micros
+    FROM events e CROSS JOIN bounds b
+    WHERE CAST(e.ts AS DATE) = b.dmin OR CAST(e.ts AS DATE) = b.dmax
+    GROUP BY 1
+"""
+
+
+@register("l32_partition_evolution", _L32_ORACLE)
+def l32_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S2/S5] PARTITION-SPEC EVOLUTION certified — the Iceberg capability
+    plain Hive layouts lack: a table's partitioning changes (week → day)
+    WITHOUT rewriting history. Old data stays week-partitioned, data
+    after the cutoff lands day-partitioned in its own root, and a reader
+    is the union of both roots with the probe predicate rewritten to each
+    root's OWN partition column (the spec-aware predicate rewrite an
+    evolution-capable catalog performs). The cert probes one day in each
+    era and RAISES unless file-level pruning matched each era's
+    granularity exactly: the old-era probe must touch ONLY its week
+    directory (and the pre-cutoff era must span >1 week, so pruning is
+    non-trivial), the new-era probe ONLY its day directory. The hash gate
+    re-checks content against the raw fixture.
+
+    At 100 TB this is how a table migrates to finer partitioning as it
+    grows: O(0) rewrite at evolution time; queries pay coarse-granularity
+    reads only on pre-cutoff history, which ages out with retention
+    (l24). Driver-side work is two bounded scalar reads (date bounds,
+    file lists)."""
+    import os
+
+    from smfg_datawarehouse_spark.sources.lake import write_partitioned
+
+    base = _scratch_dir(spark, "l32")
+    e = load_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    dmin, dmax = e.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).first()
+    cutoff = dmin + (dmax - dmin) / 2
+
+    old_root = os.path.join(base, "events_by_week")
+    new_root = os.path.join(base, "events_by_day")
+    write_partitioned(
+        e.where(F.to_date("ts") <= F.lit(cutoff)).withColumn(
+            "pweek", F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+        ),
+        old_root,
+        ["pweek"],
+    )
+    write_partitioned(
+        e.where(F.to_date("ts") > F.lit(cutoff)).withColumn(
+            "pday", F.date_format("ts", "yyyy-MM-dd")
+        ),
+        new_root,
+        ["pday"],
+    )
+    n_weeks = sum(1 for d in os.listdir(old_root) if d.startswith("pweek="))
+    if n_weeks < 2:
+        raise RuntimeError(
+            f"pre-cutoff era spans {n_weeks} week(s) — coarse pruning "
+            "would be vacuous; widen the fixture or lower the cutoff"
+        )
+
+    def probe(root, pcol, pval, day):
+        r = (
+            spark.read.parquet(root)
+            .where(F.col(pcol) == pval)  # the spec-aware pruning predicate
+            .where(F.to_date("ts") == F.lit(day))  # exactness within it
+        )
+        dirs = {
+            row[0].split(f"{pcol}=")[1].split("/")[0]
+            for row in r.select(F.input_file_name()).distinct().collect()
+        }
+        if dirs != {pval}:
+            raise RuntimeError(
+                f"probe of {pcol}={pval} read partitions {sorted(dirs)} — "
+                "pruning did not hold at the era's granularity"
+            )
+        return r
+
+    import datetime as _dt
+
+    wk = dmin - _dt.timedelta(days=dmin.weekday())  # Monday of dmin's ISO week
+    old_probe = probe(old_root, "pweek", wk.strftime("%Y-%m-%d"), dmin)
+    new_probe = probe(new_root, "pday", dmax.strftime("%Y-%m-%d"), dmax)
+    both = old_probe.drop("pweek").unionByName(new_probe.drop("pday"))
+    return both.groupBy(F.to_date("ts").alias("probe_day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("total_micros"),
+    )

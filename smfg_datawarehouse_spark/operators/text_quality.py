@@ -1371,3 +1371,142 @@ def x121_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_nano").cast("double") / F.count(F.lit(1)) / 1000000000.0
         ).alias("avg_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x124: filter-funnel attrition report over the x60 Gopher gates — the
+# aggregate view a curation run publishes beside the per-doc verdicts:
+# how many documents each gate kills, the cumulative survivor count in
+# the pipeline's fixed gate order, and each gate's UNIQUE kills (docs no
+# other gate would have caught — the marginal value of keeping the rule).
+# One scan + one 4-row rollup; changing a threshold re-runs in seconds at
+# any corpus size because nothing here is per-doc output.
+# ---------------------------------------------------------------------------
+
+_X124_GATES = ["word_count", "mean_word_len", "alpha", "stopwords"]
+
+_X124_ORACLE = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_transform(t, w -> length(w)),
+                              (a, b) -> a + b) AS DOUBLE)
+               / length(t) AS mean_word_len,
+             CAST(length(list_filter(t,
+                    w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+               / length(t) AS frac_alpha_words,
+             CAST(length(list_filter(t,
+                    w -> w IN ('the','a','of','and','to','in','is','it')))
+               AS BIGINT) AS n_stopword_hits
+      FROM tk WHERE length(t) >= 1
+    ), flags AS (
+      SELECT doc_id,
+             NOT (n_words BETWEEN 50 AND 100000) AS k1,
+             NOT (mean_word_len BETWEEN 3.0 AND 10.0) AS k2,
+             NOT (frac_alpha_words >= 0.8) AS k3,
+             NOT (n_stopword_hits >= 2) AS k4
+      FROM feats
+    ), per_gate AS (
+      SELECT 1 AS gate_order, 'word_count' AS gate,
+             SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS n_fail,
+             SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS n_killed_cum,
+             SUM(CASE WHEN k1 AND NOT k2 AND NOT k3 AND NOT k4
+                      THEN 1 ELSE 0 END) AS n_unique_kills,
+             COUNT(*) AS n
+      FROM flags
+      UNION ALL
+      SELECT 2, 'mean_word_len',
+             SUM(CASE WHEN k2 THEN 1 ELSE 0 END),
+             SUM(CASE WHEN k1 OR k2 THEN 1 ELSE 0 END),
+             SUM(CASE WHEN k2 AND NOT k1 AND NOT k3 AND NOT k4
+                      THEN 1 ELSE 0 END),
+             COUNT(*)
+      FROM flags
+      UNION ALL
+      SELECT 3, 'alpha',
+             SUM(CASE WHEN k3 THEN 1 ELSE 0 END),
+             SUM(CASE WHEN k1 OR k2 OR k3 THEN 1 ELSE 0 END),
+             SUM(CASE WHEN k3 AND NOT k1 AND NOT k2 AND NOT k4
+                      THEN 1 ELSE 0 END),
+             COUNT(*)
+      FROM flags
+      UNION ALL
+      SELECT 4, 'stopwords',
+             SUM(CASE WHEN k4 THEN 1 ELSE 0 END),
+             SUM(CASE WHEN k1 OR k2 OR k3 OR k4 THEN 1 ELSE 0 END),
+             SUM(CASE WHEN k4 AND NOT k1 AND NOT k2 AND NOT k3
+                      THEN 1 ELSE 0 END),
+             COUNT(*)
+      FROM flags
+    )
+    SELECT CAST(gate_order AS BIGINT) AS gate_order, gate,
+           CAST(n_fail AS BIGINT) AS n_fail,
+           CAST(n_unique_kills AS BIGINT) AS n_unique_kills,
+           CAST(n_killed_cum AS BIGINT) AS n_killed_cum,
+           CAST(n - n_killed_cum AS BIGINT) AS n_surviving
+    FROM per_gate
+"""
+
+
+@register("x124_filter_funnel", _X124_ORACLE)
+def x124_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] FILTER-FUNNEL ATTRITION over the x60 Gopher gates: per gate, in
+    the pipeline's fixed order — documents it fails, documents ONLY it
+    fails (the rule's marginal value; a gate with zero unique kills is
+    dead weight), cumulative kills, and survivors. x60 answers "why was
+    THIS doc dropped"; this answers "what is each RULE costing the
+    corpus" — the report that decides threshold changes before a 100 TB
+    re-filter. One corpus scan (same gate expressions as x60), aggregated
+    map-side into four rows; integer-exact throughout."""
+    d = t(spark, sf_dir, "documents")
+    tk = word_tokens(F.col("text"))
+    base = d.select("doc_id", tk.alias("t")).where(F.size("t") >= 1)
+    n_words = F.size("t").cast("long")
+    sum_len = F.aggregate(
+        F.transform(F.col("t"), lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
+    )
+    mean_wl = sum_len.cast("double") / F.size("t")
+    frac_alpha = (
+        F.size(F.filter(F.col("t"), lambda w: w.rlike("^[a-z]+$"))).cast("double")
+        / F.size("t")
+    )
+    stops = F.size(F.filter(F.col("t"), lambda w: w.isin(_STOPWORDS_EN))).cast("long")
+    flags = base.select(
+        (~((n_words >= 50) & (n_words <= 100000))).alias("k1"),
+        (~((mean_wl >= 3.0) & (mean_wl <= 10.0))).alias("k2"),
+        (~(frac_alpha >= 0.8)).alias("k3"),
+        (~(stops >= 2)).alias("k4"),
+    )
+    ks = ["k1", "k2", "k3", "k4"]
+
+    def one(x):
+        return F.sum(F.when(x, 1).otherwise(0)).cast("long")
+
+    measures = []
+    for i, k in enumerate(ks, start=1):
+        others = [F.col(o) for o in ks if o != k]
+        uniq = F.col(k)
+        for o in others:
+            uniq = uniq & ~o
+        cum = F.col(ks[0])
+        for o in ks[1:i]:
+            cum = cum | F.col(o)
+        measures += [
+            one(F.col(k)).alias(f"f{i}"),
+            one(uniq).alias(f"u{i}"),
+            one(cum).alias(f"c{i}"),
+        ]
+    wide = flags.agg(*measures, F.count(F.lit(1)).cast("long").alias("n"))
+    stack = ", ".join(
+        f"{i}L, '{gate}', f{i}, u{i}, c{i}, n - c{i}"
+        for i, gate in enumerate(_X124_GATES, start=1)
+    )
+    return wide.selectExpr(
+        f"stack(4, {stack}) AS "
+        "(gate_order, gate, n_fail, n_unique_kills, n_killed_cum, n_surviving)"
+    )
