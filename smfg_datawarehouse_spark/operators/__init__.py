@@ -18,6 +18,7 @@ def register_all() -> None:
     # Imports are for registration side effects.
     from smfg_datawarehouse_spark.operators import (  # noqa: F401
         ann_graph,
+        ann_quantized,
         dedup,
         etl_core,
         events_analytics,

@@ -48,53 +48,65 @@ def knn_graph(
 ) -> DataFrame:
     """(query_id, neighbor_id, cos_sim, rank) — IVF-celled k-NN graph.
 
-    One corpus scan assigns every vector to its nearest coarse cell AND
-    derives its ``nprobe`` probe cells (centroids enter the plan as a
-    LITERAL array-of-structs — bytes, not data — so both are scan-side
-    ``transform`` + ``array_min``/``array_sort`` with zero joins, the
-    x57 ``_km_assign`` idiom). The only shuffle is the probe⋈cell equi-
-    join keyed on cell id: candidate volume is Σ_cells |cell|·(probes
-    into that cell), the IVF contract that holds at any corpus size.
-    Ranking is one window partitioned by query_id over candidate rows.
+    One Arrow-batched corpus pass assigns every vector to its nearest
+    coarse cell AND derives its ``nprobe`` probe cells: the (bounded)
+    centroid matrix is broadcast as numpy and each batch scores against
+    it vectorized (``_lr_cosine``'s per-dimension left fold — the same
+    certified kernel x10/x11 use, bit-identical to the SQL
+    ``list_reduce`` replay). A literal-expression variant (the x57
+    ``_km_assign`` idiom) works for O(10) centroids but generates a
+    Catalyst expression tree proportional to centroids×dim — at ~200
+    coarse cells compile time dominated the query, so assignment is
+    numpy-side by design here. The only shuffle is the probe⋈cell
+    equi-join keyed on cell id: candidate volume is Σ_cells
+    |cell|·(probes into that cell), the IVF contract that holds at any
+    corpus size. Ranking is one window partitioned by query_id.
 
-    Determinism: folds are left-to-right; cell assignment tie-breaks on
-    lowest centroid id via ``array_min(struct(-cos, cid))`` (negation is
-    an exact sign flip); neighbor rank tie-breaks on neighbor_id — every
-    branch replayed by the oracle's ROW_NUMBER.
+    Determinism: folds are left-to-right; cell assignment sorts by
+    (−cos, cid) (negation is an exact sign flip, ties → lowest centroid
+    id); neighbor rank tie-breaks on neighbor_id — every branch replayed
+    by the oracle's ROW_NUMBER.
     """
+    import numpy as np
+    import pandas as pd
+
+    from smfg_datawarehouse_spark.operators.similarity import (
+        _collect_matrix,
+        _lr_cosine,
+    )
+
     vecs = emb.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     mod, rem = _CENT_RULE
-    cents = (
-        vecs.where(F.col("vec_id") % mod == rem)
-        .orderBy("vec_id")
-        .collect()
-    )  # bounded: N/29 coarse centroids at fixture scale; a config table at 100 TB
-    carr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.vec_id)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
-            )
-            for r in cents
-        ]
-    )
-    scored_cells = F.transform(
-        carr,
-        lambda c: F.struct(
-            (-_fold_cosine(F.col("v"), c["cv"])).alias("neg"), c["cid"].alias("cid")
-        ),
-    )
-    base = vecs.select(
-        "vec_id",
-        "v",
-        F.array_min(scored_cells)["cid"].alias("cell"),
-        F.slice(F.array_sort(scored_cells), 1, nprobe).alias("probes"),
-    )
+    cids, cmat = _collect_matrix(
+        vecs.where(F.col("vec_id") % mod == rem), "vec_id", "v"
+    )  # bounded coarse-quantizer table; a config artifact at 100 TB
+    bc = vecs.sparkSession.sparkContext.broadcast((cids, cmat))
+
+    def assign(it):
+        acids, acmat = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vm = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            sims = _lr_cosine(vm, acmat)  # n×C, left-fold exact
+            rows = {"vec_id": pdf["vec_id"], "v": pdf["v"]}
+            picked = [
+                acids[np.lexsort((acids, -sims[i]))[:nprobe]].tolist()
+                for i in range(len(pdf))
+            ]
+            rows["cell"] = [p[0] for p in picked]
+            rows["probes"] = picked
+            yield pd.DataFrame(rows)
+
+    n_parts = vecs.sparkSession.sparkContext.defaultParallelism
+    base = vecs.repartition(n_parts).mapInPandas(
+        assign, "vec_id long, v array<double>, cell long, probes array<long>"
+    ).localCheckpoint()  # read twice below (probe side + member side)
     cand = base.select(
-        "vec_id", "v", F.explode(F.col("probes")["cid"]).alias("probe_cell")
+        "vec_id", "v", F.explode(F.col("probes")).alias("probe_cell")
     )
     members = base.select(
         F.col("vec_id").alias("neighbor_id"),

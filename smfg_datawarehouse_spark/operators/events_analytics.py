@@ -5,6 +5,9 @@ These are the batch twins of the streaming surface (SURVEY §2.9 T2): the
 same builder functions run over ``readStream`` in
 ``smfg_datawarehouse_spark.streaming``; here they run over the batch events
 table so the driver's DuckDB oracle can differential-check the semantics.
+The streaming certifications themselves (s01-s18) live in
+``operators/streaming_certs.py`` (round-5 module split); the shared
+window/join oracles stay here with their batch twins.
 """
 
 from __future__ import annotations
@@ -873,128 +876,18 @@ def x52_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_S01_ORACLE = f"""
-    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
-           event_type,
-           COUNT(*) AS cnt,
-           {_dsum_sql('value')} AS total_value
-    FROM events
-    GROUP BY 1, 2
-"""
 
 
-@register("s01_streaming_tumbling_window", _S01_ORACLE)
-def s01_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2] The STREAMING path itself as a certified query: the events
-    fixture is read through ``readStream`` (declared schema — streaming
-    sources cannot infer), aggregated by the same tumbling-window builder
-    the always-on deployment uses, drained with ``Trigger.AvailableNow``
-    into a memory sink, and the drained table is hash-checked against the
-    plain batch SQL oracle — driver-certified proof that stream results
-    equal batch results (q20 is the batch twin; ``tests/test_streaming``
-    asserts the equality across all window shapes and restart/backlog
-    scenarios). Complete output mode: every window is emitted regardless
-    of watermark age, which is what makes the AvailableNow drain
-    deterministic and exactly batch-equal.
-
-    At scale the same code runs untriggered (continuous micro-batches)
-    with the watermark bounding window state; the memory sink is the
-    test/certification harness stand-in for the staging-zone parquet sink
-    the REALTIME runner uses (runner.py)."""
-    from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s01"))
-    return _drain_stream(spark, tumbling_agg(stream, "1 hour"), "s01", "complete")
 
 
-def _drain_stream(
-    spark: SparkSession,
-    streaming_df: DataFrame,
-    tag: str,
-    output_mode: str,
-    progress_sink: list | None = None,
-) -> DataFrame:
-    """Drain via ``run_stream_to_memory`` under a FIXED per-tag sink name,
-    dropping the previous run's memory table first — repeated
-    certification/bench passes in one long-lived app would otherwise
-    accumulate a uuid-named drained result set in driver memory per run
-    (the same bound ``_scratch_dir`` enforces for files)."""
-    from smfg_datawarehouse_spark.streaming.windows import run_stream_to_memory
-
-    name = f"{tag}_mem"
-    spark.catalog.dropTempView(name)
-    return run_stream_to_memory(
-        spark, streaming_df, name, output_mode, progress_sink=progress_sink
-    )
 
 
-def _stage_events_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
-    """Copy the events fixture file into a per-app scratch DIRECTORY —
-    streaming file sources read directories of arriving files (the
-    raw-zone landing layout the REALTIME runner consumes)."""
-    import os as _os
-    import shutil as _shutil
-
-    from smfg_datawarehouse_spark.queries import _scratch_dir
-
-    src_dir = _scratch_dir(spark, tag)
-    _shutil.copy(
-        _os.path.join(sf_dir, "events.parquet"),
-        _os.path.join(src_dir, "part-0.parquet"),
-    )
-    return src_dir
 
 
-_S02_ORACLE_SQL = """
-    SELECT user_id,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS total_micros
-    FROM events GROUP BY user_id
-    """
 
 
-@register("s02_streaming_stateful_totals", _S02_ORACLE_SQL)
-def s02_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2/§2.11] The ARBITRARY-STATEFUL streaming path certified: per-user
-    running totals via ``applyInPandasWithState`` (integer micro-unit
-    state), drained with AvailableNow into an update-mode memory sink and
-    hash-checked against the plain batch GROUP BY oracle. The final state
-    per user is selected with ``max(struct(n_events, total_micros))`` —
-    n_events is strictly increasing per user across micro-batches, so the
-    reduction is batch-count-independent (a multi-file backlog draining in
-    several micro-batches yields the same certified rows as one batch).
-    State is one tiny row per key at any scale; the shuffle is the groupBy
-    hash partitioning."""
-    from smfg_datawarehouse_spark.streaming.stateful import running_user_totals
-    from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s02"))
-    drained = _drain_stream(spark, running_user_totals(stream), "s02", "update")
-    final = F.max(F.struct("n_events", "total_micros")).alias("s")
-    return drained.groupBy("user_id").agg(final).select(
-        "user_id",
-        F.col("s.n_events").alias("n_events"),
-        F.col("s.total_micros").alias("total_micros"),
-    )
 
 
-@register("s03_streaming_interval_join", _VIEW_PURCHASE_ORACLE)
-def s03_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2/§2.3] The STREAM-STREAM JOIN path certified: view → purchase
-    conversions through the watermark-bounded interval join
-    (``streaming/joins.py`` — state evicted as watermarks advance, so
-    state is O(rate × interval) at any scale), drained with AvailableNow
-    in append mode and hash-checked against q32's batch SQL oracle —
-    driver-certified stream ≡ batch for the join family, alongside the
-    pytest stream==batch assertions."""
-    from smfg_datawarehouse_spark.streaming.joins import view_purchase_conversions
-    from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s03"))
-    return _drain_stream(
-        spark, view_purchase_conversions(stream), "s03", "append"
-    )
 
 
 @register(
@@ -1114,119 +1007,12 @@ def q80_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "s04_streaming_dedup",
-    "SELECT event_id, ts, user_id, event_type, value FROM events",
-)
-def s04_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2/X] STREAMING EXACTLY-ONCE DEDUP certified: the events fixture
-    is staged TWICE into the source directory (an at-least-once upstream
-    redelivering the whole feed), the stream drains it across TWO
-    micro-batches (``maxFilesPerTrigger=1``), and keyed
-    ``dropDuplicates(event_id)`` suppresses every replayed row across
-    batch boundaries — the drained sink equals the batch table exactly,
-    which is what turns an at-least-once transport into an exactly-once
-    pipeline. The driver hash-checks the drained result against the plain
-    batch SELECT oracle.
-
-    Scale shape: dedup state is one compact row per key in the state
-    store, hash-partitioned by key (one shuffle). This certification
-    variant keeps state unbounded so the full-feed replay dedups exactly;
-    a production deployment bounds it with
-    ``dropDuplicatesWithinWatermark`` once redelivery is known to arrive
-    within the watermark horizon."""
-    import os as _os
-    import shutil as _shutil
-
-    from smfg_datawarehouse_spark.queries import _scratch_dir
-    from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-    src_dir = _scratch_dir(spark, "s04")
-    for part in ("part-0.parquet", "part-1.parquet"):
-        _shutil.copy(
-            _os.path.join(sf_dir, "events.parquet"), _os.path.join(src_dir, part)
-        )
-    stream = events_stream(spark, src_dir, max_files_per_trigger=1)
-    deduped = stream.dropDuplicates(["event_id"]).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    return _drain_stream(spark, deduped, "s04", "append")
 
 
-@register("s05_streaming_session_window", _Q22_ORACLE)
-def s05_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2] SESSION WINDOWS on the stream certified: gap-merged
-    ``session_window`` state (sessions extend while events land inside
-    last_ts + gap; the state store merges overlapping candidates) drained
-    with AvailableNow in complete mode and hash-checked against q22's
-    batch gaps-and-islands oracle — driver-certified stream ≡ batch for
-    the session family, completing the windowed-streaming certification
-    set (s01 tumbling / q21 sliding / s05 session).
-
-    At scale the same code runs in append mode with the watermark closing
-    sessions (state per ACTIVE session only); complete mode here is what
-    makes the AvailableNow drain deterministic and exactly batch-equal,
-    same trade as s01."""
-    from smfg_datawarehouse_spark.streaming.windows import events_stream, session_agg
-
-    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s05"))
-    return _drain_stream(spark, session_agg(stream, "5 minutes"), "s05", "complete")
 
 
-@register("s06_streaming_sliding_window", _Q21_ORACLE)
-def s06_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2] SLIDING windows on the stream certified (1h width / 30min
-    slide — each event lands in exactly two windows), drained with
-    AvailableNow in complete mode and hash-checked against q21's batch
-    oracle. Completes the windowed-streaming certification trio
-    (s01 tumbling / s06 sliding / s05 session) — every window shape the
-    engine's streaming surface offers is now driver-certified
-    stream ≡ batch, on top of the pytest equivalence suite."""
-    from smfg_datawarehouse_spark.streaming.windows import events_stream, sliding_agg
-
-    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s06"))
-    return _drain_stream(
-        spark, sliding_agg(stream, "1 hour", "30 minutes"), "s06", "complete"
-    )
 
 
-@register(
-    "s07_streaming_dim_enrichment",
-    """
-    WITH dim AS (
-      SELECT DISTINCT user_id, CAST(user_id % 10 AS VARCHAR) AS segment
-      FROM events WHERE user_id % 2 = 0
-    )
-    SELECT e.event_id, e.user_id, e.event_type, d.segment
-    FROM events e LEFT JOIN dim d USING (user_id)
-    """,
-)
-def s07_streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2/J] STREAM-STATIC dimension enrichment certified: each
-    micro-batch left-joins a broadcast dimension snapshot (no stream
-    shuffle, no join state — the scalable dimension-lookup shape at any
-    event rate), with events lacking a dimension row surviving
-    null-extended. The dimension is derived deterministically from the
-    fixture (even user_ids → segment), so the DuckDB oracle replays the
-    same join exactly; drained with AvailableNow in append mode and
-    hash-checked. Completes driver certification of every streaming JOIN
-    shape the engine offers: stream-stream inner (s03), stream-stream
-    left-outer (q78's builder), stream-static broadcast (here)."""
-    from smfg_datawarehouse_spark.streaming.joins import enrich_with_dimension
-    from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-    e = t(spark, sf_dir, "events")
-    dim = (
-        e.select("user_id")
-        .distinct()
-        .where(F.col("user_id") % 2 == 0)
-        .withColumn("segment", (F.col("user_id") % 10).cast("string"))
-    )
-    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s07"))
-    enriched = enrich_with_dimension(stream, dim).select(
-        "event_id", "user_id", "event_type", "segment"
-    )
-    return _drain_stream(spark, enriched, "s07", "append")
 
 
 @register(
@@ -1385,87 +1171,8 @@ def q84_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_OUTER_VIEW_PURCHASE_ORACLE = """
-    SELECT v.user_id,
-           v.event_id AS view_id, v.ts AS view_ts,
-           p.event_id AS purchase_id, p.ts AS purchase_ts,
-           p.value AS purchase_value
-    FROM (SELECT * FROM events WHERE event_type = 'view') v
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON v.user_id = p.user_id
-     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
-"""
 
 
-@register("s08_streaming_outer_join", _OUTER_VIEW_PURCHASE_ORACLE)
-def s08_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2/§2.3] The OUTER stream-stream join path certified: every view
-    emits — converted views paired with each in-window purchase,
-    unconverted views null-extended — via the watermark-bounded LEFT
-    OUTER interval join. Outer rows can only emit once the watermark
-    proves no matching purchase can still arrive; the AvailableNow drain
-    advances the watermark to stream end, which flushes exactly the
-    batch-equal row set (s03 certifies the inner family; this certifies
-    the null-extension semantics conversion-funnel reporting relies on —
-    q78's aggregate is derivable from these rows).
-
-    The drain stages two HEARTBEAT events (ts = max event time + 1 h,
-    one per join side) before starting the stream: outer rows for a
-    view only emit once the watermark passes view_ts + interval, and
-    the watermark ceiling is max(ts) − delay, so without heartbeats
-    every unmatched view in the stream's final interval+delay window
-    would be withheld forever and the drain would under-emit vs batch.
-    This is the standard event-time heartbeat pattern an always-on
-    deployment uses to flush outer/session state during quiet periods.
-    Two sharp edges the heartbeats navigate, found empirically:
-
-    - Catalyst pushes the event_type predicate BELOW the
-      EventTimeWatermark operator into the scan, so a row filtered from
-      a side never advances that side's watermark — a neutral
-      'heartbeat' type advances NOTHING; each side needs a heartbeat
-      that survives ITS pushed filter (one 'view', one 'purchase').
-    - The query's watermark is the MIN across both sides' trackers, so
-      a single-sided heartbeat is clamped by the other side.
-
-    Neither heartbeat can reach the output, by arithmetic: they use
-    distinct negative user_ids (can't join each other or real events in
-    a forward-only window), and the view-heartbeat's own null-extension
-    needs watermark > hb_ts + interval while the watermark ceiling is
-    hb_ts − delay. Real unmatched views all flush: watermark reaches
-    real_max + 1 h − delay > real_max + interval.
-
-    State and scale are identical to the inner join: the time bound on
-    both watermarked sides keeps join state at O(rate × interval) —
-    without it Spark rejects an outer stream-stream join outright."""
-    from pyspark.sql import types as T
-
-    from smfg_datawarehouse_spark.streaming.joins import (
-        view_purchase_conversions_outer,
-    )
-    from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-    src_dir = _stage_events_dir(spark, sf_dir, "s08")
-    batch = spark.read.parquet(src_dir)
-    top = batch.orderBy(F.col("ts").desc()).limit(1)
-    if isinstance(batch.schema["ts"].dataType, T.LongType):  # INT64 nanos fixture
-        top = top.withColumn("ts", F.col("ts") + F.lit(3600 * 10**9).cast("long"))
-    else:
-        top = top.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
-    sides = spark.createDataFrame(
-        [("view", -1), ("purchase", -2)], "hb_type: string, hb_user: bigint"
-    )
-    hb = (
-        top.drop("event_type", "user_id")
-        .crossJoin(sides)
-        .withColumnsRenamed({"hb_type": "event_type", "hb_user": "user_id"})
-        .select(*batch.columns)
-    )
-    hb.write.mode("append").parquet(src_dir)
-
-    stream = events_stream(spark, src_dir)
-    return _drain_stream(
-        spark, view_purchase_conversions_outer(stream), "s08", "append"
-    )
 
 
 @register(
@@ -1530,35 +1237,6 @@ def q85_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("s09_streaming_backlog_drain", _S01_ORACLE)
-def s09_streaming_backlog_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2] CROSS-MICRO-BATCH STATE certified: the events fixture is
-    split into three raw files and drained with ``maxFilesPerTrigger=1``,
-    forcing the tumbling aggregation to accumulate window state across
-    THREE micro-batches (every hour window receives rows from several
-    batches — partial counts merge in the state store) before the
-    complete-mode snapshot is compared to the same batch oracle as s01.
-    s01 certifies stream≡batch when the backlog collapses into one
-    batch; this certifies the state-store merge path a real deployment
-    exercises on every trigger — a state merge that dropped or
-    double-counted partials hash-fails here and not in s01.
-
-    Scale shape identical to s01 (window+type keyed state); the file
-    splits model raw-zone landing cadence, not data volume."""
-    import os as _os
-
-    from smfg_datawarehouse_spark.queries import _scratch_dir, load_events
-    from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-    src_dir = _scratch_dir(spark, "s09")
-    # three-file backlog: same rows as the fixture, split deterministically
-    load_events(spark, sf_dir).repartition(3).write.mode("overwrite").parquet(
-        _os.path.join(src_dir, "raw")
-    )
-    stream = events_stream(
-        spark, _os.path.join(src_dir, "raw"), max_files_per_trigger=1
-    )
-    return _drain_stream(spark, tumbling_agg(stream, "1 hour"), "s09", "complete")
 
 
 @register(
@@ -1633,236 +1311,10 @@ def q87_conversion_latency_profile(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register(
-    "s10_streaming_cdc_upsert",
-    """
-    SELECT event_id, user_id, ts, event_type, value
-    FROM (
-      SELECT event_id, user_id, ts, event_type, value,
-             ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-)
-def s10_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2/J3] STREAMING CDC UPSERT certified — the foreachBatch→MERGE
-    production shape: the events fixture lands as a THREE-file backlog
-    drained one file per micro-batch; each batch is compacted to its
-    newest row per user and conditionally merged into a
-    ``VersionedTable`` with ``precedence=["ts","event_id"]`` (newer-wins;
-    Delta's ``WHEN MATCHED AND s.ts > t.ts THEN UPDATE``). Because the
-    precedence tuple — not arrival order — decides every collision, the
-    final table is identical however the backlog splits into batches, and
-    it hash-checks against x07's batch latest-event-per-user oracle. An
-    unconditional merge would instead let whichever batch ran LAST
-    clobber newer rows delivered earlier — the classic out-of-order CDC
-    corruption this certifies against.
-
-    Scale shape: per batch, ONE user-keyed window shuffle compacts the
-    batch, and the merge is one more key shuffle against the current
-    snapshot (Delta MERGE cost). State lives in the table, not the state
-    store — this is how CDC apply survives unbounded key cardinality."""
-    import os as _os
-
-    from smfg_datawarehouse_spark.queries import _scratch_dir, load_events
-    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
-    from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-    src_dir = _scratch_dir(spark, "s10")
-    load_events(spark, sf_dir).repartition(3).write.mode("overwrite").parquet(
-        _os.path.join(src_dir, "raw")
-    )
-    vt = VersionedTable(spark, _os.path.join(src_dir, "table"))
-    stream = events_stream(
-        spark, _os.path.join(src_dir, "raw"), max_files_per_trigger=1
-    ).select("event_id", "user_id", "ts", "event_type", "value")
-
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = W.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        compact = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .where("_rn = 1")
-            .drop("_rn")
-        )
-        vt.merge(compact, ["user_id"], precedence=["ts", "event_id"])
-
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option(
-            "checkpointLocation", _os.path.join(src_dir, "ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("s10 CDC drain did not terminate within 600s")
-    if vt.current_version() is None:
-        raise RuntimeError("s10 drain landed no snapshot")
-    return vt.read().select("event_id", "user_id", "ts", "event_type", "value")
 
 
-@register(
-    "s11_streaming_late_data_drop",
-    f"""
-    WITH mx AS (SELECT MAX(ts) AS m FROM events)
-    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
-           event_type,
-           COUNT(*) AS cnt,
-           {_dsum_sql('value')} AS total_value
-    FROM events, mx
-    WHERE NOT (event_id % 11 = 0 AND ts < mx.m - INTERVAL 2 HOUR)
-      AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
-    GROUP BY 1, 2
-    """,
-)
-def s11_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2] WATERMARK LATE-DATA DROP certified — the semantics every other
-    streaming query merely declares. Append-mode tumbling aggregation over
-    a THREE-file staged arrival (``maxFilesPerTrigger=1``, file order
-    pinned by mtime):
-
-    1. ``0_ontime`` — every non-late row (incl. the global max ``ts``);
-       processed at watermark 0, nothing evicted yet.
-    2. ``1_heartbeat`` — one marker row AT the max ``ts`` (its window end
-       exceeds the final watermark, so it is state that is discarded at
-       stop, never output). Its batch runs with watermark = max(ts) −
-       30 min, so its COMMIT evicts-and-emits every window whose end ≤
-       that watermark — finalizing them.
-    3. ``2_late`` — the late set (``event_id % 11 = 0`` and ``ts`` >2 h
-       below max): every row targets an ALREADY-FINALIZED window and is
-       dropped by the watermark filter. The drain asserts, from the
-       query's own operator metrics, that ``numRowsDroppedByWatermark``
-       equals the late set's distinct (window, event_type) GROUP count —
-       the metric counts rows reaching the state store, i.e. map-side
-       partials, one per group per scan partition, and the
-       ``coalesce(1)``-staged late file reads as a single partition. A
-       merge-instead-of-drop or double-emit regression fails loudly, not
-       just via the hash.
-
-    Empirically pinned Spark semantics this encodes (and the miniature in
-    ``tests/test_streaming`` re-asserts): a below-watermark row is
-    dropped ONLY if its window was evicted in a PRIOR batch; until then
-    it still merges (Spark trades stricter dropping for not discarding
-    data the sink has not seen). Append emits a window exactly once, when
-    the batch-start watermark passes its end; windows still above the
-    final watermark are never output. Hence the oracle: non-late rows
-    only, windows with end ≤ max(ts) − 30 min. Boundary note: emission
-    uses ≤ on a millisecond-truncated watermark; window ends are exact
-    hours while the watermark carries the fixture's sub-second noise, so
-    the equality case cannot arise here.
-
-    Scale shape: identical to s01/s09 (window+type keyed state, one
-    shuffle); the watermark is precisely what BOUNDS that state at 100 TB
-    — without the drop path certified, unbounded-state regressions ship
-    silently. Reference parity: REALTIME cadence loads
-    (reference/dag/SMFG_DW_ETL_DAG.py REALTIME branch) with out-of-order
-    arrival tolerance made explicit."""
-    import os as _os
-    import shutil as _shutil
-    import time as _time
-
-    from smfg_datawarehouse_spark.queries import _scratch_dir, load_events
-    from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-    src = _scratch_dir(spark, "s11")
-    raw = _os.path.join(src, "raw")
-    _os.makedirs(raw, exist_ok=True)
-    ev = load_events(spark, sf_dir)
-    mx = ev.agg(F.max("ts")).first()[0]
-    late_cut = F.lit(mx) - F.expr("INTERVAL 2 HOURS")
-    is_late = (F.col("event_id") % 11 == 0) & (F.col("ts") < late_cut)
-    n_late_groups = (
-        ev.where(is_late)
-        .select(F.window("ts", "1 hour"), "event_type")
-        .distinct()
-        .count()
-    )
-    heartbeat = spark.createDataFrame(
-        [(-1, mx, -1, "heartbeat", 0.0, None)],
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string",
-    ).select(*ev.columns)
-
-    def _stage(df: DataFrame, name: str, mtime: float) -> None:
-        stage = _os.path.join(src, f"stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(
-            f for f in _os.listdir(stage) if f.endswith(".parquet")
-        )
-        dst = _os.path.join(raw, f"{name}.parquet")
-        _shutil.copy(_os.path.join(stage, part), dst)
-        _os.utime(dst, (mtime, mtime))
-
-    now = _time.time()
-    _stage(ev.where(~is_late), "0_ontime", now - 600)
-    _stage(heartbeat, "1_heartbeat", now - 300)
-    _stage(ev.where(is_late), "2_late", now)
-
-    stream = events_stream(
-        spark, raw, watermark="30 minutes", max_files_per_trigger=1
-    )
-    progress: list = []
-    out = _drain_stream(
-        spark, tumbling_agg(stream, "1 hour"), "s11", "append", progress
-    )
-    dropped = sum(
-        op.get("numRowsDroppedByWatermark", 0) or 0
-        for p in progress
-        for op in p.get("stateOperators", [])
-    )
-    if dropped != n_late_groups:
-        raise RuntimeError(
-            f"s11 expected {n_late_groups} late partial-aggregate groups "
-            f"dropped by watermark, operator metrics report {dropped}"
-        )
-    return out
 
 
-@register(
-    "s12_streaming_semi_join",
-    """
-    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts
-    FROM events v
-    WHERE v.event_type = 'view'
-      AND EXISTS (
-        SELECT 1 FROM events p
-        WHERE p.event_type = 'purchase'
-          AND p.user_id = v.user_id
-          AND p.ts >= v.ts
-          AND p.ts <= v.ts + INTERVAL 30 MINUTE
-      )
-    """,
-)
-def s12_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2/§2.3] STREAM-STREAM LEFT SEMI JOIN certified: the
-    "converted views" set — each view with ≥1 same-user purchase inside
-    30 minutes emits EXACTLY ONCE — drained with AvailableNow in append
-    mode and hash-checked against the batch EXISTS oracle. This is the
-    third stream-stream join shape after inner (s03) and left outer
-    (s08): semi emits eagerly on first match like inner (no
-    watermark-wait, no heartbeats), but must additionally NOT re-emit on
-    later matches — the at-most-once state bookkeeping this certifies
-    (an inner-join-plus-dropDuplicates would pay a second stateful
-    operator for the same semantics).
-
-    Scale shape: user-keyed join state bounded by the 30-minute time
-    bound + watermark, exactly like s03; the semi form also never
-    carries purchase columns through the shuffle. Reference parity:
-    REALTIME cadence conversions feed (SMFG_DW_ETL_DAG.py), reduced to
-    the distinct-converted-views feed a funnel dashboard reads."""
-    from smfg_datawarehouse_spark.streaming.joins import (
-        view_purchase_converted_views,
-    )
-    from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-    stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s12"))
-    return _drain_stream(
-        spark, view_purchase_converted_views(stream), "s12", "append"
-    )
 
 
 @register(
@@ -2070,78 +1522,6 @@ def x95_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "s13_state_store_introspection",
-    f"""
-    WITH mx AS (SELECT MAX(ts) AS m FROM events)
-    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
-           event_type,
-           CAST(COUNT(*) AS BIGINT) AS cnt,
-           {_dsum_sql('value')} AS total_value
-    FROM events, mx
-    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > mx.m - INTERVAL 30 MINUTE
-    GROUP BY 1, 2
-    """,
-)
-def s13_state_store_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2] STATE-STORE INTROSPECTION certified (Spark 4 ``statestore``
-    batch data source): after an append-mode tumbling drain, the
-    checkpoint's live state is read back AS A DATAFRAME and hash-checked
-    against the batch prediction of exactly which windows must still be
-    resident — those whose end exceeds the final watermark (max(ts) −
-    30 min); everything older was evicted-and-emitted. The aggregation
-    BUFFER itself is decoded: ``value.count`` is the running count and
-    ``value.sum`` the decimal(38,6) partial of the _dsum convention, so
-    the state's numbers — not just its keys — are certified.
-
-    This is the production debugging surface for stateful streaming
-    (why is state growing? which keys are resident? is the watermark
-    where I think it is?) — at 100 TB you diagnose a misbehaving
-    always-on query by QUERYING its checkpoint, not by replaying it.
-    Completes the streaming-state story: s01/s09 certify emitted
-    results, s11 certifies what gets dropped, this certifies what
-    REMAINS. The buffer field layout (count/sum/isEmpty) is the Spark 4
-    aggregation-buffer ABI — pinned deliberately, a silent ABI change
-    should fail this cert."""
-    import os as _os
-
-    from smfg_datawarehouse_spark.queries import _scratch_dir
-    from smfg_datawarehouse_spark.streaming.windows import (
-        DRAIN_STATE_PARTITIONS,
-        events_stream,
-    )
-
-    src = _scratch_dir(spark, "s13")
-    raw = _stage_events_dir(spark, sf_dir, "s13_raw")
-    ckpt = _os.path.join(src, "ckpt")
-    stream = events_stream(spark, raw, watermark="30 minutes")
-    agg = tumbling_agg(stream, "1 hour")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(DRAIN_STATE_PARTITIONS)
-    )
-    try:
-        spark.catalog.dropTempView("s13_mem")
-        q = (
-            agg.writeStream.format("memory")
-            .queryName("s13_mem")
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("s13 drain did not terminate within 600s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    state = spark.read.format("statestore").load(ckpt)
-    return state.select(
-        F.col("key.window.start").alias("window_start"),
-        F.col("key.event_type").alias("event_type"),
-        F.col("value.count").cast("long").alias("cnt"),
-        F.col("value.sum").cast("double").alias("total_value"),
-    )
 
 
 @register(
@@ -2273,200 +1653,8 @@ def q94_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "s14_dedup_within_watermark",
-    """
-    WITH mx AS (SELECT MAX(ts) AS m FROM events)
-    SELECT event_id, ts, user_id, event_type, value FROM events
-    UNION ALL
-    SELECT event_id, m AS ts, user_id, event_type, value
-    FROM events, mx
-    WHERE ts < m - INTERVAL 2 HOUR
-    """,
-)
-def s14_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2/X] BOUNDED-STATE streaming dedup certified —
-    ``dropDuplicatesWithinWatermark``, the production complement to s04's
-    unbounded exactly-once dedup: state per key lives only until the
-    watermark passes its event time + delay, so at 100 TB the dedup
-    store holds one horizon of keys instead of the corpus's lifetime.
-    Three staged arrivals (``maxFilesPerTrigger=1``, mtime-pinned order)
-    pin all four semantics this operator trades on (empirically verified
-    on Spark 4.1, miniature re-asserted in ``tests/test_streaming``):
-
-    1. ``0_feed`` — the full feed; every first occurrence emits
-       immediately. Post-batch watermark advances to max(ts) − 30 min.
-    2. ``1_redelivery`` — an at-least-once upstream re-sends rows >2 h
-       old plus rows within 10 min of max(ts). State eviction LAGS the
-       watermark update by one batch (same pinned lag as s11's window
-       drop), so every redelivered key is still in state and is deduped
-       silently — the state hit wins over the late filter, and
-       ``numRowsDroppedByWatermark`` stays 0 for this batch (asserted).
-       Duplicates do NOT extend state expiry — the property that keeps
-       state bounded under constant redelivery. Zero sink rows; the
-       batch's commit then evicts everything older than max(ts) − 1 h.
-    3. ``2_late_replay`` — the >2 h-old rows re-sent AGAIN with their
-       original timestamps: now evicted AND below the watermark, they
-       are late-filtered before the state store; the drain asserts
-       ``numRowsDroppedByWatermark`` equals their count exactly. Zero
-       sink rows.
-    4. ``3_restamped`` — the same >2 h-old keys re-sent with a FRESH
-       event time (max ts), the real-world "replay with new ingest
-       stamp": evicted keys re-emit, every one. Within-horizon
-       suppression is exactly-once; across-horizon replay is
-       at-least-once — that boundary is precisely what the oracle's
-       UNION ALL replays.
-
-    Scale shape: one hash shuffle on the dedup key; state = keys within
-    one watermark horizon; duplicates neither grow nor refresh state."""
-    import os as _os
-    import shutil as _shutil
-    import time as _time
-
-    from smfg_datawarehouse_spark.queries import _scratch_dir, load_events
-    from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-    src = _scratch_dir(spark, "s14")
-    raw = _os.path.join(src, "raw")
-    _os.makedirs(raw, exist_ok=True)
-    ev = load_events(spark, sf_dir)
-    mx = ev.agg(F.max("ts")).first()[0]
-    old = F.col("ts") < F.lit(mx) - F.expr("INTERVAL 2 HOURS")
-    fresh = F.col("ts") >= F.lit(mx) - F.expr("INTERVAL 10 MINUTES")
-    n_late = ev.where(old).count()
-
-    def _stage(df: DataFrame, name: str, mtime: float) -> None:
-        stage = _os.path.join(src, f"stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
-        dst = _os.path.join(raw, f"{name}.parquet")
-        _shutil.copy(_os.path.join(stage, part), dst)
-        _os.utime(dst, (mtime, mtime))
-
-    now = _time.time()
-    _stage(ev, "0_feed", now - 600)
-    _stage(ev.where(old | fresh), "1_redelivery", now - 450)
-    _stage(ev.where(old), "2_late_replay", now - 300)
-    _stage(ev.where(old).withColumn("ts", F.lit(mx)), "3_restamped", now)
-
-    stream = events_stream(
-        spark, raw, watermark="30 minutes", max_files_per_trigger=1
-    )
-    deduped = stream.dropDuplicatesWithinWatermark(["event_id"]).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    progress: list = []
-    out = _drain_stream(spark, deduped, "s14", "append", progress)
-    dropped_by_batch = {
-        p["batchId"]: sum(
-            op.get("numRowsDroppedByWatermark", 0) or 0
-            for op in p.get("stateOperators", [])
-        )
-        for p in progress
-    }
-    in_state_dedup = dropped_by_batch.get(1, 0)
-    post_evict = dropped_by_batch.get(2, 0)
-    if in_state_dedup != 0 or post_evict != n_late:
-        raise RuntimeError(
-            "s14 watermark-drop metrics diverged from the pinned "
-            f"semantics: batch 1 (in-state dedup) counted {in_state_dedup} "
-            f"(expect 0), batch 2 (post-eviction late replay) counted "
-            f"{post_evict} (expect {n_late})"
-        )
-    return out
 
 
-@register(
-    "s15_streaming_write_audit_publish",
-    """
-    SELECT event_id, ts, user_id, event_type, value
-    FROM events
-    WHERE NOT (event_id % 5 = 0)
-    """,
-)
-def s15_streaming_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2/S6/S7] STREAMING WAP — l23's write-audit-publish gate applied
-    per micro-batch, the shape a REALTIME load takes when bad batches
-    must never reach readers: each arriving file becomes one
-    ``foreachBatch`` invocation that STAGES the batch into the manifest
-    table, audits the STAGED files (no negative values, no null keys),
-    and only a passing audit publishes (one atomic manifest swap);
-    failing batches stay quarantined as unreferenced files — readers
-    never see them, vacuum reclaims them. Three staged arrivals: clean /
-    fully-corrupted (every value negated) / clean. The cert RAISES
-    unless exactly the corrupted batch quarantined (row-count-exact),
-    exactly two publishes committed, and the published table equals the
-    clean rows — which the oracle hash-checks. Exactly-once composition:
-    batch-id-keyed staging makes replayed batches re-stage idempotently
-    (same files re-audited, never double-published past the version
-    check). At 100 TB: audit cost is one scan of the BATCH, publish is
-    O(1); a poisoned upstream never costs more than its own batch."""
-    import os as _os
-    import shutil as _shutil
-    import time as _time
-
-    from smfg_datawarehouse_spark.queries import _scratch_dir, load_events
-    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
-    from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-    src = _scratch_dir(spark, "s15")
-    raw = _os.path.join(src, "raw")
-    _os.makedirs(raw, exist_ok=True)
-    ev = load_events(spark, sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    bad = F.col("event_id") % 5 == 0
-
-    def _stage_file(df: DataFrame, name: str, mtime: float) -> None:
-        st = _os.path.join(src, f"stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(st)
-        part = next(f for f in _os.listdir(st) if f.endswith(".parquet"))
-        dst = _os.path.join(raw, f"{name}.parquet")
-        _shutil.copy(_os.path.join(st, part), dst)
-        _os.utime(dst, (mtime, mtime))
-
-    now = _time.time()
-    _stage_file(ev.where((F.col("event_id") % 5).isin(1, 2)), "0_clean_a", now - 600)
-    _stage_file(
-        ev.where(bad).withColumn("value", -F.abs(F.col("value")) - F.lit(1.0)),
-        "1_poisoned",
-        now - 300,
-    )
-    _stage_file(ev.where((F.col("event_id") % 5).isin(3, 4)), "2_clean_b", now)
-    n_bad = ev.where(bad).count()
-
-    mt = ManifestTable(spark, _os.path.join(src, "events_wap"))
-    quarantined: list[int] = []
-    published: list[int] = []
-
-    def gate(batch_df: DataFrame, batch_id: int) -> None:
-        staged = mt.stage(batch_df.select("event_id", "ts", "user_id", "event_type", "value"))
-        audit_df = mt.read_staged(staged)
-        violations = audit_df.where(
-            (F.col("value") < 0) | F.col("event_id").isNull()
-        ).count()
-        if violations:
-            quarantined.append(audit_df.count())
-            return  # staged files stay unreferenced — invisible to readers
-        mt.publish_append(staged)
-        published.append(batch_id)
-
-    stream = events_stream(spark, raw, max_files_per_trigger=1)
-    q = (
-        stream.writeStream.foreachBatch(gate)
-        .option("checkpointLocation", _os.path.join(src, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("s15 WAP drain did not terminate within 600s")
-    if sum(quarantined) != n_bad or len(published) != 2:
-        raise RuntimeError(
-            f"s15 gate diverged: quarantined {sum(quarantined)} rows "
-            f"(expect {n_bad}), published {len(published)} batches (expect 2)"
-        )
-    return mt.read()
 
 
 @register(
@@ -2605,82 +1793,6 @@ def x117_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("s16_checkpoint_restart_recovery", _S01_ORACLE)
-def s16_checkpoint_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[T2] CHECKPOINT-RESTART RECOVERY certified — the fault-tolerance
-    contract a production stream actually relies on: a tumbling
-    aggregation drains the FIRST landing slice under an explicit
-    checkpoint, the query terminates (modeling a planned restart or a
-    crash between triggers), more raw files land, and a NEW query
-    instance resumes from the SAME checkpoint. The cert RAISES unless
-    the restarted query's input-row metrics prove it read ONLY the
-    newly-landed files (source offsets recovered — a restart that
-    re-reads slice 1 is at-least-twice, one that skips state is
-    at-most-once) and the two phases together read exactly the fixture;
-    the final complete-mode snapshot must then hash-match the batch
-    oracle over ALL events — slice-1 contributions can only come from
-    the RESTORED state store, never from re-reading. s09 certifies
-    cross-batch state merge within one query lifetime; this certifies
-    the same state surviving a query boundary, which is the property
-    that lets a 100 TB deployment upgrade, rebalance, or crash without
-    replay or double-count. Both phases pin the drain's state-store
-    partition count (the value is frozen into the checkpoint at first
-    start, exactly as in production)."""
-    import os as _os
-
-    from smfg_datawarehouse_spark.queries import _scratch_dir, load_events
-    from smfg_datawarehouse_spark.streaming.windows import (
-        DRAIN_STATE_PARTITIONS,
-        events_stream,
-    )
-
-    base = _scratch_dir(spark, "s16")
-    src = _os.path.join(base, "raw")
-    ckpt = _os.path.join(base, "ckpt")
-    ev = load_events(spark, sf_dir)
-    total = ev.count()
-    ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(src)
-
-    def drain(name: str) -> int:
-        spark.catalog.dropTempView(name)
-        q = (
-            tumbling_agg(events_stream(spark, src), "1 hour")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(f"s16 drain '{name}' did not terminate")
-        return sum(p["numInputRows"] for p in q.recentProgress)
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(DRAIN_STATE_PARTITIONS))
-    try:
-        p1_rows = drain("s16_phase1_mem")
-        ev.where(F.col("event_id") % 3 != 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        p2_rows = drain("s16_phase2_mem")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-    if p2_rows >= total:
-        raise RuntimeError(
-            f"restart reprocessed old files ({p2_rows}/{total} rows read "
-            "after resume) — checkpoint offsets were not recovered"
-        )
-    if p1_rows + p2_rows != total:
-        raise RuntimeError(
-            f"phases read {p1_rows}+{p2_rows} rows, fixture has {total} — "
-            "rows were lost or double-read across the restart"
-        )
-    return spark.table("s16_phase2_mem")
 
 
 # --- s17: transformWithState v2 (environment-gated registration) ---------
@@ -2692,32 +1804,3 @@ def s16_checkpoint_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFra
 # than registering a query that would fail in the driver's identical
 # container. tests/test_streaming drives the builder equal-to-batch
 # whenever protobuf is importable (same gate).
-S17_SKIP_REASON: str | None = None
-try:  # probe the exact dependency the v2 worker protocol imports
-    import google.protobuf  # noqa: F401
-
-    @register("s17_stateful_totals_v2", _S02_ORACLE_SQL)
-    def s17_stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """[T2/§2.11] s02's running-totals semantics on the
-        ``transformWithStateInPandas`` v2 API (named ValueState handles,
-        timers, TTL — ``streaming/stateful.py:running_user_totals_v2``),
-        drained and reduced exactly like s02 and checked against the
-        SAME batch oracle: v1, v2 and batch GROUP BY must agree
-        bit-exactly. Registered only where protobuf exists."""
-        from smfg_datawarehouse_spark.streaming.stateful import (
-            running_user_totals_v2,
-        )
-        from smfg_datawarehouse_spark.streaming.windows import events_stream
-
-        stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s17"))
-        drained = _drain_stream(
-            spark, running_user_totals_v2(stream), "s17", "update"
-        )
-        final = F.max(F.struct("n_events", "total_micros")).alias("s")
-        return drained.groupBy("user_id").agg(final).select(
-            "user_id",
-            F.col("s.n_events").alias("n_events"),
-            F.col("s.total_micros").alias("total_micros"),
-        )
-except ImportError as _e:
-    S17_SKIP_REASON = f"s17_stateful_totals_v2 not registered: {_e}"

@@ -165,7 +165,7 @@ def test_s17_registered_or_skip_logged():
     """transformWithState v2 must be a registered query wherever its
     protobuf worker protocol can run, and a *named* skip otherwise —
     never silently absent (VERDICT r4 item #6)."""
-    from smfg_datawarehouse_spark.operators import events_analytics as ea
+    from smfg_datawarehouse_spark.operators import streaming_certs as ea
     from smfg_datawarehouse_spark.queries import all_queries
 
     registered = "s17_stateful_totals_v2" in all_queries()

@@ -187,7 +187,7 @@ def test_sq8_quantization_error_bound(spark):
     all zeros with scale 0."""
     from pyspark.sql import functions as F
 
-    from smfg_datawarehouse_spark.operators.similarity import _sq8_codes
+    from smfg_datawarehouse_spark.operators.ann_quantized import _sq8_codes
     from smfg_datawarehouse_spark.queries import t
 
     emb = t(spark, SF001, "embeddings").select("vec_id", "embedding")

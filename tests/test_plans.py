@@ -616,3 +616,29 @@ def test_x118_sketch_and_truth_single_scan_each(spark):
 
     assert scan_count(df) == 2
     assert exchange_count(df) <= 5
+
+
+def test_x120_knn_graph_single_keyed_shuffle(spark):
+    # cell assignment + probing are scan-side literal-centroid expressions;
+    # the only data shuffle is the probe-cell equi-join plus the per-query
+    # rank window — no N×N pair space, no cartesian
+    df = qmod.all_queries()["x120_knn_graph"](spark, SF)
+    assert_no_cartesian(df)
+    assert exchange_count(df) <= 3
+    assert broadcast_join_count(df) >= 1
+
+
+def test_x121_bigram_scan_prunes_documents(spark):
+    # tokenization should read only (doc_id, source, text) — not n_chars/lang
+    df = qmod.all_queries()["x121_bigram_lm_score"](spark, SF)
+    assert_no_cartesian(df)
+    schemas = read_schemas(df)
+    assert schemas and all(len(s) <= 3 for s in schemas)
+
+
+def test_q105_attribution_is_interval_equijoin(spark):
+    # the touch join must be a user-keyed equi-join (interval predicate as
+    # a post-join filter), never a cartesian range join
+    df = qmod.all_queries()["q105_position_attribution"](spark, SF)
+    assert_no_cartesian(df)
+    assert any("event_type" in f for f in pushed_filters(df))

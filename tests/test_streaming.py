@@ -442,7 +442,7 @@ def test_s08_outer_join_flushes_final_window(spark):
     emit them null-extended, and must not leak heartbeat rows."""
     from pyspark.sql import functions as F
 
-    from smfg_datawarehouse_spark.operators.events_analytics import (
+    from smfg_datawarehouse_spark.operators.streaming_certs import (
         s08_streaming_outer_join,
     )
     from smfg_datawarehouse_spark.queries import load_events
