@@ -1091,3 +1091,116 @@ try:  # probe the exact dependency the v2 worker protocol imports
         )
 except ImportError as _e:
     S17_SKIP_REASON = f"s17_stateful_totals_v2 not registered: {_e}"
+
+
+# ---------------------------------------------------------------------------
+# s19: streaming HyperLogLog register state — the cardinality sibling of
+# s18's count-min certification. Registers are built PORTABLY (md5 32-bit
+# prefix: 6 bits of register index, 26-bit suffix whose leading-zero rank
+# is the register value via an integer CASE ladder — no log anywhere), so
+# DuckDB replays the exact same grid and the drained streaming state can
+# be hash-compared, not just bounds-checked (x47 gates Spark's built-in
+# HLL++ against exact counts; this certifies the MERGE of explicit
+# register state across micro-batches: max() per register is the
+# commutative merge HLL's correctness rests on).
+# ---------------------------------------------------------------------------
+
+_S19_M = 64  # registers (p = 6)
+_S19_WBITS = 26  # hash bits feeding the leading-zero rank
+
+
+def _s19_rho_sql(w: str) -> str:
+    """Integer-exact leading-zero rank of a 26-bit value: 1 for the top
+    bit set ... 27 for w = 0. Same text compiles in Spark SQL and DuckDB."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (_S19_WBITS - r)} THEN {r}"
+        for r in range(1, _S19_WBITS + 1)
+    )
+    return f"(CASE {branches} ELSE {_S19_WBITS + 1} END)"
+
+
+_S19_HASH = "('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+
+_S19_ORACLE = f"""
+    WITH h AS (
+      SELECT event_type, {_S19_HASH} % 4294967296 AS hv, user_id
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, hv % {_S19_M} AS idx,
+             MAX({_s19_rho_sql(f"(hv // {_S19_M})")}) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_present,
+             SUM(power(2.0, -rho)) AS s_present
+      FROM regs GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT r.event_type,
+           e.n_exact,
+           CAST({_S19_M} - r.n_present AS BIGINT) AS n_zero_regs,
+           (0.709 * {_S19_M * _S19_M}.0)
+             / (r.s_present + ({_S19_M} - r.n_present) * 1.0) AS raw_est
+    FROM rolled r JOIN exact e ON e.event_type = r.event_type
+"""
+
+
+@register("s19_streaming_hll_registers", _S19_ORACLE)
+def s19_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/X] STREAMING HLL REGISTER MERGE certified: the three-file
+    events backlog drains one file per trigger while a complete-mode
+    aggregation maintains MAX(rho) per (event_type, register) — the
+    elementwise-max merge that makes HLL state mergeable across
+    micro-batches, workers, and days. The drained 64-register grid rolls
+    up to Σ2^(−rho) (a sum of ≤64 bounded dyadics — EXACT in a double in
+    any order) and the raw HLL estimate α·m²/S beside the exact distinct
+    count; DuckDB rebuilds the identical registers from the same md5
+    construction, so a merge that lost or double-applied a partial
+    hash-fails. Fixed m×|types| state at any stream length — the
+    cardinality twin of s18's count-min grid."""
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src = _scratch_dir(spark, "s19")
+    raw = _os.path.join(src, "raw")
+    load_events(spark, sf_dir).repartition(3).write.mode("overwrite").parquet(raw)
+
+    hv = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) "
+        "AS BIGINT) % 4294967296"
+    )
+    stream = events_stream(spark, raw, max_files_per_trigger=1)
+    regs_stream = (
+        stream.select("event_type", hv.alias("hv"))
+        .select(
+            "event_type",
+            (F.col("hv") % _S19_M).alias("idx"),
+            F.expr(_s19_rho_sql(f"(hv DIV {_S19_M})")).alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    regs = _drain_stream(spark, regs_stream, "s19", "complete")
+
+    rolled = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_present"),
+    )
+    exact = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.lit(_S19_M) - F.col("n_present")).cast("long").alias("n_zero_regs"),
+        (
+            F.lit(0.709 * _S19_M * _S19_M)
+            / (F.col("s_present") + (F.lit(_S19_M) - F.col("n_present")) * 1.0)
+        ).alias("raw_est"),
+    )

@@ -817,3 +817,109 @@ def _register_x123() -> None:
 
 
 _register_x123()
+
+
+# ---------------------------------------------------------------------------
+# x125: SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1995) — the third
+# classic candidate-generation strategy beside LSH banding (x03/x04) and
+# key blocking (x116): order the corpus by a similarity-preserving key
+# (the 32-bit SimHash — near-duplicates land near each other), then pair
+# each record only with its w successors in that order. Candidate volume
+# is EXACTLY N·w at any corpus size — the hardest possible bound, at the
+# cost of recall for pairs the sort separates (which is why production
+# runs multi-pass SNM with rotated keys). The global order comes from
+# functions.ordering.global_ordinals (band-partitioned windows — no
+# single-partition sort), and the neighbor pairing is an ordinal
+# EQUI-join (rn_b = rn_a + off), not a range join.
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 3
+SNM_MAX_HAMMING = 8
+
+
+def _x125_oracle() -> str:
+    from smfg_datawarehouse_spark.operators.dedup import (
+        _simhash_sums,
+        _simhash_value,
+    )
+
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')
+             )) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    sums AS (
+      SELECT doc_id,
+           {_simhash_sums}
+      FROM hashed GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {_simhash_value} AS simhash FROM sums),
+    ranked AS (
+      SELECT doc_id, simhash,
+             ROW_NUMBER() OVER (ORDER BY simhash, doc_id) - 1 AS rn
+      FROM sig
+    ),
+    offs AS (SELECT unnest(range(1, {SNM_WINDOW + 1})) AS off)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM ranked a CROSS JOIN offs o
+    JOIN ranked b ON b.rn = a.rn + o.off
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SNM_MAX_HAMMING}
+"""
+
+
+def _register_x125() -> None:
+    @register("x125_sorted_neighborhood_pairs", _x125_oracle())
+    def x125_sorted_neighborhood_pairs(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """[X] Sorted-neighborhood near-dup candidates: corpus ordered by
+        (simhash, doc_id) via band-partitioned global ordinals, each doc
+        paired with its 3 successors through an ordinal equi-join, pairs
+        kept at Hamming ≤ 8 — N·w candidates flat, the strictest
+        candidate bound of the blocking family. Complements LSH banding
+        (probabilistic volume) and key blocking (skew-prone volume);
+        oracle replays the identical sort and pairing."""
+        from smfg_datawarehouse_spark.functions.ordering import global_ordinals
+        from smfg_datawarehouse_spark.operators.dedup import simhash_signatures
+
+        sig = simhash_signatures(t(spark, sf_dir, "documents"))
+        ranked = global_ordinals(
+            sig,
+            ["simhash", "doc_id"],
+            F.expr("simhash DIV 134217728"),  # 2^27: ≤32 monotone bands
+            out_col="rn",
+        ).localCheckpoint()  # both sides of the neighbor join read it
+        a = ranked.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("simhash").alias("sh_a"),
+            F.col("rn").alias("rn_a"),
+            F.explode(
+                F.array(*[F.lit(o) for o in range(1, SNM_WINDOW + 1)])
+            ).alias("off"),
+        ).withColumn("rn_b", F.col("rn_a") + F.col("off"))
+        b = ranked.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("sh_b"),
+            F.col("rn").alias("rn_b"),
+        )
+        hamming = F.bit_count(
+            F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+        ).cast("long")
+        return (
+            a.join(b, "rn_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (F.col("rn_b") - F.col("rn_a")).cast("long").alias("rank_gap"),
+                hamming.alias("hamming"),
+            )
+            .where(F.col("hamming") <= SNM_MAX_HAMMING)
+        )
+
+
+_register_x125()
