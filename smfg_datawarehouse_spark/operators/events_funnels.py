@@ -527,3 +527,102 @@ def q72_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_Q106_ORACLE = """
+    WITH base AS (
+      SELECT user_id,
+             CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_micros,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(NTILE(10) OVER (ORDER BY monetary_micros DESC, user_id)
+                  AS BIGINT) AS decile
+      FROM base
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS conv_all
+      FROM base
+    ),
+    per AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converters,
+             CAST(SUM(monetary_micros) AS BIGINT) AS decile_micros
+      FROM ranked GROUP BY decile
+    )
+    SELECT p.decile, p.n_users, p.n_converters, p.decile_micros,
+           CAST(p.n_converters AS DOUBLE) / p.n_users AS conv_rate,
+           CAST(p.n_converters * t.n_all AS DOUBLE)
+             / (p.n_users * t.conv_all) AS lift,
+           CAST(SUM(p.n_converters) OVER (ORDER BY p.decile) AS BIGINT)
+             AS cum_converters
+    FROM per p CROSS JOIN tot t
+"""
+
+
+@register("q106_decile_gains", _Q106_ORACLE)
+def q106_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/§2.5] DECILE GAINS / LIFT TABLE — the campaign-targeting
+    classic: users ranked by exact integer monetary value into ten
+    equal-count deciles (``distributed_ntile`` — band-partitioned
+    ordinals, NO single-partition sort; the oracle keeps a plain NTILE),
+    then per decile the converter count, conversion rate, cumulative
+    gains, and lift vs the population rate. Lift is a ratio of exact
+    integer cross-products with ONE double division, so every row
+    replays bit-exactly. Scale shape: one user-keyed rollup, three
+    band-partitioned window passes inside the ntile, one 10-row rollup +
+    a 10-row cumulative window — the corpus crosses the wire once."""
+    from smfg_datawarehouse_spark.functions.ordering import distributed_ntile
+
+    e = load_events(spark, sf_dir)
+    base = e.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("monetary_micros"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    ).withColumn("neg_monetary", -F.col("monetary_micros"))
+    ranked = distributed_ntile(
+        base, 10, ["neg_monetary", "user_id"],
+        F.expr("neg_monetary DIV 10000000"), "decile",
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("n_purchases") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_converters"),
+        F.sum("monetary_micros").cast("long").alias("decile_micros"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(F.col("n_purchases") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("conv_all"),
+    )
+    wc = W.orderBy("decile")  # 10-row frame: the only unpartitioned window
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_converters",
+            "decile_micros",
+            (F.col("n_converters").cast("double") / F.col("n_users")).alias(
+                "conv_rate"
+            ),
+            (
+                (F.col("n_converters") * F.col("n_all")).cast("double")
+                / (F.col("n_users") * F.col("conv_all"))
+            ).alias("lift"),
+            F.sum("n_converters").over(wc).cast("long").alias("cum_converters"),
+        )
+    )

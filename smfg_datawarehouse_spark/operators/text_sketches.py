@@ -923,3 +923,171 @@ def _register_x125() -> None:
 
 
 _register_x125()
+
+
+# ---------------------------------------------------------------------------
+# x126: near-duplicate PAIR FEATURE TABLE — the input a pair classifier
+# (Fellegi-Sunter weights, a GBM, or a human review queue) consumes:
+# for every LSH candidate pair, the standard similarity feature vector
+# side by side — MinHash-estimated Jaccard, exact shingle Jaccard,
+# max containment (the asymmetric "a inside b" signal Jaccard misses),
+# character-length ratio, and SimHash Hamming distance. One LSH pass
+# bounds the pair space; each feature reuses an already-certified kernel
+# (x14's exact sets, x04's signatures), so the whole vector replays
+# bit-exactly in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _x126_oracle() -> str:
+    from smfg_datawarehouse_spark.operators.dedup import (
+        _NUM_HASHES,
+        _WORD_SHINGLE_SQL,
+        _band_cols,
+        _band_union,
+        _match_sum,
+        _minhash_cols,
+        _minhash_hashed_sql,
+        _simhash_sums,
+        _simhash_value,
+    )
+
+    return rf"""
+    WITH sh AS ({_WORD_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id,
+           {_minhash_cols}
+      FROM ({_minhash_hashed_sql}) GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+           {_band_cols}
+      FROM sig
+    ),
+    stacked AS (
+{_band_union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM stacked a JOIN stacked b
+        ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    stoks AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')
+             )) AS tok
+      FROM documents
+    ),
+    shashed AS (SELECT doc_id, md5(tok) AS h FROM stoks),
+    ssums AS (
+      SELECT doc_id,
+           {_simhash_sums}
+      FROM shashed GROUP BY doc_id
+    ),
+    ssig AS (SELECT doc_id, {_simhash_value} AS simhash FROM ssums),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(({_match_sum}) AS DOUBLE) / {_NUM_HASHES}.0 AS est_jaccard,
+           CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (za.sz + zb.sz - COALESCE(i.i, 0)) AS true_jaccard,
+           CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / LEAST(za.sz, zb.sz) AS max_containment,
+           CAST(LEAST(da.n_chars, db.n_chars) AS DOUBLE)
+             / GREATEST(da.n_chars, db.n_chars) AS len_ratio,
+           CAST(bit_count(xor(ha.simhash, hb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    JOIN ssig ha ON ha.doc_id = c.doc_a
+    JOIN ssig hb ON hb.doc_id = c.doc_b
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+"""
+
+
+def _register_x126() -> None:
+    @register("x126_pair_feature_table", _x126_oracle())
+    def x126_pair_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """[X] PAIR FEATURE TABLE for near-dup classification: every LSH
+        candidate pair with (MinHash-estimated Jaccard, exact shingle
+        Jaccard, max containment, char-length ratio, SimHash Hamming) —
+        the five standard pair features a linkage model or review queue
+        consumes. The pair space stays LSH-bounded; full-set intersection
+        runs only on candidates (x14's in-array idiom); every ratio is
+        exact ints under ONE double division."""
+        from smfg_datawarehouse_spark.operators.dedup import (
+            _BANDS,
+            _NUM_HASHES,
+            minhash_candidates,
+            shingle_sets,
+            simhash_signatures,
+        )
+
+        d = t(spark, sf_dir, "documents")
+        sh = shingle_sets(d, "text", "doc_id", k=3, mode="word").cache()
+        cand = minhash_candidates(
+            d, "text", "doc_id",
+            k=3, num_hashes=_NUM_HASHES, bands=_BANDS,
+            est_threshold=0.0, mode="word", shingles=sh,
+        )
+        sets = (
+            sh.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("shingle")).alias("sh"))
+            .select("doc_id", "sh", F.size("sh").cast("long").alias("sz"))
+        )
+        ssig = simhash_signatures(d)
+        meta = d.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
+        a = (
+            sets.join(ssig, "doc_id").join(meta, "doc_id")
+            .select(
+                F.col("doc_id").alias("ka"), F.col("sh").alias("sh_a"),
+                F.col("sz").alias("sz_a"), F.col("simhash").alias("hs_a"),
+                F.col("nc").alias("nc_a"),
+            )
+        )
+        b = (
+            sets.join(ssig, "doc_id").join(meta, "doc_id")
+            .select(
+                F.col("doc_id").alias("kb"), F.col("sh").alias("sh_b"),
+                F.col("sz").alias("sz_b"), F.col("simhash").alias("hs_b"),
+                F.col("nc").alias("nc_b"),
+            )
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        return (
+            cand.join(a, F.col("doc_a") == F.col("ka"))
+            .join(b, F.col("doc_b") == F.col("kb"))
+            .select(
+                "doc_a",
+                "doc_b",
+                "est_jaccard",
+                (
+                    inter.cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - inter)
+                ).alias("true_jaccard"),
+                (
+                    inter.cast("double") / F.least("sz_a", "sz_b")
+                ).alias("max_containment"),
+                (
+                    F.least("nc_a", "nc_b").cast("double")
+                    / F.greatest("nc_a", "nc_b")
+                ).alias("len_ratio"),
+                F.bit_count(F.col("hs_a").bitwiseXOR(F.col("hs_b")))
+                .cast("long")
+                .alias("hamming"),
+            )
+        )
+
+
+_register_x126()
