@@ -977,3 +977,135 @@ def x119_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("raw_total").cast("double") / F.max("n")).alias("raw_mean"),
         (F.sum(w).cast("double") / F.max("n")).alias("winsor_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x127: boolean retrieval — the query-processing counterpart of the x93
+# inverted index and x98 scorer: conjunctive (AND) postings intersection,
+# NOT-term exclusion via anti join, then rational-BM25 ranking of the
+# survivors. The three-stage shape (cheap boolean candidate pruning →
+# scoring only survivors) is how a search engine keeps scoring cost
+# proportional to the result set, not the corpus.
+# ---------------------------------------------------------------------------
+
+X127_MUST = ("join", "scan")
+X127_MUST_NOT = "merge"
+
+_X127_MUST_SQL = ", ".join(f"'{t_}'" for t_ in X127_MUST)
+
+_X127_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                w -> w <> '')) AS term
+      FROM documents
+    ), doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM doclen
+    ), tf AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ({_X127_MUST_SQL})
+      GROUP BY term, doc_id
+    ), conj AS (
+      SELECT doc_id FROM tf GROUP BY doc_id
+      HAVING COUNT(DISTINCT term) = {len(X127_MUST)}
+    ), excl AS (
+      SELECT DISTINCT doc_id FROM toks WHERE term = '{X127_MUST_NOT}'
+    ), hits AS (
+      SELECT c.doc_id FROM conj c
+      WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.doc_id = c.doc_id)
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(floor(
+               ((n.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                * n.n_docs / CAST(n.total_len AS DOUBLE)))
+               * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 AS score
+      FROM tf t
+      JOIN hits h ON h.doc_id = t.doc_id
+      JOIN df d ON d.term = t.term
+      JOIN doclen l ON l.doc_id = t.doc_id
+      CROSS JOIN n
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@register("x127_boolean_retrieval", _X127_ORACLE)
+def x127_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] BOOLEAN RETRIEVAL over the corpus: documents containing ALL of
+    {join, scan} and NONE of {merge}, ranked by the x98 rational BM25
+    (nano-unit-fixed per-term contributions, no log/exp) and cut to the
+    top 10. Conjunction = postings-count HAVING over query-term postings
+    only; exclusion = one anti join on the NOT-term's postings; scoring
+    touches only surviving docs. Scale shape: every shuffle carries
+    query-term postings (3 terms), never the vocabulary; df and the
+    corpus scalars broadcast; top-10 is TakeOrderedAndProject."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+    )
+    doclen = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    n = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(*X127_MUST))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    conj = (
+        tf.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .where(F.col("nt") == len(X127_MUST))
+        .select("doc_id")
+    )
+    excl = toks.where(F.col("term") == X127_MUST_NOT).select("doc_id").distinct()
+    hits = conj.join(excl, "doc_id", "left_anti")
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    contrib = F.floor(
+        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2
+            * (
+                0.25
+                + 0.75
+                * F.col("dl")
+                * F.col("n_docs")
+                / F.col("total_len").cast("double")
+            )
+        )
+        * 1000000000.0
+        + 0.5
+    ).cast("long")
+    scored = (
+        tf.join(hits, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg((F.sum(contrib).cast("double") / 1000000000.0).alias("score"))
+    )
+    w = W.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

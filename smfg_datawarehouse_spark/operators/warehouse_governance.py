@@ -1647,3 +1647,80 @@ def q105_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("credit_us").cast("long").alias("credited_micros"),
         (F.sum("credit_us").cast("double") / 1000000.0).alias("credited_value"),
     )
+
+
+_L33_ORACLE = """
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS dmin FROM events
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_micros
+    FROM events e CROSS JOIN bounds b
+    WHERE CAST(e.ts AS DATE) BETWEEN b.dmin AND b.dmin + INTERVAL 6 DAY
+    GROUP BY e.event_type
+"""
+
+
+@register("l33_manifest_tree_pruning", _L33_ORACLE)
+def l33_manifest_tree_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S3/S4] TWO-LEVEL MANIFEST TREE certified
+    (``sources/manifest.ManifestTree``) — metadata scaling for the
+    commit protocol itself: the events fixture lands as one commit per
+    week, each writing a branch manifest carrying its day-range stats;
+    the root manifest is the O(#commits) branch list. A one-week probe
+    resolves the root, prunes every non-overlapping BRANCH before any
+    file listing happens, and opens only the surviving branch manifest —
+    the cert RAISES unless branch-level pruning actually occurred
+    (opened < total with >1 branch committed). Branch stats are
+    conservative, so the exact day predicate is re-applied after the
+    prune; the hash gate checks the rollup against the raw fixture.
+
+    This is the step from l17 (flat manifest commits) to Iceberg's
+    manifest list: at 10⁵ daily commits a point probe touches ~1 branch
+    manifest instead of the full file inventory; commit cost stays O(1)
+    metadata + an atomic root swap."""
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTree
+
+    base = _scratch_dir(spark, "l33")
+    path = os.path.join(base, "events_tree")
+    e = load_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    e = e.withColumn("pday", F.date_format("ts", "yyyy-MM-dd"))
+
+    tree = ManifestTree(spark, path, "pday")
+    (dmin,) = e.agg(F.min(F.to_date("ts"))).first()
+    import datetime as _dt
+
+    n_branches = 0
+    for w in range(6):  # weekly commits over the fixture's ~1-month span
+        lo = dmin + _dt.timedelta(days=7 * w)
+        hi = lo + _dt.timedelta(days=6)
+        batch = e.where(
+            (F.to_date("ts") >= F.lit(lo)) & (F.to_date("ts") <= F.lit(hi))
+        )
+        if batch.limit(1).count() == 0:
+            continue
+        tree.append(batch)
+        n_branches += 1
+    if n_branches < 2:
+        raise RuntimeError(f"fixture produced {n_branches} weekly commits")
+
+    lo_s, hi_s = dmin.strftime("%Y-%m-%d"), (
+        dmin + _dt.timedelta(days=6)
+    ).strftime("%Y-%m-%d")
+    probed, total, opened = tree.read_pruned(lo_s, hi_s)
+    if not (0 < opened < total):
+        raise RuntimeError(
+            f"branch pruning vacuous: opened {opened} of {total} branches"
+        )
+    return (
+        probed.where((F.col("pday") >= lo_s) & (F.col("pday") <= hi_s))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long"))
+            .cast("long")
+            .alias("total_micros"),
+        )
+    )

@@ -337,3 +337,85 @@ def shallow_clone(source: ManifestTable, dest_path: str) -> ManifestTable:
     ]
     dest._commit(rebased)
     return dest
+
+
+class ManifestTree:
+    """TWO-LEVEL manifest (Iceberg's manifest-list shape) — how commit
+    metadata itself scales past the flat file list :class:`ManifestTable`
+    uses: each committed batch writes a BRANCH manifest (its file list +
+    min/max stats of a chosen prune column), and the root manifest is a
+    list of branch manifests with their stats. A reader with a predicate
+    on the prune column loads the O(1) root, PRUNES whole branches whose
+    [min, max] cannot match, and only then opens the surviving branch
+    manifests — file listing cost scales with matching data, not table
+    history. At 100 TB with daily commits, a one-day probe opens one
+    branch manifest instead of 10⁵ file entries.
+
+    Commit protocol is unchanged from :class:`ManifestTable`: branch
+    manifests and data files are immutable once written; the only shared
+    mutation is the atomic CURRENT swap of the root pointer.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, prune_col: str):
+        self.spark = spark
+        self.path = path
+        self.prune_col = prune_col
+        os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        self._table = ManifestTable(spark, path)  # reuse staging + swap
+
+    def _root_path(self) -> str:
+        return os.path.join(self.path, "manifest", "ROOT")
+
+    def _root(self) -> list[dict]:
+        try:
+            with open(self._root_path()) as fh:
+                return json.load(fh)["branches"]
+        except (OSError, ValueError, KeyError):
+            return []
+
+    def append(self, df: DataFrame) -> dict:
+        """Stage the batch, write its branch manifest (files + prune-col
+        min/max computed from the STAGED data — one footer-sized agg),
+        atomically swap a new root listing all branches."""
+        from pyspark.sql import functions as F
+
+        files = self._table.stage(df)
+        staged = self._table.read_staged(files)
+        lo, hi = staged.agg(
+            F.min(self.prune_col), F.max(self.prune_col)
+        ).first()
+        branch_id = len(self._root()) + 1
+        branch = {
+            "branch": f"b{branch_id}.json",
+            "min": str(lo),
+            "max": str(hi),
+            "n_files": len(files),
+        }
+        with open(os.path.join(self.path, "manifest", branch["branch"]), "w") as fh:
+            json.dump({"files": sorted(files)}, fh)
+        tmp = self._root_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"branches": self._root() + [branch]}, fh)
+        os.replace(tmp, self._root_path())
+        return branch
+
+    def read_pruned(self, lo: str, hi: str) -> tuple[DataFrame, int, int]:
+        """Snapshot read of rows whose prune column may lie in [lo, hi]:
+        branch-level stats pruning first, file reads only from surviving
+        branches. Returns (df, branches_total, branches_opened) so a
+        certification can RAISE when pruning was vacuous. Branch stats
+        are conservative (pruning never drops a matching row); the exact
+        predicate is re-applied by the caller."""
+        branches = self._root()
+        surviving = [b for b in branches if b["min"] <= hi and b["max"] >= lo]
+        files: list[str] = []
+        for b in surviving:
+            with open(os.path.join(self.path, "manifest", b["branch"])) as fh:
+                files.extend(json.load(fh)["files"])
+        if not files:
+            raise FileNotFoundError("no branch overlaps the probe range")
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+        return df, len(branches), len(surviving)

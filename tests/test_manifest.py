@@ -132,3 +132,32 @@ def test_multi_table_catalog_atomicity(spark, tmp_path):
     # catalog-pinned 'a' now includes the previously-torn rows too (they
     # are part of the table's history) plus the new batch
     assert cat.read("a").count() == 12 and cat.read("b").count() == 52
+
+
+def test_manifest_tree_branch_pruning_and_stats(spark, tmp_path):
+    """Branch stats must prune non-overlapping commits at the MANIFEST
+    level, stay conservative (never drop matching rows), and survive a
+    probe spanning several branches."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTree
+
+    tree = ManifestTree(spark, str(tmp_path / "tree"), "k")
+    for lo in (0, 10, 20):
+        tree.append(
+            spark.range(lo, lo + 10).select(
+                F.format_string("%02d", F.col("id")).alias("k"), "id"
+            )
+        )
+    # single-branch probe
+    df, total, opened = tree.read_pruned("00", "05")
+    assert (total, opened) == (3, 1)
+    assert sorted(r["id"] for r in df.where(F.col("k") <= "05").collect()) == list(range(6))
+    # spanning probe opens exactly the two overlapping branches
+    _, total, opened = tree.read_pruned("05", "15")
+    assert (total, opened) == (3, 2)
+    # out-of-range probe refuses rather than returning an empty scan
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        tree.read_pruned("90", "99")
