@@ -814,3 +814,77 @@ def q38_customer_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_Q107_ORACLE = """
+    WITH rev AS (
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS rev_dec
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region_name, nation_name,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_dec AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER (PARTITION BY region_name) AS DOUBLE)
+             AS share_of_region,
+           CAST(rev_dec AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS share_of_total
+    FROM rev
+"""
+
+
+@register("q107_ratio_to_parent", _Q107_ORACLE)
+def q107_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4/§2.5] RATIO-TO-PARENT REPORT — the standard BI rollup view:
+    each nation's revenue beside its share of its region and of the
+    grand total. One star-join rollup (q04's shape: dims broadcast, one
+    fact shuffle) to a |nations|-sized frame; the parent totals come
+    from windows over THAT aggregated frame, so the corpus never crosses
+    the wire twice. Shares divide EXACT DECIMAL sums (region/grand
+    totals are decimal sums of decimal row values — associative,
+    partition-order-free) with one double division per share — the same
+    decimal-exact discipline as the engine's dsum, extended through the
+    window. The unpartitioned grand-total window sees ≤|nations| rows."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            ).alias("rev_dec")
+        )
+    )
+    wr = W.partitionBy("region_name")
+    wt = W.partitionBy()
+    return rev.select(
+        "region_name",
+        "nation_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(wr).cast("double")
+        ).alias("share_of_region"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(wt).cast("double")
+        ).alias("share_of_total"),
+    )
