@@ -1277,3 +1277,87 @@ def l32_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_micros"),
     )
+
+
+_L34_ORACLE = """
+    WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS dmin FROM events)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_micros
+    FROM events e CROSS JOIN bounds b
+    WHERE CAST(e.ts AS DATE) BETWEEN b.dmin AND b.dmin + INTERVAL 2 DAY
+    GROUP BY e.event_type
+"""
+
+
+@register("l34_sorted_compaction", _L34_ORACLE)
+def l34_sorted_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S3] CLUSTERING-PRESERVING COMPACTION certified
+    (``sources/lake.sorted_compact``): the events table lands TIME-SORTED
+    across 12 small files with disjoint per-file ranges (zone maps at
+    full selectivity), then compacts 12 → 4 by merging only ADJACENT
+    files in key order. The cert RAISES unless (a) the file count
+    actually dropped to target, (b) the compacted zone maps are still
+    PAIRWISE DISJOINT — a size-only compaction interleaves ranges and
+    silently destroys file skipping, the exact regression this pass
+    prevents (l30 certifies zero-copy cost; this certifies preserved
+    SELECTIVITY), and (c) a 3-day probe over the compacted layout still
+    prunes files. The hash gate checks the probed rollup against the raw
+    fixture.
+
+    At 100 TB this is the nightly OPTIMIZE of a time-series table: plan
+    over per-file min/max metadata only, rewrite cost O(table/target),
+    and the reader's skip rate survives the rewrite."""
+    import datetime as _dt
+    import os
+
+    from smfg_datawarehouse_spark.sources.lake import (
+        read_zonemap_pruned,
+        sorted_compact,
+        write_sorted_with_zonemap,
+    )
+
+    base = _scratch_dir(spark, "l34")
+    path = os.path.join(base, "events_sorted")
+    e = load_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    write_sorted_with_zonemap(e, path, "ts", n_files=12)
+
+    res = sorted_compact(spark, path, "ts", target_files=4)
+    if res["n_after"] != 4 or res["n_before"] != 12:
+        raise RuntimeError(f"compaction layout unexpected: {res}")
+
+    zm = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()
+    )
+    zs = sorted(zm, key=lambda r: r["lo"])
+    for a, b in zip(zs, zs[1:]):
+        if b["lo"] <= a["hi"]:
+            raise RuntimeError(
+                "sorted compaction interleaved key ranges: "
+                f"[{a['lo']}, {a['hi']}] overlaps [{b['lo']}, {b['hi']}]"
+            )
+
+    (dmin,) = e.agg(F.min(F.to_date("ts"))).first()
+    lo = _dt.datetime.combine(dmin, _dt.time.min)
+    hi = _dt.datetime.combine(dmin + _dt.timedelta(days=2), _dt.time.max)
+    zonemap = [{"file": r["file"], "lo": r["lo"], "hi": r["hi"]} for r in zm]
+    probed, n_read, n_total = read_zonemap_pruned(spark, zonemap, lo, hi)
+    if not (0 < n_read < n_total):
+        raise RuntimeError(f"zone pruning vacuous after compaction: {n_read}/{n_total}")
+    return (
+        probed.where(
+            (F.to_date("ts") >= F.lit(dmin))
+            & (F.to_date("ts") <= F.lit(dmin + _dt.timedelta(days=2)))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long"))
+            .cast("long")
+            .alias("total_micros"),
+        )
+    )

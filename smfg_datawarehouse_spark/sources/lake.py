@@ -334,3 +334,82 @@ def binpack_compact(
         "n_bins": len(bins),
         "kept": big,
     }
+
+
+def sorted_compact(
+    spark: SparkSession,
+    path: str,
+    order_col: str,
+    target_files: int,
+) -> dict:
+    """CLUSTERING-PRESERVING compaction: merge only ADJACENT files in
+    ``order_col`` order, so the compacted layout keeps disjoint per-file
+    key ranges and every zone map / row-group statistic stays as
+    selective as before. A size-only compaction (``compact`` /
+    ``coalesce``) would interleave ranges and silently destroy the
+    file-skipping a sorted table was built for — the classic maintenance
+    regression this variant exists to prevent.
+
+    Plan over METADATA only (per-file min/max from a column-pruned scan,
+    grouped greedily by bytes into ``target_files`` runs of consecutive
+    files); each group is rewritten with ``sortWithinPartitions`` so
+    intra-file order survives too. Same crash-safe two-rename swap as
+    ``compact``. Returns {"n_before", "n_after", "groups"}.
+    """
+    from pyspark.sql import functions as F
+
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    stats = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min(order_col).alias("lo"), F.max(order_col).alias("hi"))
+        .collect()
+    )
+    by_lo = sorted(stats, key=lambda r: (r["lo"], r["file"]))
+    sizes = {
+        os.path.join(path, f): os.path.getsize(os.path.join(path, f))
+        for f in files
+    }
+    total = sum(sizes.values())
+    budget = total / max(1, target_files)
+    groups: list[list[str]] = [[]]
+    acc = 0
+    for r in by_lo:  # consecutive-in-key-order grouping only
+        local = os.path.join(path, os.path.basename(r["file"].split("file:")[-1]))
+        if acc >= budget and len(groups) < target_files:
+            groups.append([])
+            acc = 0
+        groups[-1].append(local)
+        acc += sizes.get(local, 0)
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for i, grp in enumerate(groups):
+        (
+            spark.read.parquet(*grp)
+            .coalesce(1)
+            .sortWithinPartitions(order_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, f"group-{i}"))
+        )
+    final = os.path.join(tmp, "_final")
+    os.makedirs(final)
+    for i in range(len(groups)):
+        gdir = os.path.join(tmp, f"group-{i}")
+        for f in os.listdir(gdir):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(gdir, f), os.path.join(final, f"part-{i:05d}.parquet")
+                )
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(final, path)
+    import shutil
+
+    shutil.rmtree(old)
+    shutil.rmtree(tmp)
+    return {"n_before": len(files), "n_after": len(groups), "groups": len(groups)}
