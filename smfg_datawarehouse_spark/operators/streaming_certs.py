@@ -1204,3 +1204,75 @@ def s19_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("s_present") + (F.lit(_S19_M) - F.col("n_present")) * 1.0)
         ).alias("raw_est"),
     )
+
+
+_S20_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_micros
+    FROM events GROUP BY event_type
+"""
+
+
+@register("s20_streaming_exactly_once_sink", _S20_ORACLE)
+def s20_streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/S7] EXACTLY-ONCE STREAMING SINK certified: a three-micro-batch
+    drain lands in a manifest table through ``foreachBatch`` +
+    ``manifest.append_once`` (per-writer txn ledger keyed on the
+    streaming batch id — Delta's txnAppId/txnVersion contract), then the
+    at-least-once failure is INJECTED: the last micro-batch is
+    re-delivered manually. The cert RAISES unless the replay was a
+    committed NO-OP (version unchanged, ledger intact) — a sink without
+    the ledger double-appends exactly here — and the hash gate proves
+    the table holds each fixture row exactly once. s15 certifies WAP
+    quarantine; s16 offset recovery; this certifies idempotent COMMITS
+    under redelivery, the third leg of streaming exactly-once.
+
+    Scale shape: per micro-batch cost is one staged write + one O(1)
+    conditional pointer swap; the ledger is a single tiny object per
+    writer at any stream length."""
+    from smfg_datawarehouse_spark.sources.manifest import (
+        ManifestTable,
+        append_once,
+    )
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src = _scratch_dir(spark, "s20")
+    raw = _os.path.join(src, "raw")
+    load_events(spark, sf_dir).repartition(3).write.mode("overwrite").parquet(raw)
+
+    table = ManifestTable(spark, _os.path.join(src, "sink"))
+    seen: dict[int, DataFrame] = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen[batch_id] = batch_df.select("event_id", "event_type", "value")
+        append_once(table, seen[batch_id], "s20", batch_id)
+
+    stream = events_stream(spark, raw, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _os.path.join(src, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("s20 drain did not terminate")
+    if len(seen) < 2:
+        raise RuntimeError(f"expected a multi-batch drain, saw {sorted(seen)}")
+
+    v_before = table.current_version()
+    last = max(seen)
+    replay = append_once(table, seen[last], "s20", last)  # injected redelivery
+    if replay is not None or table.current_version() != v_before:
+        raise RuntimeError(
+            f"redelivered batch {last} was committed again "
+            f"(v{v_before} -> v{table.current_version()})"
+        )
+    return table.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("total_micros"),
+    )

@@ -419,3 +419,36 @@ class ManifestTree:
             *[os.path.join(self.path, f) for f in files]
         )
         return df, len(branches), len(surviving)
+
+
+def append_once(
+    table: ManifestTable, df: DataFrame, writer_id: str, batch_id: int
+) -> int | None:
+    """IDEMPOTENT append — the exactly-once sink contract a streaming
+    ``foreachBatch`` needs on top of at-least-once delivery (Delta's
+    txnAppId/txnVersion idea): a per-writer transaction ledger in the
+    manifest directory records the highest batch id committed; a replayed
+    batch (same writer, batch id ≤ ledger) is a NO-OP returning None, so
+    a restart that re-delivers a micro-batch cannot double-append. The
+    ledger write shares the commit's atomicity window: it is updated
+    AFTER the manifest swap, so a crash between swap and ledger update
+    re-delivers a batch whose files are already committed — which is why
+    the ledger check uses ≤ (the replay is skipped either way once the
+    ledger catches up) and why stage/commit stay idempotent per batch id.
+    For a crash exactly inside that window the production shape folds the
+    ledger INTO the manifest json (one atomic swap covers both); kept
+    separate here so the cert can inspect each piece."""
+    ledger = os.path.join(table.path, "manifest", f"txn-{writer_id}.json")
+    try:
+        with open(ledger) as fh:
+            last = int(json.load(fh)["batch_id"])
+    except (OSError, ValueError, KeyError):
+        last = -1
+    if batch_id <= last:
+        return None
+    version = table.append(df)
+    tmp = ledger + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"batch_id": batch_id}, fh)
+    os.replace(tmp, ledger)
+    return version
