@@ -1219,19 +1219,20 @@ _S20_ORACLE = """
 def s20_streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[T2/S7] EXACTLY-ONCE STREAMING SINK certified: a three-micro-batch
     drain lands in a manifest table through ``foreachBatch`` +
-    ``manifest.append_once`` (per-writer txn ledger keyed on the
-    streaming batch id — Delta's txnAppId/txnVersion contract), then the
-    at-least-once failure is INJECTED: the last micro-batch is
-    re-delivered manually. The cert RAISES unless the replay was a
-    committed NO-OP (version unchanged, ledger intact) — a sink without
-    the ledger double-appends exactly here — and the hash gate proves
+    ``manifest.append_once`` (per-writer batch-id high-water map carried
+    INSIDE each manifest — Delta's txnAppId/txnVersion contract, with
+    the marker and the file list published by the same atomic CURRENT
+    swap), then the at-least-once failure is INJECTED: the last
+    micro-batch is re-delivered manually. The cert RAISES unless the
+    replay was a committed NO-OP (version unchanged) — a sink without
+    the marker double-appends exactly here — and the hash gate proves
     the table holds each fixture row exactly once. s15 certifies WAP
     quarantine; s16 offset recovery; this certifies idempotent COMMITS
     under redelivery, the third leg of streaming exactly-once.
 
     Scale shape: per micro-batch cost is one staged write + one O(1)
-    conditional pointer swap; the ledger is a single tiny object per
-    writer at any stream length."""
+    conditional pointer swap; the txn map is a few bytes per writer in
+    metadata the commit writes anyway, at any stream length."""
     from smfg_datawarehouse_spark.sources.manifest import (
         ManifestTable,
         append_once,

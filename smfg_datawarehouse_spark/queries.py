@@ -163,41 +163,77 @@ _CERTIFIED_R04 = {
     "x94_theta_sketch_set_ops", "x95_kll_quantile_rollup",
 }
 
-_CERTIFIED = _CERTIFIED_R01 | _CERTIFIED_R02 | _CERTIFIED_R03 | _CERTIFIED_R04
-
-#: Round-5 driver-sample window: the 50 never-driver-certified names with
-#: the highest silent-divergence risk, ordered into the first 50 registry
-#: slots (the driver samples the FIRST 50). Stateful streaming s03-s10,
-#: SemDeDup/ANN persistence, Arrow UDTF, and every ADVICE-flagged
-#: registration go here; the 15 low-risk scan-side stats (x66/x67/x72/
-#: x75/x77-x84 band, x97, x102, x110) spill to round 6's window. New
-#: round-5 registrations rank BEHIND this window (they get in-repo
-#: differential coverage immediately; the backlog gets the driver slots).
-_WINDOW_R05 = {
-    "s03_streaming_interval_join", "s04_streaming_dedup",
-    "s05_streaming_session_window", "s06_streaming_sliding_window",
-    "s07_streaming_dim_enrichment", "s08_streaming_outer_join",
-    "s09_streaming_backlog_drain", "s10_streaming_cdc_upsert",
-    "x54_semantic_dedup", "x57_kmeans_lloyd", "x59_sq8_rerank_topk",
-    "x63_semantic_contamination", "x64_hard_negative_mining",
-    "x69_embedding_covariance", "l25_ann_index_persistence",
-    "x96_token_chunking_udtf", "x99_jl_projection_topk",
-    "x100_matryoshka_prefix_recall", "x106_ivf_cell_balance",
-    "x112_rank_fusion_rrf", "x113_t_closeness", "x114_randomized_response",
-    "x118_join_size_estimate", "x119_winsorized_mean",
-    "q79_scd2_user_history", "q80_scd2_point_in_time",
-    "q82_burst_detection", "q83_grain_cascade", "q84_event_transitions",
-    "q85_rfm_segmentation", "q87_conversion_latency_profile",
-    "x58_eval_gram_decontamination", "x60_gopher_quality_gates",
-    "x62_dsir_importance_weights", "x65_corpus_datacard",
-    "x68_collocation_lift", "x70_lm_score_buckets",
-    "x71_containment_dupes", "x73_char_diversity_filter",
-    "x74_eval_leakage_coverage", "x76_quality_calibration",
-    "x87_domain_reweighting", "x92_boilerplate_coverage",
-    "x93_inverted_index", "x98_bm25_rational_topk",
+_CERTIFIED_R05 = {
+    "l25_ann_index_persistence", "q79_scd2_user_history",
+    "q80_scd2_point_in_time", "q82_burst_detection", "q83_grain_cascade",
+    "q84_event_transitions", "q85_rfm_segmentation",
+    "q87_conversion_latency_profile", "s03_streaming_interval_join",
+    "s04_streaming_dedup", "s05_streaming_session_window",
+    "s06_streaming_sliding_window", "s07_streaming_dim_enrichment",
+    "s08_streaming_outer_join", "s09_streaming_backlog_drain",
+    "s10_streaming_cdc_upsert", "x100_matryoshka_prefix_recall",
     "x101_skipgram_pairs", "x103_quantile_normalization",
-    "x104_l_diversity_risk", "x108_shard_content_checksum",
-    "x109_negative_sampling_table",
+    "x104_l_diversity_risk", "x106_ivf_cell_balance",
+    "x108_shard_content_checksum", "x109_negative_sampling_table",
+    "x112_rank_fusion_rrf", "x113_t_closeness", "x114_randomized_response",
+    "x118_join_size_estimate", "x119_winsorized_mean", "x54_semantic_dedup",
+    "x57_kmeans_lloyd", "x58_eval_gram_decontamination",
+    "x59_sq8_rerank_topk", "x60_gopher_quality_gates",
+    "x62_dsir_importance_weights", "x63_semantic_contamination",
+    "x64_hard_negative_mining", "x65_corpus_datacard",
+    "x68_collocation_lift", "x69_embedding_covariance",
+    "x70_lm_score_buckets", "x71_containment_dupes",
+    "x73_char_diversity_filter", "x74_eval_leakage_coverage",
+    "x76_quality_calibration", "x87_domain_reweighting",
+    "x92_boilerplate_coverage", "x93_inverted_index",
+    "x96_token_chunking_udtf", "x98_bm25_rational_topk",
+    "x99_jl_projection_topk",
+}
+
+_CERTIFIED = (
+    _CERTIFIED_R01 | _CERTIFIED_R02 | _CERTIFIED_R03 | _CERTIFIED_R04
+    | _CERTIFIED_R05
+)
+
+#: Round-6 driver-sample window (the driver certifies the FIRST 50
+#: registry names). Tier-0 core: the 33 names with zero driver rows
+#: after r05 (every round-5 registration, the spilled low-risk scan
+#: band, and the l31-l34 lake lifecycle family). The remaining 17 slots
+#: are re-certification fillers: certified names whose underlying code
+#: round 6 touches (sorted_compact / manifest fixes, the q94 rewrite,
+#: the x105/x59 regression re-times, Derby dialect edges) — a fresh
+#: driver hash on those validates this round's changes. Fillers sort
+#: BEHIND every uncertified name (see _priority_order), so a new
+#: round-6 registration automatically displaces a filler, never a
+#: never-certified name.
+_WINDOW_R06 = {
+    # 33 never-driver-certified
+    "l31_optimistic_commit_conflict", "l32_partition_evolution",
+    "l33_manifest_tree_pruning", "l34_sorted_compaction",
+    "q105_position_attribution", "q106_decile_gains",
+    "q107_ratio_to_parent", "s18_streaming_heavy_hitters",
+    "s19_streaming_hll_registers", "s20_streaming_exactly_once_sink",
+    "x66_group_split_by_source", "x67_mixture_sampling_apply",
+    "x72_shard_layout_plan", "x75_source_quota_topk", "x77_zipf_constant",
+    "x78_tokenizer_fertility", "x79_k_anonymity_risk",
+    "x80_epoch_budget_plan", "x81_embedding_alignment",
+    "x82_lang_confusion", "x83_dup_cluster_histogram",
+    "x84_weighted_bernoulli_sample", "x97_mergeable_reservoir_sample",
+    "x102_length_drift_chi2", "x110_vocab_coverage_curve",
+    "x120_knn_graph", "x121_bigram_lm_score", "x122_audio_frame_features",
+    "x123_bbit_minhash_error", "x124_filter_funnel",
+    "x125_sorted_neighborhood_pairs", "x126_pair_feature_table",
+    "x127_boolean_retrieval",
+    # 17 re-certification fillers (code touched in round 6)
+    "q94_rolling_trend_slope", "x105_lsh_banding_calibration",
+    "x59_sq8_rerank_topk", "l07_compaction_lifecycle",
+    "l17_manifest_commit_lifecycle", "l18_zonemap_pruned_scan",
+    "l23_write_audit_publish", "l26_multi_table_transaction",
+    "l27_zero_copy_clone", "l30_binpack_minor_compaction",
+    "s15_streaming_write_audit_publish", "l14_jdbc_extraction_lifecycle",
+    "q16_metadata_compiler", "q05_ordered_group_concat",
+    "q19_merge_upsert", "l01_runner_audit_end_to_end",
+    "l02_versioned_merge_lifecycle",
 }
 
 #: Names with NO driver row yet but an independent judge verification
@@ -231,19 +267,20 @@ _JUDGE_VERIFIED_R03 = {
 
 
 def _priority_order(names) -> list[str]:
-    """Three evidence tiers, driver-sample-aware: (0) the explicit
-    round-5 window (never-driver-certified, highest divergence risk)
-    first, (1) every other uncertified name (low-risk spill band plus
-    any new round-5 registrations) next, (2) driver-certified names
-    last; stable (registration) order within each tier. The driver
-    samples the FIRST 50 names, so the window must exactly fill it."""
+    """Four evidence tiers, driver-sample-aware: (0) window names with
+    no driver row yet (highest divergence risk), (1) every other
+    uncertified name (new round-6 registrations land here and so still
+    precede any certified name), (2) window re-certification fillers
+    (certified, but their code changed this round), (3) all other
+    certified names; stable (registration) order within each tier. The
+    driver samples the FIRST 50 names; because every uncertified name
+    outranks every certified one, fillers can never waste a slot a
+    never-certified query could have used."""
 
     def tier(n: str) -> int:
-        if n in _CERTIFIED:
-            return 2
-        if n in _WINDOW_R05:
-            return 0
-        return 1
+        if n not in _CERTIFIED:
+            return 0 if n in _WINDOW_R06 else 1
+        return 2 if n in _WINDOW_R06 else 3
 
     return sorted(names, key=tier)
 

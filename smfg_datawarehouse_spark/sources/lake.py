@@ -351,36 +351,73 @@ def sorted_compact(
     regression this variant exists to prevent.
 
     Plan over METADATA only (per-file min/max from a column-pruned scan,
-    grouped greedily by bytes into ``target_files`` runs of consecutive
-    files); each group is rewritten with ``sortWithinPartitions`` so
-    intra-file order survives too. Same crash-safe two-rename swap as
-    ``compact``. Returns {"n_before", "n_after", "groups"}.
+    grouped into ``min(target_files, n_files)`` runs of CONSECUTIVE
+    files in key order); each group is rewritten with
+    ``sortWithinPartitions`` so intra-file order survives too. The byte
+    budget is REBALANCED as groups close (``remaining_bytes /
+    remaining_groups``), so an oversized early file cannot starve later
+    groups — a fixed ``total/target`` budget produced fewer than
+    ``target_files`` groups on uneven file sizes (the l34 sf0.1
+    failure). Zero-row part files carry no key range; they are folded
+    into the first group (zero bytes, zero rows — no layout effect)
+    rather than silently dropped with the old directory.
+
+    Swap protocol: write everything into a temp dir, then two renames
+    (``path`` → ``._compact_old``, staged → ``path``). A reader never
+    sees a half-written table, but a crash BETWEEN the two renames
+    leaves the table at ``._compact_old`` needing a manual rename —
+    single-writer maintenance semantics, not the manifest-commit
+    protocol (``manifest.append_once`` covers concurrent readers).
+    Returns {"n_before", "n_after", "groups"}.
     """
     from pyspark.sql import functions as F
 
     files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    if not files:
+        return {"n_before": 0, "n_after": 0, "groups": 0}
     stats = (
         spark.read.parquet(path)
         .groupBy(F.input_file_name().alias("file"))
         .agg(F.min(order_col).alias("lo"), F.max(order_col).alias("hi"))
         .collect()
     )
-    by_lo = sorted(stats, key=lambda r: (r["lo"], r["file"]))
     sizes = {
         os.path.join(path, f): os.path.getsize(os.path.join(path, f))
         for f in files
     }
-    total = sum(sizes.values())
-    budget = total / max(1, target_files)
-    groups: list[list[str]] = [[]]
-    acc = 0
-    for r in by_lo:  # consecutive-in-key-order grouping only
-        local = os.path.join(path, os.path.basename(r["file"].split("file:")[-1]))
-        if acc >= budget and len(groups) < target_files:
-            groups.append([])
-            acc = 0
-        groups[-1].append(local)
-        acc += sizes.get(local, 0)
+
+    def _local(uri: str) -> str:
+        return os.path.join(path, os.path.basename(uri.split("file:")[-1]))
+
+    ordered = [_local(r["file"]) for r in sorted(stats, key=lambda r: (r["lo"], r["file"]))]
+    empties = [p for f in files if (p := os.path.join(path, f)) not in set(ordered)]
+    if not ordered:  # every file is zero-row: one merged empty part
+        ordered, empties = empties, []
+
+    n = len(ordered)
+    n_groups = min(max(1, target_files), n)
+    groups: list[list[str]] = []
+    remaining_bytes = sum(sizes.get(p, 0) for p in ordered)
+    i = 0
+    for gi in range(n_groups):
+        left = n_groups - gi  # groups still to fill, this one included
+        budget = remaining_bytes / left
+        grp = [ordered[i]]
+        acc = sizes.get(ordered[i], 0)
+        i += 1
+        # absorb consecutive files while under this group's fair share,
+        # always leaving >= 1 file per remaining group; the last group
+        # takes everything left
+        while i < n and (
+            gi == n_groups - 1
+            or ((n - i) > (left - 1) and acc + sizes.get(ordered[i], 0) <= budget)
+        ):
+            grp.append(ordered[i])
+            acc += sizes.get(ordered[i], 0)
+            i += 1
+        remaining_bytes -= acc
+        groups.append(grp)
+    groups[0].extend(empties)  # zero-row files: keep their rows (none), drop the files
 
     tmp = path.rstrip("/") + "._compact_tmp"
     if os.path.exists(tmp):

@@ -76,7 +76,12 @@ class ManifestTable:
         with open(self._manifest_path(v)) as fh:
             return json.load(fh)["files"]
 
-    def _commit(self, files: list[str], expected_version: int | None = None) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        expected_version: int | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Write manifest v{N+1} then atomically swap CURRENT to it.
 
         The swap is the ONLY mutation of shared state: ``os.replace`` is
@@ -90,21 +95,42 @@ class ManifestTable:
         list was derived from. On an object store the check-and-swap is
         one conditional PUT (If-Match on CURRENT's ETag); the local twin
         checks then replaces, which is race-free for the single-driver
-        certification and documents the contract."""
+        certification and documents the contract.
+
+        ``txn=(writer_id, batch_id)`` rides INSIDE the manifest json as a
+        cumulative per-writer high-water map, so an idempotent-append
+        marker and the file list it guards are published by the SAME
+        atomic swap — there is no window where the files are committed
+        but the transaction marker is not (Delta's txnAppId/txnVersion
+        shape). The map is copied forward on every commit, so it
+        survives :meth:`vacuum` dropping old manifests."""
         if expected_version is not None:
             cur = self.current_version() or 0
             if cur != expected_version:
                 raise CommitConflict(
                     f"commit based on v{expected_version}, CURRENT is v{cur}"
                 )
+        txns = self.txns()
+        if txn is not None:
+            txns[txn[0]] = int(txn[1])
         v = (self.current_version() or 0) + 1
         with open(self._manifest_path(v), "w") as fh:
-            json.dump({"version": v, "files": sorted(files)}, fh)
+            json.dump({"version": v, "files": sorted(files), "txns": txns}, fh)
         tmp = self._current_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"version": v}, fh)
         os.replace(tmp, self._current_path())
         return v
+
+    def txns(self, version: int | None = None) -> dict[str, int]:
+        """Per-writer committed-batch high-water map of a snapshot (the
+        idempotence state :func:`append_once` checks). Atomic with the
+        file list: both live in the same manifest json."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return {}
+        with open(self._manifest_path(v)) as fh:
+            return {k: int(x) for k, x in json.load(fh).get("txns", {}).items()}
 
     def _next_batch(self) -> int:
         """Allocate a batch number past EVERY existing data dir — version
@@ -137,11 +163,12 @@ class ManifestTable:
         """Replace the table content (manifest = the staged files only)."""
         return self._commit(self._stage(df, self._next_batch()))
 
-    def append(self, df: DataFrame) -> int:
-        """Append (manifest = previous files + staged files)."""
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+        """Append (manifest = previous files + staged files). ``txn``
+        publishes an idempotent-append marker in the same atomic swap."""
         prior = self.manifest()
         return self._commit(
-            prior + self._stage(df, self._next_batch())
+            prior + self._stage(df, self._next_batch()), txn=txn
         )
 
     def append_optimistic(
@@ -374,6 +401,28 @@ class ManifestTree:
         except (OSError, ValueError, KeyError):
             return []
 
+    @staticmethod
+    def _enc(v):
+        """Order-preserving JSON encoding of a prune-column value:
+        numbers and strings stay NATIVE (numeric stats compared
+        numerically — ``str()`` storage made '9' > '11' and pruned a
+        matching branch), date/datetime become ISO-8601 strings
+        (zero-padded, so lexicographic == chronological). Probe bounds
+        go through the same encoder, so stored and probed values always
+        compare in the column's own order."""
+        import datetime as _dt
+        import decimal as _dec
+
+        if isinstance(v, bool) or v is None:
+            return v
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, _dec.Decimal):
+            return float(v)
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+        return str(v)
+
     def append(self, df: DataFrame) -> dict:
         """Stage the batch, write its branch manifest (files + prune-col
         min/max computed from the STAGED data — one footer-sized agg),
@@ -388,8 +437,8 @@ class ManifestTree:
         branch_id = len(self._root()) + 1
         branch = {
             "branch": f"b{branch_id}.json",
-            "min": str(lo),
-            "max": str(hi),
+            "min": self._enc(lo),
+            "max": self._enc(hi),
             "n_files": len(files),
         }
         with open(os.path.join(self.path, "manifest", branch["branch"]), "w") as fh:
@@ -400,15 +449,19 @@ class ManifestTree:
         os.replace(tmp, self._root_path())
         return branch
 
-    def read_pruned(self, lo: str, hi: str) -> tuple[DataFrame, int, int]:
+    def read_pruned(self, lo, hi) -> tuple[DataFrame, int, int]:
         """Snapshot read of rows whose prune column may lie in [lo, hi]:
         branch-level stats pruning first, file reads only from surviving
         branches. Returns (df, branches_total, branches_opened) so a
         certification can RAISE when pruning was vacuous. Branch stats
-        are conservative (pruning never drops a matching row); the exact
-        predicate is re-applied by the caller."""
+        are conservative (pruning never drops a matching row): probe
+        bounds are passed through the SAME order-preserving encoder the
+        stats were stored with, so numeric columns prune numerically and
+        temporal columns prune on ISO order. The exact predicate is
+        re-applied by the caller."""
+        elo, ehi = self._enc(lo), self._enc(hi)
         branches = self._root()
-        surviving = [b for b in branches if b["min"] <= hi and b["max"] >= lo]
+        surviving = [b for b in branches if b["min"] <= ehi and b["max"] >= elo]
         files: list[str] = []
         for b in surviving:
             with open(os.path.join(self.path, "manifest", b["branch"])) as fh:
@@ -426,29 +479,15 @@ def append_once(
 ) -> int | None:
     """IDEMPOTENT append — the exactly-once sink contract a streaming
     ``foreachBatch`` needs on top of at-least-once delivery (Delta's
-    txnAppId/txnVersion idea): a per-writer transaction ledger in the
-    manifest directory records the highest batch id committed; a replayed
-    batch (same writer, batch id ≤ ledger) is a NO-OP returning None, so
-    a restart that re-delivers a micro-batch cannot double-append. The
-    ledger write shares the commit's atomicity window: it is updated
-    AFTER the manifest swap, so a crash between swap and ledger update
-    re-delivers a batch whose files are already committed — which is why
-    the ledger check uses ≤ (the replay is skipped either way once the
-    ledger catches up) and why stage/commit stay idempotent per batch id.
-    For a crash exactly inside that window the production shape folds the
-    ledger INTO the manifest json (one atomic swap covers both); kept
-    separate here so the cert can inspect each piece."""
-    ledger = os.path.join(table.path, "manifest", f"txn-{writer_id}.json")
-    try:
-        with open(ledger) as fh:
-            last = int(json.load(fh)["batch_id"])
-    except (OSError, ValueError, KeyError):
-        last = -1
-    if batch_id <= last:
+    txnAppId/txnVersion idea): each manifest carries a per-writer
+    high-water map of committed batch ids (``ManifestTable.txns``), and
+    the marker for this batch is written INSIDE the same manifest json
+    the commit swaps in — one atomic CURRENT swap publishes the files
+    and the idempotence marker together, so there is NO window in which
+    the files are committed but a redelivery of the same batch id would
+    re-append. A replayed batch (same writer, batch id ≤ the snapshot's
+    marker) is a NO-OP returning None; a crash before the swap leaves
+    only invisible staged files the next attempt re-stages."""
+    if batch_id <= table.txns().get(writer_id, -1):
         return None
-    version = table.append(df)
-    tmp = ledger + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"batch_id": batch_id}, fh)
-    os.replace(tmp, ledger)
-    return version
+    return table.append(df, txn=(writer_id, batch_id))

@@ -139,3 +139,88 @@ def test_compact_swap_crash_safe(spark, tmp_path, monkeypatch):
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) == 1
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+
+def test_sorted_compact_uneven_sizes_hits_target(spark, tmp_path):
+    """Regression for the l34 sf0.1 failure: with a fixed total/target
+    byte budget, one oversized run of files starved later groups and the
+    compaction ended below target_files. The rebalanced budget must
+    produce EXACTLY target_files groups with disjoint key ranges on
+    deliberately uneven file sizes."""
+    import os
+
+    from smfg_datawarehouse_spark.sources.lake import sorted_compact
+
+    path = str(tmp_path / "uneven")
+    os.makedirs(path)
+    # 12 files, wildly uneven: sizes ~ [9000 rows, 1, 1, ..., 1]
+    bounds = [0, 9000, 9001, 9002, 9003, 9004, 9005, 9006, 9007, 9008, 9009, 9010, 9011]
+    for i in range(12):
+        spark.range(bounds[i], bounds[i + 1]).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        (src,) = [
+            f for f in os.listdir(str(tmp_path / f"stage{i}")) if f.endswith(".parquet")
+        ]
+        os.rename(
+            str(tmp_path / f"stage{i}" / src), os.path.join(path, f"part-{i:05d}.parquet")
+        )
+    res = sorted_compact(spark, path, "k", target_files=4)
+    assert res == {"n_before": 12, "n_after": 4, "groups": 4}
+    zm = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(zm) == 4
+    zs = sorted(zm, key=lambda r: r["lo"])
+    for a, b in zip(zs, zs[1:]):
+        assert b["lo"] > a["hi"], "compaction interleaved key ranges"
+    assert spark.read.parquet(path).count() == 9011
+
+
+def test_sorted_compact_keeps_zero_row_files_rows(spark, tmp_path):
+    """Zero-row part files have no entry in the min/max stats scan; they
+    must still be folded into a group (not silently dropped with the old
+    directory) and the table's rows must survive byte-for-count."""
+    import os
+
+    from smfg_datawarehouse_spark.sources.lake import sorted_compact
+
+    path = str(tmp_path / "withempty")
+    os.makedirs(path)
+    for i, (lo, hi) in enumerate([(0, 100), (100, 100), (100, 200), (200, 300)]):
+        spark.range(lo, hi).selectExpr("id AS k").coalesce(1).write.parquet(
+            str(tmp_path / f"st{i}")
+        )
+        (src,) = [f for f in os.listdir(str(tmp_path / f"st{i}")) if f.endswith(".parquet")]
+        os.rename(str(tmp_path / f"st{i}" / src), os.path.join(path, f"part-{i:05d}.parquet"))
+    res = sorted_compact(spark, path, "k", target_files=2)
+    assert res["n_before"] == 4 and res["n_after"] == 2
+    assert spark.read.parquet(path).count() == 300
+
+
+def test_sorted_compact_empty_table_noop(spark, tmp_path):
+    """An empty table directory is a no-op, not a crash, and more groups
+    than files collapses to one group per file."""
+    import os
+
+    from smfg_datawarehouse_spark.sources.lake import sorted_compact
+
+    path = str(tmp_path / "empty")
+    os.makedirs(path)
+    assert sorted_compact(spark, path, "k", target_files=4) == {
+        "n_before": 0,
+        "n_after": 0,
+        "groups": 0,
+    }
+    # fewer files than target: groups == n_files, never an empty group
+    spark.range(0, 10).selectExpr("id AS k").coalesce(1).write.parquet(
+        str(tmp_path / "one")
+    )
+    (src,) = [f for f in os.listdir(str(tmp_path / "one")) if f.endswith(".parquet")]
+    os.rename(str(tmp_path / "one" / src), os.path.join(path, "part-00000.parquet"))
+    res = sorted_compact(spark, path, "k", target_files=4)
+    assert res == {"n_before": 1, "n_after": 1, "groups": 1}
+    assert spark.read.parquet(path).count() == 10

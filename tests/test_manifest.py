@@ -161,3 +161,73 @@ def test_manifest_tree_branch_pruning_and_stats(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         tree.read_pruned("90", "99")
+
+
+def test_tree_numeric_prune_is_conservative(spark, tmp_path):
+    """Regression (r5 ADVICE): min/max stored via str() made numeric
+    stats compare lexicographically — branch [9, 12] vs probe [10, 11]
+    was dropped ('9' <= '11' is false) and matching rows were lost.
+    Native-typed stats must keep the branch."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTree
+
+    tree = ManifestTree(spark, str(tmp_path / "ntree"), "k")
+    tree.append(spark.range(9, 13).select(F.col("id").alias("k")))   # [9, 12]
+    tree.append(spark.range(100, 110).select(F.col("id").alias("k")))
+    df, total, opened = tree.read_pruned(10, 11)
+    assert (total, opened) == (2, 1)
+    assert sorted(r["k"] for r in df.where("k BETWEEN 10 AND 11").collect()) == [10, 11]
+
+
+def test_tree_timestamp_prune(spark, tmp_path):
+    """Temporal prune columns round-trip through ISO encoding: probe
+    bounds given as datetime objects prune chronologically."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTree
+
+    tree = ManifestTree(spark, str(tmp_path / "ttree"), "ts")
+    base = dt.datetime(2024, 3, 1)
+    for w in range(3):
+        lo = base + dt.timedelta(days=7 * w)
+        tree.append(
+            spark.range(0, 5).select(
+                (F.lit(lo) + F.make_interval(days=F.col("id"))).alias("ts")
+            )
+        )
+    _, total, opened = tree.read_pruned(
+        dt.datetime(2024, 3, 8), dt.datetime(2024, 3, 10)
+    )
+    assert (total, opened) == (3, 1)
+
+
+def test_append_once_marker_is_atomic_with_files(spark, tmp_path):
+    """Exactly-once contract (r5 ADVICE): the idempotence marker must be
+    published by the SAME atomic swap as the file list — no separate
+    ledger file whose update can be lost between swap and write. A
+    redelivery of a committed batch id is a no-op even immediately after
+    the commit, and the txn map is carried forward by later commits and
+    compaction."""
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTable, append_once
+
+    mt = ManifestTable(spark, str(tmp_path / "eo"))
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    assert append_once(mt, df1, "w1", 0) == 1
+    # marker lives inside the committed manifest, not a side file
+    assert mt.txns() == {"w1": 0}
+    assert not [f for f in os.listdir(str(tmp_path / "eo" / "manifest")) if f.startswith("txn-")]
+    # redelivery of the same batch id: no-op, no duplicate rows
+    assert append_once(mt, df1, "w1", 0) is None
+    assert mt.read().count() == 10
+    # independent writers don't interfere; map accumulates
+    assert append_once(mt, df1, "w2", 0) == 2
+    assert mt.txns() == {"w1": 0, "w2": 0}
+    # a plain commit (compaction) carries the map forward
+    mt.compact()
+    assert mt.txns() == {"w1": 0, "w2": 0}
+    assert append_once(mt, df1, "w1", 0) is None
+    assert append_once(mt, df1, "w1", 1) is not None
+    assert mt.read().count() == 30
