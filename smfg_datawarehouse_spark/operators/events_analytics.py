@@ -1610,33 +1610,131 @@ def q94_rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^53 ≪ BIGINT range at any window width that fits memory). Only the
     final slope expression is floating point, identical text in both
     engines; degenerate windows (n<2 or zero x-variance within the
-    frame) yield NULL via the same guard. Scale shape: ONE
-    event_type-keyed shuffle; the range frame is a running two-pointer
-    over each partition (Spark's bounded-preceding frame), state O(24 h
-    of rows)."""
+    frame) yield NULL via the same guard.
+
+    Scale shape (the r5 PLANS.md mitigation, now implemented): a plain
+    ``PARTITION BY event_type`` range frame puts each type's WHOLE
+    history in one task — ~10 tasks for a 100 TB events table. Instead
+    the frame is DECOMPOSED over (event_type, 86400-s bucket): the
+    24 h trailing frame of an event in bucket b covers exactly a suffix
+    of bucket b-1 plus a prefix of bucket b, so
+    ``frame = own-bucket running prefix (x' ≤ x)
+            + (bucket b-1 total − strict prefix below x−86400)``.
+    The strict prefix at the arbitrary threshold x−86400 comes from
+    zero-weight PROBE rows unioned into bucket b-1's window (RANGE
+    UNBOUNDED PRECEDING TO 1 PRECEDING — probes add nothing to the
+    sums). Every term is the same exact BIGINT the monolithic frame
+    produced, so results are bit-identical while parallelism becomes
+    |types| × |buckets| (~10 × days) and per-task state one bucket."""
     e = t(spark, sf_dir, "events")
     min_us = e.agg(F.min(F.unix_micros(F.col("ts"))).alias("m"))
-    base = e.crossJoin(F.broadcast(min_us)).select(
-        "event_id",
-        "event_type",
-        "ts",
-        F.expr("(unix_micros(ts) - m) DIV 1000000").cast("long").alias("x"),
-        F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("y"),
+    base = (
+        e.crossJoin(F.broadcast(min_us))
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.expr("(unix_micros(ts) - m) DIV 1000000").cast("long").alias("x"),
+            F.floor(F.col("value") * 1000000.0 + 0.5).cast("long").alias("y"),
+        )
+        .withColumn("b", F.expr("x DIV 86400").cast("long"))
     )
-    w = (
-        W.partitionBy("event_type")
+
+    # own-bucket running prefix: Σ over x' ≤ x within (event_type, b)
+    w_own = (
+        W.partitionBy("event_type", "b")
         .orderBy("x")
-        .rangeBetween(-86400, W.currentRow)
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
     )
-    win = base.select(
+    own = base.select(
         "event_id",
         "event_type",
         "ts",
-        F.count(F.lit(1)).over(w).cast("long").alias("n_pts"),
-        F.sum("x").over(w).cast("long").alias("sx"),
-        F.sum("y").over(w).cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        "x",
+        "b",
+        F.count(F.lit(1)).over(w_own).cast("long").alias("o_n"),
+        F.sum("x").over(w_own).cast("long").alias("o_sx"),
+        F.sum("y").over(w_own).cast("long").alias("o_sy"),
+        F.sum(F.col("x") * F.col("x")).over(w_own).cast("long").alias("o_sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w_own).cast("long").alias("o_sxy"),
+    )
+
+    # previous-bucket suffix via probes: threshold t = x − 86400 lands in
+    # bucket b−1 by construction; a zero-weight probe row at (b−1, t)
+    # reads the strict prefix below t from the same keyed window.
+    real = base.select(
+        "event_type",
+        F.col("b").alias("pb"),
+        F.col("x").alias("px"),
+        F.lit(1).cast("long").alias("w_n"),
+        F.col("x").alias("w_x"),
+        F.col("y").alias("w_y"),
+        (F.col("x") * F.col("x")).cast("long").alias("w_xx"),
+        (F.col("x") * F.col("y")).cast("long").alias("w_xy"),
+        F.lit(None).cast("long").alias("probe_id"),
+    )
+    probe = base.select(
+        "event_type",
+        (F.col("b") - 1).alias("pb"),
+        (F.col("x") - 86400).alias("px"),
+        F.lit(0).cast("long").alias("w_n"),
+        F.lit(0).cast("long").alias("w_x"),
+        F.lit(0).cast("long").alias("w_y"),
+        F.lit(0).cast("long").alias("w_xx"),
+        F.lit(0).cast("long").alias("w_xy"),
+        F.col("event_id").alias("probe_id"),
+    )
+    w_strict = (
+        W.partitionBy("event_type", "pb")
+        .orderBy("px")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    strict = (
+        real.unionByName(probe)
+        .select(
+            "event_type",
+            "pb",
+            "probe_id",
+            F.sum("w_n").over(w_strict).alias("p_n"),
+            F.sum("w_x").over(w_strict).alias("p_sx"),
+            F.sum("w_y").over(w_strict).alias("p_sy"),
+            F.sum("w_xx").over(w_strict).alias("p_sxx"),
+            F.sum("w_xy").over(w_strict).alias("p_sxy"),
+        )
+        .where(F.col("probe_id").isNotNull())
+    )
+    totals = base.groupBy("event_type", F.col("b").alias("pb")).agg(
+        F.count(F.lit(1)).cast("long").alias("t_n"),
+        F.sum("x").cast("long").alias("t_sx"),
+        F.sum("y").cast("long").alias("t_sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("t_sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("t_sxy"),
+    )
+    z = F.lit(0).cast("long")
+
+    def _sfx(tcol: str, pcol: str):
+        return F.coalesce(F.col(tcol), z) - F.coalesce(F.col(pcol), z)
+
+    prev = (
+        strict.join(F.broadcast(totals), ["event_type", "pb"], "left")
+        .select(
+            F.col("probe_id").alias("event_id"),
+            _sfx("t_n", "p_n").alias("s_n"),
+            _sfx("t_sx", "p_sx").alias("s_sx"),
+            _sfx("t_sy", "p_sy").alias("s_sy"),
+            _sfx("t_sxx", "p_sxx").alias("s_sxx"),
+            _sfx("t_sxy", "p_sxy").alias("s_sxy"),
+        )
+    )
+    win = own.join(prev, "event_id").select(
+        "event_id",
+        "event_type",
+        "ts",
+        (F.col("o_n") + F.col("s_n")).cast("long").alias("n_pts"),
+        (F.col("o_sx") + F.col("s_sx")).cast("long").alias("sx"),
+        (F.col("o_sy") + F.col("s_sy")).cast("long").alias("sy"),
+        (F.col("o_sxx") + F.col("s_sxx")).cast("long").alias("sxx"),
+        (F.col("o_sxy") + F.col("s_sxy")).cast("long").alias("sxy"),
     )
     nd = F.col("n_pts").cast("double")
     denom = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")

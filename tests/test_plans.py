@@ -642,3 +642,23 @@ def test_q105_attribution_is_interval_equijoin(spark):
     df = qmod.all_queries()["q105_position_attribution"](spark, SF)
     assert_no_cartesian(df)
     assert any("event_type" in f for f in pushed_filters(df))
+
+
+def test_q94_windows_key_on_bucket_not_type_alone(spark):
+    """The r5 perf-weak fix: the rolling-OLS frame is decomposed over
+    (event_type, 86400-s bucket), so NO Window operator may partition on
+    event_type alone — that shape caps parallelism at ~|types| tasks on
+    a corpus-sized frame."""
+    import re
+
+    from smfg_datawarehouse_spark.plans import formatted_plan
+
+    df = qmod.all_queries()["q94_rolling_trend_slope"](spark, SF)
+    plan = formatted_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected Window operators in the q94 plan"
+    for spec in specs:
+        keys = [s for s in spec.split(", ") if "#" in s and "ASC" not in s
+                and "DESC" not in s and "window" not in s]
+        assert len(keys) >= 2, f"window keyed on a single column: {spec}"
+    assert_no_cartesian(df)
