@@ -1109,3 +1109,94 @@ def x127_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+_X128_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS start_off
+      FROM tok
+    )
+    SELECT doc_id, n_tok, start_off,
+           CAST(start_off // 2048 AS BIGINT) AS first_chunk,
+           CAST((start_off + n_tok - 1) // 2048 AS BIGINT) AS last_chunk,
+           CAST((start_off + n_tok - 1) // 2048
+                - start_off // 2048 + 1 AS BIGINT) AS n_windows_spanned
+    FROM cum
+    WHERE n_tok > 0
+"""
+
+
+@register("x128_sequence_packing", _X128_ORACLE)
+def x128_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] SEQUENCE PACKING PLAN — concatenate-and-chunk (GPT-style)
+    pretraining layout: documents are laid end-to-end in deterministic
+    ``doc_id`` order and cut into fixed 2048-token context windows; the
+    plan reports, per document, its global token offset, the first/last
+    window it lands in, and how many windows it spans (the
+    boundary-crossing docs are exactly the ones whose loss a trainer
+    masks across the seam). This is the layout step x96's chunking UDTF
+    feeds at scale — x96 cuts WITHIN documents, this packs ACROSS them.
+
+    Scale shape: the only global state is a running token count, built
+    WITHOUT a single-partition window — per-band totals (``doc_id DIV
+    64`` bands, monotone in the order) make band offsets via a
+    bands-sized window, then a within-band running sum; parallelism
+    |bands|, per-task state one band (the ``functions/ordering.py``
+    band-offset recipe applied to sums instead of ranks). All offsets
+    are exact BIGINTs — bit-identical to the oracle's monolithic
+    window."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+        )
+        .cast("long")
+        .alias("n_tok"),
+        F.expr("doc_id DIV 64").alias("band"),
+    )
+    offsets = (
+        tok.groupBy("band")
+        .agg(F.sum("n_tok").alias("bc"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bc").over(
+                    W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("band", "off")
+    )
+    wb = W.partitionBy("band").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    B = 2048
+    packed = (
+        tok.join(F.broadcast(offsets), "band")
+        .withColumn(
+            "start_off",
+            (F.col("off") + F.coalesce(F.sum("n_tok").over(wb), F.lit(0)))
+            .cast("long"),
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    first = F.expr(f"start_off DIV {B}").cast("long")
+    last = F.expr(f"(start_off + n_tok - 1) DIV {B}").cast("long")
+    return packed.select(
+        "doc_id",
+        "n_tok",
+        "start_off",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + F.lit(1)).cast("long").alias("n_windows_spanned"),
+    )

@@ -1091,3 +1091,78 @@ def _register_x126() -> None:
 
 
 _register_x126()
+
+
+_X129_ORACLE = r"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, GREATEST(length(tk) - 1, 1)),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             )) AS shingle
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           w -> w <> '') AS tk
+        FROM documents
+      ) WHERE length(tk) >= 3
+    ),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM sh s JOIN firsts f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+"""
+
+
+def _register_x129() -> None:
+    @register("x129_ngram_novelty_curve", _X129_ORACLE)
+    def x129_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """[X] N-GRAM NOVELTY CURVE — the data-curation freshness signal:
+        in arrival (``doc_id``) order, what fraction of each document's
+        distinct word 3-gram shingles has never been seen in any EARLIER
+        document? A corpus whose novelty collapses toward 0 is recycling
+        content (crawl loops, boilerplate floods) — curation pipelines
+        use the curve to cut ingestion when marginal novelty dies, and
+        the per-doc ratio doubles as a cheap doc-level near-dup score
+        (novelty ≈ 0 ⟺ contained in history — x71's containment, but
+        against ALL history at once instead of pairwise).
+
+        Scale shape: 'first occurrence' is a shingle-keyed MIN — no
+        pairwise anything; one shuffle to group shingles, one keyed join
+        back (shingle-partitioned, corpus-linear), one doc-keyed rollup.
+        Counts are exact BIGINTs; the novelty ratio is a single division
+        of exact ints. Reuses x02's shingle convention verbatim, so the
+        oracle is its CTE plus a MIN."""
+        from smfg_datawarehouse_spark.functions import word_shingles
+
+        d = t(spark, sf_dir, "documents")
+        sh = d.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+        )
+        firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+        return (
+            sh.join(firsts, "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_new"),
+            )
+            .select(
+                "doc_id",
+                "n_shingles",
+                "n_new",
+                (F.col("n_new").cast("double") / F.col("n_shingles").cast("double"))
+                .alias("novelty"),
+            )
+        )
+
+
+_register_x129()

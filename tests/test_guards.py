@@ -198,3 +198,15 @@ def test_every_query_documented_in_survey_and_readme():
         if qid not in readme and name not in readme:
             missing.append(("README.md", name))
     assert not missing, missing
+
+
+def test_every_query_has_a_plans_row():
+    """VERDICT r5 item 3: the plan-quality invariants are only evidence
+    for queries that HAVE a row — a registration must not land without a
+    regenerated PLANS.md (the last three round-5 additions shipped
+    unasserted, and one was broken)."""
+    from smfg_datawarehouse_spark.queries import all_queries
+
+    plans = open("/root/repo/PLANS.md").read()
+    missing = [n for n in all_queries() if f"| {n} |" not in plans]
+    assert not missing, f"PLANS.md missing rows (regenerate): {missing}"

@@ -662,3 +662,29 @@ def test_q94_windows_key_on_bucket_not_type_alone(spark):
                 and "DESC" not in s and "window" not in s]
         assert len(keys) >= 2, f"window keyed on a single column: {spec}"
     assert_no_cartesian(df)
+
+
+def test_x128_packing_no_corpus_scale_global_window(spark):
+    """The running token offset must come from band-offset partial sums:
+    the only unpartitioned window may be the bands-sized offset cumsum
+    (≤ |bands| rows), never a corpus-sized ORDER BY doc_id window, and
+    the offsets table must broadcast back."""
+    import re
+
+    df = qmod.all_queries()["x128_sequence_packing"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # an unpartitioned window ordering by doc_id would be the corpus-sized
+    # global cumsum; every doc_id-ordered window must carry a partition key
+    bad = [
+        s
+        for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        if s.lstrip().startswith("doc_id#")
+    ]
+    assert not bad, f"unpartitioned corpus-order window: {bad}"
+    assert broadcast_join_count(df) >= 1
+    assert_no_cartesian(df)
+
+
+def test_x129_novelty_keyed_joins_only(spark):
+    df = qmod.all_queries()["x129_ngram_novelty_curve"](spark, SF)
+    assert_no_cartesian(df)
