@@ -1200,3 +1200,165 @@ def x128_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         last.alias("last_chunk"),
         (last - first + F.lit(1)).cast("long").alias("n_windows_spanned"),
     )
+
+
+_X130_ORACLE = """
+    WITH src AS (
+      SELECT source,
+             CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS s_ord
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src FROM src),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                     ORDER BY d.n_chars DESC, d.doc_id) - 1 AS BIGINT)
+               AS rank_in_source
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source, r.rank_in_source,
+           CAST(r.rank_in_source * n.n_src + s.s_ord AS BIGINT) AS train_pos
+    FROM ranked r JOIN src s ON s.source = r.source CROSS JOIN n
+"""
+
+
+@register("x130_curriculum_interleave_order", _X130_ORACLE)
+def x130_curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] CURRICULUM + SOURCE-INTERLEAVED TRAINING ORDER — the
+    deterministic data-ordering plan a pretraining run consumes:
+    within each source, documents ranked easiest-proxy-first (longest
+    ``n_chars`` first here; any per-doc score column drops in), then
+    sources INTERLEAVED round-robin so no contiguous run of training
+    steps sees a single domain — ``train_pos = rank_in_source × |src| +
+    source_ordinal`` is injective and needs no global sort at all. The
+    deterministic complement of x67's sampled mixture and x80's epoch
+    budget: those decide HOW MUCH of each source, this decides WHERE
+    each doc lands in the stream.
+
+    Scale shape: one source-keyed window (|sources|-way parallel, the
+    same key the corpus is usually already partitioned by on disk), a
+    |sources|-row broadcast for ordinals, zero corpus-wide ordering —
+    the train_pos arithmetic IS the interleave. All positions exact
+    BIGINTs."""
+    d = t(spark, sf_dir, "documents")
+    src = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "s_ord",
+            (F.row_number().over(W.orderBy("source")) - 1).cast("long"),
+        )
+    )
+    counts = src.agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    wr = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rank_in_source", (F.row_number().over(wr) - 1).cast("long"))
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "doc_id",
+            "source",
+            "rank_in_source",
+            (F.col("rank_in_source") * F.col("n_src") + F.col("s_ord"))
+            .cast("long")
+            .alias("train_pos"),
+        )
+    )
+
+
+_X131_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    arrival AS (
+      SELECT n_tok,
+             CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 32 AS BIGINT)
+               AS batch
+      FROM tok
+    ),
+    sorted_ AS (
+      SELECT n_tok,
+             CAST((ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1) // 32
+                  AS BIGINT) AS batch
+      FROM tok
+    ),
+    pa AS (
+      SELECT 'arrival' AS strategy, batch,
+             COUNT(*) AS n, MAX(n_tok) AS mx, SUM(n_tok) AS s
+      FROM arrival GROUP BY batch
+    ),
+    pb AS (
+      SELECT 'length_sorted' AS strategy, batch,
+             COUNT(*) AS n, MAX(n_tok) AS mx, SUM(n_tok) AS s
+      FROM sorted_ GROUP BY batch
+    ),
+    u AS (SELECT * FROM pa UNION ALL SELECT * FROM pb)
+    SELECT strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(s) AS BIGINT) AS real_tokens,
+           CAST(SUM(n * mx) AS BIGINT) AS padded_tokens,
+           CAST(SUM(n * mx) - SUM(s) AS DOUBLE) / SUM(n * mx) AS waste_frac
+    FROM u GROUP BY strategy
+"""
+
+
+@register("x131_padding_waste_report", _X131_ORACLE)
+def x131_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] PADDING-WASTE REPORT — the length-bucketed-batching decision
+    artifact: fixed batches of 32 docs padded to the batch max token
+    length, compared between ARRIVAL order and LENGTH-SORTED order
+    (dynamic batching's upper bound). The waste fraction gap is exactly
+    the step-time a trainer buys by length-bucketing its sampler; on
+    ragged web corpora arrival-order padding routinely wastes >50%.
+
+    Scale shape: both orderings use band-partitioned global ordinals
+    (``functions/ordering.global_ordinals`` — band offsets + within-band
+    ranks, no single-partition sort; the length-sorted band is the token
+    count itself, monotone by construction), then a batch-keyed agg and
+    a 2-row rollup. Token counts and padded sizes are exact BIGINTs;
+    the only float is one final division."""
+    from smfg_datawarehouse_spark.functions.ordering import global_ordinals
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    tok = tok.localCheckpoint()  # two orderings reference the same frame
+
+    def _batched(df: DataFrame, order_cols: list[str], band, tag: str) -> DataFrame:
+        ords = global_ordinals(df, order_cols, band, out_col="rn0")
+        per_batch = (
+            ords.withColumn("batch", F.expr("rn0 DIV 32").cast("long"))
+            .groupBy("batch")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.max("n_tok").alias("mx"),
+                F.sum("n_tok").alias("s"),
+            )
+        )
+        return per_batch.select(F.lit(tag).alias("strategy"), "batch", "n", "mx", "s")
+
+    u = _batched(
+        tok, ["doc_id"], F.expr("doc_id DIV 64"), "arrival"
+    ).unionByName(
+        _batched(
+            tok, ["n_tok", "doc_id"], F.expr("n_tok DIV 16"), "length_sorted"
+        )
+    )
+    padded = F.sum(F.col("n") * F.col("mx")).cast("long")
+    real = F.sum("s").cast("long")
+    return u.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        real.alias("real_tokens"),
+        padded.alias("padded_tokens"),
+        (
+            (padded - real).cast("double") / padded.cast("double")
+        ).alias("waste_frac"),
+    )
