@@ -336,6 +336,43 @@ def binpack_compact(
     }
 
 
+def plan_contiguous_runs(item_sizes: list[int], target_groups: int) -> list[list[int]]:
+    """Split item indices ``0..n-1`` into exactly ``min(target_groups, n)``
+    NON-EMPTY CONTIGUOUS runs with size-balanced byte totals. The budget
+    is rebalanced as each run closes (``remaining_bytes /
+    remaining_runs``), so one oversized item cannot starve later runs —
+    a fixed ``total/target`` budget ended below target on uneven sizes
+    (the l34 sf0.1 failure). Pure planning logic, property-tested in
+    ``tests/test_lake_layout.py``; :func:`sorted_compact` maps the runs
+    back onto its key-ordered file list."""
+    n = len(item_sizes)
+    if n == 0:
+        return []
+    n_groups = min(max(1, target_groups), n)
+    runs: list[list[int]] = []
+    remaining_bytes = sum(item_sizes)
+    i = 0
+    for gi in range(n_groups):
+        left = n_groups - gi  # runs still to fill, this one included
+        budget = remaining_bytes / left
+        run = [i]
+        acc = item_sizes[i]
+        i += 1
+        # absorb consecutive items while under this run's fair share,
+        # always leaving >= 1 item per remaining run; the last run
+        # takes everything left
+        while i < n and (
+            gi == n_groups - 1
+            or ((n - i) > (left - 1) and acc + item_sizes[i] <= budget)
+        ):
+            run.append(i)
+            acc += item_sizes[i]
+            i += 1
+        remaining_bytes -= acc
+        runs.append(run)
+    return runs
+
+
 def sorted_compact(
     spark: SparkSession,
     path: str,
@@ -394,29 +431,12 @@ def sorted_compact(
     if not ordered:  # every file is zero-row: one merged empty part
         ordered, empties = empties, []
 
-    n = len(ordered)
-    n_groups = min(max(1, target_files), n)
-    groups: list[list[str]] = []
-    remaining_bytes = sum(sizes.get(p, 0) for p in ordered)
-    i = 0
-    for gi in range(n_groups):
-        left = n_groups - gi  # groups still to fill, this one included
-        budget = remaining_bytes / left
-        grp = [ordered[i]]
-        acc = sizes.get(ordered[i], 0)
-        i += 1
-        # absorb consecutive files while under this group's fair share,
-        # always leaving >= 1 file per remaining group; the last group
-        # takes everything left
-        while i < n and (
-            gi == n_groups - 1
-            or ((n - i) > (left - 1) and acc + sizes.get(ordered[i], 0) <= budget)
-        ):
-            grp.append(ordered[i])
-            acc += sizes.get(ordered[i], 0)
-            i += 1
-        remaining_bytes -= acc
-        groups.append(grp)
+    groups = [
+        [ordered[j] for j in run]
+        for run in plan_contiguous_runs(
+            [sizes.get(p, 0) for p in ordered], target_files
+        )
+    ]
     groups[0].extend(empties)  # zero-row files: keep their rows (none), drop the files
 
     tmp = path.rstrip("/") + "._compact_tmp"

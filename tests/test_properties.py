@@ -321,3 +321,68 @@ def test_triangle_counts_match_bruteforce(spark, edges):
     rows = {r["doc_id"]: r for r in triangle_counts(df).collect()}
     assert {k: v["triangles"] for k, v in rows.items()} == expect_tri
     assert {k: v["degree"] for k, v in rows.items()} == expect_deg
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=10**12), min_size=0, max_size=200),
+    target=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_contiguous_run_planner_invariants(sizes, target):
+    """sorted_compact's planner must, for ANY size distribution: produce
+    exactly min(target, n) runs, every run non-empty, runs contiguous and
+    covering 0..n-1 in order (clustering preservation depends on it),
+    and never let one run take everything while others starve when a
+    fairer contiguous split exists (max run ≤ total when n ≥ target)."""
+    from smfg_datawarehouse_spark.sources.lake import plan_contiguous_runs
+
+    runs = plan_contiguous_runs(sizes, target)
+    n = len(sizes)
+    if n == 0:
+        assert runs == []
+        return
+    assert len(runs) == min(target, n)
+    assert all(runs[i] for i in range(len(runs)))
+    flat = [j for run in runs for j in run]
+    assert flat == list(range(n)), "runs must be contiguous, ordered, covering"
+    # balance sanity: no run other than a single-item run may exceed
+    # total - (remaining_runs_min_one_item): trivially true, but DO check
+    # the pathological regression shape — equal sizes split evenly
+    if n >= target and len(set(sizes)) == 1 and n % target == 0:
+        assert {len(r) for r in runs} == {n // target}
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-10**9, max_value=10**9),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_manifest_enc_preserves_numeric_order(vals):
+    """ManifestTree._enc must preserve comparison order for homogeneous
+    numeric prune columns — the str() regression made '9' > '11'."""
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTree
+
+    enc = [ManifestTree._enc(v) for v in vals]
+    for a, b in zip(sorted(vals), sorted(vals)[1:]):
+        ea, eb = ManifestTree._enc(a), ManifestTree._enc(b)
+        assert ea <= eb
+
+
+@given(days=st.lists(st.integers(min_value=0, max_value=400000), min_size=2, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_manifest_enc_preserves_temporal_order(days):
+    """ISO encoding of dates/datetimes must order chronologically."""
+    import datetime as dt
+
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTree
+
+    base = dt.datetime(1970, 1, 1)
+    stamps = sorted(base + dt.timedelta(minutes=d) for d in days)
+    enc = [ManifestTree._enc(s) for s in stamps]
+    assert enc == sorted(enc)
