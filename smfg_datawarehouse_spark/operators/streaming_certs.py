@@ -1,4 +1,4 @@
-"""Structured-Streaming certifications [T2]: s01-s18.
+"""Structured-Streaming certifications [T2]: s01-s21 (s17 gate-registered).
 
 Every streaming path as a registered, oracle-checked query: each stages
 the events fixture as a raw-zone landing directory (multi-file backlog
@@ -1276,4 +1276,84 @@ def s20_streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long"))
         .cast("long")
         .alias("total_micros"),
+    )
+
+
+_S21_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+             AS n_days,
+           quantile_cont(value, 0.5) AS exact_p50,
+           quantile_cont(value, 0.9) AS exact_p90,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+    FROM events
+"""
+
+
+@register("s21_streaming_kll_quantiles", _S21_ORACLE)
+def s21_streaming_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/X] STREAMING KLL QUANTILE SKETCH certified — the third
+    streaming-sketch leg beside s18 (CMS counters, additive) and s19
+    (HLL registers, max-merge): the events fixture drains one file per
+    micro-batch while a complete-mode per-day aggregation maintains KLL
+    sketch state (``kll_sketch_agg_double``, k=200) ACROSS micro-batches
+    in the state store — the mergeable-quantile property that lets a
+    100 TB deployment keep KB-sized percentile state per partition
+    instead of re-sorting history every trigger. The drained per-day
+    sketches then fold through the same scalar ``kll_sketch_merge_double``
+    rollup x95 certifies batch-side, and the merged estimate is gated by
+    TRUE RANK against the exact distribution (±3% rank, x95's gate —
+    KLL compaction is sampled, so the cert checks the guarantee, not a
+    library-specific byte value). x95 certifies merge-over-days at rest;
+    this certifies the sketch surviving incremental micro-batch state
+    updates with late fixture slices still arriving.
+
+    Scale shape: streaming state = |days| × KB regardless of event rate;
+    the drain emits day-level sketches (bounded by the calendar, not the
+    data); the corpus-side exact percentiles exist only as the
+    certification's ground truth."""
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src = _scratch_dir(spark, "s21")
+    raw = _os.path.join(src, "raw")
+    load_events(spark, sf_dir).repartition(3).write.mode("overwrite").parquet(raw)
+
+    stream = events_stream(spark, raw, max_files_per_trigger=1)
+    daily_stream = stream.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.kll_sketch_agg_double("value", 200).alias("sk"))
+    daily = _drain_stream(spark, daily_stream, "s21", "complete")
+
+    merged = daily.agg(F.collect_list("sk").alias("sks")).select(
+        F.expr(
+            "aggregate(slice(sks, 2, greatest(size(sks) - 1, 0)), sks[0], "
+            "(a, x) -> kll_sketch_merge_double(a, x))"
+        ).alias("sk"),
+        F.size(F.col("sks")).cast("long").alias("n_days"),
+    )
+    est = merged.select(
+        "n_days",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("e50"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)).alias("e90"),
+    )
+    e = load_events(spark, sf_dir)
+    stats = e.crossJoin(F.broadcast(est)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.first("n_days").alias("n_days"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.9)").alias("exact_p90"),
+        F.sum((F.col("value") <= F.col("e50")).cast("int")).alias("le50"),
+        F.sum((F.col("value") <= F.col("e90")).cast("int")).alias("le90"),
+    )
+    return stats.select(
+        "n_rows",
+        "n_days",
+        "exact_p50",
+        "exact_p90",
+        (F.abs(F.col("le50") / F.col("n_rows") - 0.5) <= F.lit(0.03)).alias(
+            "p50_rank_ok"
+        ),
+        (F.abs(F.col("le90") / F.col("n_rows") - 0.9) <= F.lit(0.03)).alias(
+            "p90_rank_ok"
+        ),
     )
