@@ -626,3 +626,66 @@ def q106_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_converters").over(wc).cast("long").alias("cum_converters"),
         )
     )
+
+
+_Q108_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path
+      FROM seq WHERE t3 IS NOT NULL
+    ),
+    counted AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths FROM paths GROUP BY path
+    )
+    SELECT path, n_paths,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, path) AS BIGINT)
+             AS rank
+    FROM counted
+    ORDER BY n_paths DESC, path
+    LIMIT 25
+"""
+
+
+@register("q108_event_path_trigrams", _Q108_ORACLE)
+def q108_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/§2.4] SEQUENTIAL PATH MINING — the top event-type TRIGRAMS
+    across per-user clickstreams (``view>cart>purchase`` beats any
+    single-step transition matrix at explaining where journeys convert
+    or die). q84 certifies the first-order transition counts; this is
+    the third-order sibling every product-analytics warehouse ships as
+    its "top paths" report: per user, events ordered by (ts, event_id),
+    each 3-step window stitched with two LEADs, counted globally, top 25
+    with a total deterministic order (count desc, path asc).
+
+    Scale shape: the LEAD window keys on user_id (millions of small
+    partitions — the healthiest window shape there is), path counting is
+    a map-side-combined groupBy on a ≤|types|³ key space, and the top-25
+    is a TakeOrderedAndProject. No corpus-wide window, no skew exposure:
+    at 100 TB the cost is one user-keyed exchange (usually the layout
+    the events table is already bucketed by) plus a tiny rollup."""
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    counted = (
+        seq.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+    wr = W.orderBy(F.col("n_paths").desc(), "path")
+    return (
+        counted.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .orderBy(F.col("n_paths").desc(), "path")
+        .limit(25)
+    )

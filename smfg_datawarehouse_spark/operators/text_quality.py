@@ -1510,3 +1510,245 @@ def x124_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack(4, {stack}) AS "
         "(gate_order, gate, n_fail, n_unique_kills, n_killed_cum, n_surviving)"
     )
+
+
+# ---------------------------------------------------------------------------
+# x133/x135: span-level masking artifacts. x58/x74 report WHICH documents
+# are contaminated; a 100 TB curation run usually cannot afford to drop a
+# whole long document for one leaked n-gram — it masks the offending SPANS
+# and keeps the rest. These two emit the actual mask coordinates: x133 for
+# cross-corpus eval contamination (GPT-3 app. C decontamination, made
+# span-precise), x135 for intra-document self-repetition (the "repeated
+# spans" loss-masking trick). Shared geometry: hit positions -> classic
+# gaps-and-islands merge, every window keyed per document.
+# ---------------------------------------------------------------------------
+
+_X133_ORACLE = r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, i AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+      FROM tk, unnest(range(1, GREATEST(length(t) - 2, 1))) AS r(i)
+      WHERE length(t) >= 4
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1')),
+    hits AS (
+      SELECT g.doc_id, g.source, g.pos AS s, g.pos + 3 AS e
+      FROM g JOIN ev USING (gram)
+      WHERE g.source NOT IN ('src0', 'src1')
+    ),
+    ord_ AS (
+      SELECT doc_id, source, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM hits
+    ),
+    fl AS (
+      SELECT doc_id, source, s, e,
+             CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS brk
+      FROM ord_
+    ),
+    isl AS (
+      SELECT doc_id, source, s, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS span_id
+      FROM fl
+    )
+    SELECT doc_id, source, CAST(span_id AS BIGINT) AS span_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS n_tokens_masked,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, source, span_id
+"""
+
+
+@register("x133_contamination_span_mask", _X133_ORACLE)
+def x133_contamination_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] CONTAMINATION SPAN LOCALIZATION — the actionable form of
+    x58's eval-gram decontamination: instead of a per-document dirty
+    flag, emit the merged TOKEN SPANS a masking pass would zero out.
+    Every training-doc position whose word 4-gram appears in the eval
+    sources (src0/src1) becomes an interval [pos, pos+3]; overlapping
+    and adjacent intervals merge via the gaps-and-islands recipe (a
+    running MAX(end) over earlier starts marks span breaks, a running
+    SUM of breaks numbers the spans — both windows keyed per document).
+    The output row is the mask coordinate a 100 TB curation run applies
+    when dropping whole documents is too expensive: long documents keep
+    their clean remainder, and ``n_tokens_masked`` audits exactly how
+    much text the decontamination costs (GPT-3 app. C measures this as
+    "removed content"; this operator emits it span-precise).
+
+    Scale shape: eval grams are eval-suite-sized — distinct once,
+    BROADCAST into the training scan (x58's geometry, positions kept);
+    both merge windows partition by doc_id, so span assembly is
+    embarrassingly parallel across documents with per-task state of one
+    document's hit list. One corpus-linear pass + one doc-keyed
+    exchange; nothing pair-shaped."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        word_tokens(F.col("text")).alias("tk"),
+    ).where(F.size("tk") >= 4)
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 3),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, 4)),
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id", "source", (F.col("pos0") + 1).alias("s"), "gram"
+    )
+    ev = (
+        grams.where(F.col("source").isin("src0", "src1"))
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        grams.where(~F.col("source").isin("src0", "src1"))
+        .join(F.broadcast(ev), "gram", "left_semi")
+        .select("doc_id", "source", "s", (F.col("s") + 3).alias("e"))
+    )
+    w_prev = (
+        W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    )
+    isl = hits.withColumn("pmax", F.max("e").over(w_prev)).withColumn(
+        "brk",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax") + 1), 1
+        ).otherwise(0),
+    ).withColumn("span_id", F.sum("brk").over(w_run))
+    return isl.groupBy("doc_id", "source", F.col("span_id").cast("long").alias("span_id")).agg(
+        F.min("s").cast("long").alias("span_start"),
+        F.max("e").cast("long").alias("span_end"),
+        (F.max("e") - F.min("s") + 1).cast("long").alias("n_tokens_masked"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    )
+
+
+_X135_ORACLE = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM tk, unnest(range(1, GREATEST(length(t) - 1, 1))) AS r(i)
+      WHERE length(t) >= 3
+    ),
+    rep AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, gram ORDER BY pos) AS occ
+      FROM g
+    ),
+    hits AS (SELECT doc_id, pos AS s, pos + 2 AS e FROM rep WHERE occ >= 2),
+    ord_ AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM hits
+    ),
+    fl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS brk
+      FROM ord_
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS span_id
+      FROM fl
+    ),
+    spans AS (
+      SELECT doc_id, span_id, MIN(s) AS s, MAX(e) AS e
+      FROM isl GROUP BY doc_id, span_id
+    ),
+    lens AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tok FROM tk)
+    SELECT s.doc_id, l.n_tok,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(s.e - s.s + 1) AS BIGINT) AS n_tokens_masked,
+           CAST(SUM(s.e - s.s + 1) AS DOUBLE) / l.n_tok AS masked_frac
+    FROM spans s JOIN lens l ON l.doc_id = s.doc_id
+    GROUP BY s.doc_id, l.n_tok
+"""
+
+
+@register("x135_repeat_span_mask", _X135_ORACLE)
+def x135_repeat_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] SELF-REPETITION SPAN MASK — per document, the merged token
+    spans covered by REPEATED word 3-grams (every occurrence after a
+    gram's first is a mask candidate), rolled up to the per-doc masking
+    report (span count, tokens masked, masked fraction). x90 certifies
+    repetition STATISTICS as a quality gate; this emits the actual
+    repair: boilerplate headers, chorus lines, and copy-paste loops get
+    masked from the loss while the document's novel remainder still
+    trains (the Gopher/MassiveText repetition analyses motivate exactly
+    this span-level treatment). Occurrence ranking is a per-(doc, gram)
+    window; islands merge is x133's per-doc recipe on the rank>=2
+    positions.
+
+    Scale shape: every window here partitions by doc_id (or doc+gram) —
+    per-task state is one document, parallelism is |docs|; the rollup is
+    one doc-keyed map-side-combined groupBy. Corpus-linear, zero
+    pair-shaped joins, no broadcast needed at all."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", word_tokens(F.col("text")).alias("tk")
+    ).where(F.size("tk") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tok"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, 3)),
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", "n_tok", (F.col("pos0") + 1).alias("pos"), "gram")
+    occ = F.row_number().over(W.partitionBy("doc_id", "gram").orderBy("pos"))
+    hits = (
+        grams.withColumn("occ", occ)
+        .where(F.col("occ") >= 2)
+        .select("doc_id", "n_tok", F.col("pos").alias("s"), (F.col("pos") + 2).alias("e"))
+    )
+    w_prev = (
+        W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    )
+    isl = hits.withColumn("pmax", F.max("e").over(w_prev)).withColumn(
+        "brk",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax") + 1), 1
+        ).otherwise(0),
+    ).withColumn("span_id", F.sum("brk").over(w_run))
+    spans = isl.groupBy("doc_id", "n_tok", "span_id").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    return spans.groupBy("doc_id", "n_tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_tokens_masked"),
+        (
+            F.sum(F.col("e") - F.col("s") + 1).cast("double") / F.col("n_tok")
+        ).alias("masked_frac"),
+    )

@@ -804,3 +804,110 @@ def x114_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * 2)
         ).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x132: Feistel-network epoch shuffle — the shuffle-free deterministic
+# global permutation a multi-epoch pretraining run consumes instead of
+# ORDER BY rand(): each epoch's position is a pure O(1) function of
+# (doc_id, epoch), so the "shuffle" costs zero exchanges and is
+# bit-reproducible on any cluster, any partitioning, any retry.
+# ---------------------------------------------------------------------------
+
+_FEISTEL_ROUNDS = 4
+_FEISTEL_EPOCHS = 2
+
+
+def _x132_oracle() -> str:
+    """Unrolled Feistel rounds as chained CTEs (same keys as the engine)."""
+    ctes = [
+        "e AS (SELECT unnest(range(0, {ep})) AS epoch)".format(ep=_FEISTEL_EPOCHS),
+        "r0 AS (SELECT doc_id, epoch, doc_id // 65536 AS l, doc_id % 65536 AS r"
+        " FROM documents CROSS JOIN e)",
+    ]
+    for i in range(_FEISTEL_ROUNDS):
+        f = (
+            "('0x' || substring(md5('feistel:' || CAST(epoch AS VARCHAR) || "
+            f"':{i}:' || CAST(r AS VARCHAR)), 1, 4))::BIGINT"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT doc_id, epoch, r AS l, xor(l, {f}) AS r"
+            f" FROM r{i})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+           CAST(l * 65536 + r AS BIGINT) AS perm_pos
+    FROM r{_FEISTEL_ROUNDS}
+    """
+    )
+
+
+@register("x132_feistel_epoch_shuffle", _x132_oracle())
+def x132_feistel_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] FEISTEL EPOCH SHUFFLE — the deterministic global permutation a
+    multi-epoch pretraining run uses as its data order. A 4-round Feistel
+    network over the 32-bit id domain (16-bit halves, round function =
+    md5-prefix of (epoch, round, right-half) — the repo's portable
+    seedless hash family) is a BIJECTION on [0, 2^32) by construction:
+    every (doc_id, epoch) maps to a distinct ``perm_pos``, no two docs
+    collide, and each epoch's permutation is independent. The trainer
+    sorts (or range-partitions) by ``perm_pos`` to consume the corpus in
+    shuffled order; re-running any partition, any retry, any cluster
+    reproduces the identical order — the auditability property
+    ``ORDER BY rand()`` fundamentally lacks. Luby-Rackoff gives the
+    pseudorandomness argument for >=4 rounds (public-knowledge
+    construction; used for exactly this by format-preserving encryption,
+    NIST SP 800-38G).
+
+    Scale shape: ZERO shuffles — position assignment is a per-row scalar
+    expression chain (2 md5 calls per round unrolled at plan time), so
+    the whole operator is one scan with whole-stage codegen; the only
+    later cost is whatever range-partitioning the consumer was going to
+    pay anyway. Contrast x29 (hash-split) and x84 (hash-sample): same
+    hash family, but this one is invertible — a position maps back to
+    exactly one document, so epoch order is checkpointable by offset.
+    Domain contract: doc_id < 2^32 (wider ids would use 32-bit halves
+    over 2^64; the fixture's ids are far below)."""
+    d = t(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_FEISTEL_EPOCHS)])
+        ).alias("epoch"),
+    ).select(
+        "doc_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.expr("doc_id DIV 65536").alias("l"),
+        (F.col("doc_id") % 65536).alias("r"),
+    )
+    for i in range(_FEISTEL_ROUNDS):
+        f_i = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("feistel:"),
+                        F.col("epoch").cast("string"),
+                        F.lit(f":{i}:"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        out = out.select(
+            "doc_id",
+            "epoch",
+            F.col("r").alias("l"),
+            F.col("l").bitwiseXOR(f_i).alias("r"),
+        )
+    return out.select(
+        "doc_id",
+        "epoch",
+        (F.col("l") * 65536 + F.col("r")).cast("long").alias("perm_pos"),
+    )
