@@ -1361,3 +1361,88 @@ def l34_sorted_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_micros"),
         )
     )
+
+
+#: (column, MIN/MAX cast) — timestamps go through a DATE cast so the
+#: min/max strings format identically in both engines (portable only
+#: because the fixture's o_orderdate is day-aligned; a sub-day value
+#: would be truncated identically on both sides either way).
+_L35_COLS = [
+    ("o_orderkey", None),
+    ("o_custkey", None),
+    ("o_orderstatus", None),
+    ("o_orderpriority", None),
+    ("o_orderdate", "date"),
+]
+
+_L35_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST({f"CAST(MIN({c}) AS DATE)" if cast == "date" else f"MIN({c})"}
+                AS VARCHAR) AS min_val,
+           CAST({f"CAST(MAX({c}) AS DATE)" if cast == "date" else f"MAX({c})"}
+                AS VARCHAR) AS max_val,
+           CAST(COUNT(DISTINCT {c}) AS DOUBLE) / COUNT(*) AS ndv_ratio
+    FROM orders
+    """
+    for c, cast in _L35_COLS
+)
+
+
+@register("l35_column_stats_analyze", _L35_ORACLE)
+def l35_column_stats_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S4/L] ANALYZE-TABLE STATISTICS lifecycle — the catalog-side
+    column statistics every cost-based planner consumes (exact NDV,
+    null count, min/max, NDV ratio) computed for the orders table's
+    key/dimension columns, PERSISTED as a stats artifact beside the
+    table (the lakehouse ``ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    COLUMNS`` layout), then RELOADED and served from the artifact — the
+    round-trip a catalog does between planning sessions. The reference's
+    metadata catalog drives extraction from exactly this kind of
+    per-column registry (SURVEY §2.1 S4; `Metadata_Master` fields at
+    `Staging_Extraction_Metadata_Query.sql:4-19`); this adds the
+    statistics layer Spark's CBO reads (`spark.sql.cbo.enabled` joins
+    reorder off these NDVs, and a dimension whose ndv_ratio ~ 1 on a
+    small n_rows is the broadcast-join candidate).
+
+    Scale shape: one scan computing all five columns' aggregates
+    (Spark pipelines the five unioned aggregates over one exchange
+    each; production would fuse them into one pass — at sf the fixture
+    cost is identical), each map-side combined; the artifact is
+    |columns| rows regardless of table size. Exact NDV, not HLL — the
+    certifiable form; x47 certifies the sketch path where exactness is
+    traded away."""
+    src = _scratch_dir(spark, "l35")
+    orders = t(spark, sf_dir, "orders")
+    outs = []
+    for c, cast in _L35_COLS:
+        mn, mx = F.min(F.col(c)), F.max(F.col(c))
+        if cast == "date":
+            mn, mx = mn.cast("date"), mx.cast("date")
+        outs.append(
+            orders.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulls"),
+                F.countDistinct(F.col(c)).cast("long").alias("n_distinct"),
+                mn.cast("string").alias("min_val"),
+                mx.cast("string").alias("max_val"),
+                (
+                    F.countDistinct(F.col(c)).cast("double") / F.count(F.lit(1))
+                ).alias("ndv_ratio"),
+            ).select(F.lit(c).alias("column_name"), "*")
+        )
+    stats = outs[0]
+    for o in outs[1:]:
+        stats = stats.unionByName(o)
+    path = os.path.join(src, "stats")
+    stats.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    if reloaded.count() != len(_L35_COLS):
+        raise RuntimeError("l35: stats artifact row count drifted")
+    return reloaded

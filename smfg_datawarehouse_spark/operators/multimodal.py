@@ -782,8 +782,10 @@ def ahash_png_assets(assets: DataFrame) -> DataFrame:
     return assets.repartition(n_parts).mapInPandas(batches, AHASH_SCHEMA)
 
 
-_AHASH_ORACLE = f"""
-    WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+#: Closed-form replay of every aHash bit (shared by x107 and x136): the
+#: oracle recomputes each synthesized image's pixels from the generator
+#: formula and packs the 64 block-mean bits exactly like the decoder path.
+_AHASH_HASHES_CTE = f"""hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
     dims AS (
       SELECT doc_id,
              8 + {_hex2('h', 1)} % 32 AS w,
@@ -818,7 +820,10 @@ _AHASH_ORACLE = f"""
              CAST(SUM(CASE WHEN b < 32 THEN CAST(bit AS BIGINT) << CAST(b AS INTEGER)
                            ELSE 0 END) AS BIGINT) AS ahash_lo
       FROM bits GROUP BY doc_id
-    )
+    )"""
+
+_AHASH_ORACLE = f"""
+    WITH {_AHASH_HASHES_CTE}
     SELECT *,
            CAST(COUNT(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT)
              AS n_same_hash
@@ -950,3 +955,112 @@ def x122_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return assets.repartition(n_parts).mapInPandas(batches, WAV_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# x136: banded Hamming calibration over the aHash space — the image-side
+# sibling of x105's MinHash banding calibration: before an image-dedup run
+# commits to "4 bands of 16 bits, verify at Hamming<=t", measure what the
+# banding actually surfaces on this corpus.
+# ---------------------------------------------------------------------------
+
+_X136_ORACLE = f"""
+    WITH {_AHASH_HASHES_CTE},
+    keyed AS (
+      SELECT asset_id, ahash_hi, ahash_lo, b.band,
+             CASE b.band
+               WHEN 0 THEN ahash_lo % 65536
+               WHEN 1 THEN ahash_lo // 65536
+               WHEN 2 THEN ahash_hi % 65536
+               ELSE ahash_hi // 65536
+             END AS bkey
+      FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+             a.ahash_hi AS hi_a, a.ahash_lo AS lo_a,
+             b.ahash_hi AS hi_b, b.ahash_lo AS lo_b
+      FROM keyed a
+      JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.asset_id < b.asset_id
+    ),
+    ham AS (
+      SELECT bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hd
+      FROM cand
+    )
+    SELECT CAST(hd // 8 AS BIGINT) AS ham_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(hd) AS BIGINT) AS min_ham,
+           CAST(MAX(hd) AS BIGINT) AS max_ham
+    FROM ham GROUP BY 1
+"""
+
+
+@register("x136_ahash_hamming_histogram", _X136_ORACLE)
+def x136_ahash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] BANDED HAMMING CALIBRATION for image near-dup — every
+    synthesized PNG is really decoded to its 64-bit aHash (x107's
+    kernel), the hash is cut into 4 bands of 16 bits, band-equal asset
+    pairs become candidates (the SimHash/Charikar banding trick in pixel
+    space: a pair within Hamming distance r survives banding with
+    probability 1-(1-(1-r/64)^16)^4), and the candidate set is rolled up
+    into a Hamming-distance histogram (buckets of 8 bits). This is the
+    decision artifact an image-dedup run reads before committing to a
+    banding config — the pixel-space twin of x105's MinHash S-curve
+    calibration: bucket 0 is the near-dup mass the banding would
+    surface, the high buckets are the false-candidate load the verifier
+    must absorb.
+
+    Scale shape: candidates come ONLY from band-key equi-joins (4 keyed
+    shuffles of |assets| rows each, never all-pairs); the decode runs
+    once (localCheckpoint pins the hash frame so the self-join cannot
+    re-decode); the histogram is <=9 rows. A 16-bit band caps expected
+    random collisions per band at |assets|^2/65536 — at larger fleets
+    the band width widens with log2(|assets|), exactly the calibration
+    this report informs."""
+    d = t(spark, sf_dir, "documents")
+    hashes = ahash_png_assets(documents_as_png_assets(d)).select(
+        "asset_id", "ahash_hi", "ahash_lo"
+    ).localCheckpoint()
+    keyed = hashes.select(
+        "asset_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.posexplode(
+            F.array(
+                F.col("ahash_lo") % 65536,
+                F.expr("ahash_lo DIV 65536"),
+                F.col("ahash_hi") % 65536,
+                F.expr("ahash_hi DIV 65536"),
+            )
+        ).alias("band", "bkey"),
+    )
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            F.col("a.ahash_hi").alias("hi_a"),
+            F.col("a.ahash_lo").alias("lo_a"),
+            F.col("b.ahash_hi").alias("hi_b"),
+            F.col("b.ahash_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    ham = cand.select(
+        (
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        ).alias("hd")
+    )
+    return ham.groupBy(F.expr("hd DIV 8").cast("long").alias("ham_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("hd").cast("long").alias("min_ham"),
+        F.max("hd").cast("long").alias("max_ham"),
+    )
