@@ -1357,3 +1357,109 @@ def s21_streaming_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_rank_ok"
         ),
     )
+
+
+_S22_ORACLE = """
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', hour_start) AS TIMESTAMP) AS day_start,
+           CAST(COUNT(*) AS BIGINT) AS n_hour_slices,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           CAST(MAX(cnt) AS BIGINT) AS max_slice_cnt
+    FROM hourly GROUP BY 1
+"""
+
+
+@register("s22_streaming_chained_aggregation", _S22_ORACLE)
+def s22_streaming_chained_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2] CHAINED STATEFUL AGGREGATION certified — TWO windowed
+    aggregations stacked in ONE streaming query (hourly (window, type)
+    counts re-aggregated into daily rollups), the
+    multiple-stateful-operators topology Spark supports since 3.4/4.x:
+    the first aggregation's append-mode emissions feed the second's
+    state store inside the same micro-batch DAG, with the event-time
+    watermark propagated THROUGH the first window into the second
+    (``window(window_col, '1 day')`` re-windows the struct without a
+    round trip to a sink). Before this was supported, pipelines had to
+    materialize the hourly layer to storage and run a second streaming
+    job — double checkpoint, double latency. A propagation bug
+    (first-stage window closing late, second stage double-counting a
+    re-emitted hour) hash-fails against the two-level batch oracle.
+
+    The drain stages one HEARTBEAT event at max(ts) + 3 days (s08's
+    event-time flush pattern), written as the LAST file in mtime order
+    so the backlog's real files are all consumed before the watermark
+    jumps: the heartbeat advances the watermark past every real day
+    window (flushing both stages), while its own hour window can never
+    close (watermark ceiling = hb_ts − delay < hb's window end), so the
+    sentinel provably cannot reach the output.
+
+    Scale shape: stage-1 state is (hour × type) keys within the
+    watermark horizon, stage-2 state is days — both calendar-bounded,
+    independent of event rate; one keyed exchange per stage, identical
+    to the batch plan's two shuffles."""
+    import os as _os2
+
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src = _scratch_dir(spark, "s22")
+    raw = _os.path.join(src, "raw")
+    _os2.makedirs(raw, exist_ok=True)
+    batch = load_events(spark, sf_dir)
+
+    # Arrival order must respect event time ACROSS files: a random file
+    # split would let an early-time event land in a late micro-batch and
+    # be dropped as late data once earlier batches advanced the watermark
+    # (that drop path is s11's cert — here arrival models a raw zone fed
+    # in commit order). Slice the backlog into three event-time ranges
+    # and stage them with increasing mtimes (FileStreamSource consumes
+    # oldest-first), heartbeat strictly last.
+    lo, hi = batch.agg(F.min("ts"), F.max("ts")).first()
+    t1 = lo + (hi - lo) / 3
+    t2 = lo + 2 * (hi - lo) / 3
+    slices = [
+        batch.where(F.col("ts") < F.lit(t1)),
+        batch.where((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))),
+        batch.where(F.col("ts") >= F.lit(t2)),
+    ]
+    hb = (
+        batch.orderBy(F.col("ts").desc())
+        .limit(1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 DAYS"))
+        .withColumn("event_type", F.lit("hb"))
+        .withColumn("user_id", F.lit(-1).cast("long"))
+        .select(*batch.columns)
+    )
+    base = _os2.path.getmtime(raw)
+    for i, sl in enumerate(slices + [hb]):
+        part_dir = _os.path.join(src, f"slice{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = next(
+            f for f in _os2.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(raw, f"slice-{i}.parquet")
+        _os2.rename(_os.path.join(part_dir, part), dst)
+        _os2.utime(dst, (base + 10 * (i + 1), base + 10 * (i + 1)))
+
+    stream = events_stream(spark, raw, max_files_per_trigger=1)
+    hourly = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    daily = (
+        hourly.groupBy(F.window(F.col("w"), "1 day").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hour_slices"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.max("cnt").cast("long").alias("max_slice_cnt"),
+        )
+        .select(
+            F.col("d.start").alias("day_start"),
+            "n_hour_slices",
+            "n_events",
+            "max_slice_cnt",
+        )
+    )
+    return _drain_stream(spark, daily, "s22", "append")
