@@ -1463,3 +1463,46 @@ def s22_streaming_chained_aggregation(spark: SparkSession, sf_dir: str) -> DataF
         )
     )
     return _drain_stream(spark, daily, "s22", "append")
+
+
+@register("s23_streaming_source_union", _S01_ORACLE)
+def s23_streaming_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2] MULTI-SOURCE UNION topology certified — the fan-in every
+    real deployment runs (N kafka topics / landing dirs feeding ONE
+    stateful pipeline): the events fixture is split across TWO raw-zone
+    directories (disjoint event_id parity classes standing in for two
+    topics), each read as its own file-source stream with its own
+    watermark tracker and its own maxFilesPerTrigger cadence, UNIONed
+    into a single tumbling (hour, type) aggregation whose state store
+    therefore merges partial counts fed by BOTH sources across
+    interleaved micro-batches. The drained complete-mode snapshot must
+    equal s01's single-source batch oracle exactly — a union that
+    dropped a side, double-planned a source, or let the two sources'
+    watermark trackers interfere hash-fails here and nowhere else in
+    the s-family (s09 certifies multi-batch state for ONE source; this
+    certifies the multi-SOURCE merge).
+
+    Scale shape: identical state to s01 (window × type keys); each
+    source contributes its own scan tasks, so fan-in parallelism is
+    additive — exactly how N topics scale on a real cluster."""
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src = _scratch_dir(spark, "s23")
+    raw_a = _os.path.join(src, "raw_a")
+    raw_b = _os.path.join(src, "raw_b")
+    batch = load_events(spark, sf_dir)
+    batch.where(F.col("event_id") % 2 == 0).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(raw_a)
+    batch.where(F.col("event_id") % 2 == 1).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(raw_b)
+
+    stream = events_stream(spark, raw_a, max_files_per_trigger=1).unionByName(
+        events_stream(spark, raw_b, max_files_per_trigger=1)
+    )
+    return _drain_stream(
+        spark, tumbling_agg(stream, "1 hour"), "s23", "complete"
+    ).select(
+        F.col("window_start"), "event_type", "cnt", "total_value"
+    )
