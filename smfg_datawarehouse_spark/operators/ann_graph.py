@@ -181,3 +181,52 @@ def x120_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x54), graph dedup (x06/x88), label spread (x115) and hard-negative
     mining (x64) at corpus scale without an N² pair space."""
     return knn_graph(t(spark, sf_dir, "embeddings"))
+
+
+_X145_ORACLE = f"""
+    WITH g AS ({_KNN_GRAPH_ORACLE})
+    SELECT a.query_id AS vec_a, a.neighbor_id AS vec_b,
+           a.cos_sim,
+           a.rank AS rank_ab, b.rank AS rank_ba
+    FROM g a
+    JOIN g b ON b.query_id = a.neighbor_id
+            AND b.neighbor_id = a.query_id
+    WHERE a.query_id < a.neighbor_id
+"""
+
+
+@register("x145_mutual_nn_pairs", _X145_ORACLE)
+def x145_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] MUTUAL (reciprocal) NEAREST-NEIGHBOR PAIRS — edges of the
+    x120 k-NN graph that survive in BOTH directions (a in b's top-5 AND
+    b in a's top-5, emitted once with a < b). Reciprocity is the
+    standard high-precision filter on top of any kNN artifact: bitext
+    mining keeps mutual pairs (Artetxe & Schwenk margin prefilter),
+    duplicate verification promotes mutual edges before transitive
+    clustering (one-directional edges are hub artifacts — a generic
+    vector is many things' neighbor but they are not its), and
+    mutual-kNN graphs are the usual input to density clustering.
+
+    Scale shape: builds on the certified x120 kernel (IVF-celled,
+    Σ|cell|·nprobe pair space) and adds ONE self-equi-join of the
+    k·N-row edge list keyed on the (neighbor, query) pair — edge-list
+    sized, never corpus²."""
+    g = knn_graph(t(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )  # built once, consumed twice — don't replay the IVF pass per side
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.query_id") == F.col("a.neighbor_id"))
+            & (F.col("b.neighbor_id") == F.col("a.query_id")),
+        )
+        .where(F.col("a.query_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.query_id").alias("vec_a"),
+            F.col("a.neighbor_id").alias("vec_b"),
+            F.col("a.cos_sim").alias("cos_sim"),
+            F.col("a.rank").alias("rank_ab"),
+            F.col("b.rank").alias("rank_ba"),
+        )
+    )

@@ -1902,3 +1902,57 @@ def x117_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # than registering a query that would fail in the driver's identical
 # container. tests/test_streaming drives the builder equal-to-batch
 # whenever protobuf is importable (same gate).
+
+
+_Q110_ORACLE = """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day AS target_day FROM act
+    ), fan AS (
+      SELECT d.target_day, a.user_id
+      FROM act a JOIN days d
+        ON d.target_day >= a.day
+       AND d.target_day < a.day + INTERVAL 7 DAY
+    )
+    SELECT CAST(target_day AS TIMESTAMP) AS window_end_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS rolling_7d_users
+    FROM fan GROUP BY target_day
+"""
+
+
+@register("q110_rolling_distinct_users", _Q110_ORACLE)
+def q110_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/A4] ROLLING 7-DAY DISTINCT USERS (trailing WAU per day) —
+    the product-health metric every events warehouse serves daily, and
+    the canonical HARD window: COUNT(DISTINCT) cannot ride a sliding
+    window frame (distinct isn't decomposable into frame increments), so
+    naive engines rescan 7 days per output day. Implemented as the
+    fan-out rewrite: activity collapses to DISTINCT (user, day) first —
+    the only corpus-scale stage — then each activity day broadcasts to
+    the ≤7 target days it can serve (``explode(sequence(day, day+6))``
+    restricted to observed days), and one (day)-keyed distinct count
+    finishes. Cost: |users×days| × 7 fan-out of already-deduped rows,
+    NOT 7 corpus rescans — the standard scalable form.
+
+    Exactness: day truncation in UTC (pinned session zone), counts
+    BIGINT; only dates and longs cross the wire."""
+    e = t(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    days = act.select(F.col("day").alias("target_day")).distinct()
+    fan = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("target_day"),
+    ).join(days, "target_day")  # only days that actually occur
+    return fan.groupBy(
+        F.col("target_day").alias("window_end_day")
+    ).agg(F.count_distinct("user_id").cast("long").alias("rolling_7d_users"))

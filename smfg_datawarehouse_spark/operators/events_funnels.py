@@ -689,3 +689,110 @@ def q108_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "path")
         .limit(25)
     )
+
+
+_Q109_WINDOW_HOURS = 24
+
+_Q109_ORACLE = f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL {_Q109_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN c ON c.user_id = e.user_id
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= v.t1 + INTERVAL {_Q109_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id
+    ), u AS (
+      SELECT DISTINCT user_id FROM events
+    ), d AS (
+      SELECT u.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  WHEN v.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+      FROM u
+      LEFT JOIN v ON v.user_id = u.user_id
+      LEFT JOIN c ON c.user_id = u.user_id
+      LEFT JOIN p ON p.user_id = u.user_id
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY depth
+"""
+
+
+@register("q109_window_funnel", _Q109_ORACLE)
+def q109_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/T2] TIME-CONSTRAINED FUNNEL (ClickHouse ``windowFunnel``
+    semantics): per user, the deepest view -> click -> purchase chain
+    whose steps all land within 24 HOURS of the user's FIRST view, each
+    step strictly after the previous one — q64 certifies the unconstrained
+    ordered funnel; real conversion reporting is always windowed ("same
+    session/day"), and the constraint changes the answer (a click three
+    days after the view no longer converts).
+
+    Output is the depth DISTRIBUTION (depth 0-3 x user count) rather than
+    q64's cumulative stage counts, so the two certs cross-check: q109's
+    depth>=k sums must bound q64's stage-k counts from below.
+
+    Scale shape: identical to q64's one-pass shape — three stacked
+    unbounded-frame window MINs over ONE user_id exchange (the windowed
+    time bounds are per-row predicates against already-computed window
+    columns, zero extra shuffles), a user-keyed rollup reusing the same
+    partitioning, and a ≤4-row depth rollup. Timestamp arithmetic is
+    exact micros (+ INTERVAL is integer micro addition); counts BIGINT."""
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    deadline = F.col("t1") + F.expr(f"INTERVAL {_Q109_WINDOW_HOURS} HOURS")
+    staged = (
+        e.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))
+                    & (F.col("ts") <= deadline),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))
+                    & (F.col("ts") <= deadline),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    return (
+        per_user.select(
+            F.when(F.col("t3").isNotNull(), F.lit(3))
+            .when(F.col("t2").isNotNull(), F.lit(2))
+            .when(F.col("t1").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("depth")
+        )
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

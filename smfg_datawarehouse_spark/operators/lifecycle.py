@@ -1446,3 +1446,170 @@ def l35_column_stats_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     if reloaded.count() != len(_L35_COLS):
         raise RuntimeError("l35: stats artifact row count drifted")
     return reloaded
+
+
+_L36_CUTOVER = "1999-01-01 00:00:00"
+
+_L36_ORACLE = f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+"""
+
+
+@register("l36_mv_tail_serving", _L36_ORACLE)
+def l36_mv_tail_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S7/A4/T1] MATERIALIZED-VIEW + TAIL SERVING lifecycle — the
+    lambda-serving shape every warehouse ends up running: the monthly
+    revenue rollup is MATERIALIZED to parquet for all history before a
+    refresh cutover (the MV's high-water mark, the same T1 watermark
+    contract ``incremental.py`` tracks), and a query is answered by
+    COMBINING the reloaded MV with an at-query-time rollup of only the
+    raw tail (rows at/after the cutover) — so serving cost is
+    |MV groups| + |tail scan|, never a full-history rescan, and the MV
+    refresh cadence is decoupled from data arrival. Certified against
+    the full recompute oracle: MV ⊎ tail must be indistinguishable from
+    scanning everything.
+
+    Exactness across the seam: the MV persists DECIMAL(30,6) partial
+    sums (never doubles — summing doubles twice would drift vs the
+    one-pass oracle); the combine re-SUMs decimal partials and casts to
+    double once at the end, bit-identical to ``_dsum_sql`` over the
+    whole table. RAISE-gated on both sides contributing groups, so the
+    cert can't pass with an empty MV or an empty tail.
+
+    Scale shape: the MV build is one month-keyed map-combined agg over
+    history (run once per refresh, not per query); serving scans ONLY
+    tail files (at 100 TB: a partition-pruned read of the current month)
+    plus the group-count-sized MV; the combine shuffles |groups| rows."""
+    scratch = _scratch_dir(spark, "l36")
+    mv_path = os.path.join(scratch, "mv_monthly_revenue")
+    orders = t(spark, sf_dir, "orders")
+    cut = F.to_timestamp(F.lit(_L36_CUTOVER))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias(
+                "rev_partial"
+            ),
+        )
+
+    # refresh: materialize history below the cutover, with the decimal
+    # partials preserved in the artifact
+    partial(orders.where(F.col("o_orderdate") < cut)).write.mode(
+        "overwrite"
+    ).parquet(mv_path)
+
+    mv = spark.read.parquet(mv_path)
+    tail = partial(orders.where(F.col("o_orderdate") >= cut))
+    n_mv, n_tail = mv.count(), tail.count()
+    if n_mv == 0 or n_tail == 0:
+        raise RuntimeError(
+            f"MV/tail split is vacuous: mv_groups={n_mv} tail_groups={n_tail}"
+        )
+    return (
+        mv.unionByName(tail)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("rev_partial").cast("double").alias("revenue"),
+        )
+    )
+
+
+_L37_ORACLE = """
+    SELECT event_id, user_id, ts, event_type, value
+    FROM (
+      SELECT event_id, user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""
+
+
+@register("l37_changelog_replay", _L37_ORACLE)
+def l37_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3/S7/T1] CHANGELOG REPLAY RECONSTRUCTION — the consumer side of
+    CDC: a downstream system that never sees the table, only the v0
+    snapshot plus the per-version change sets (``VersionedTable.diff`` —
+    the Delta CDF / Iceberg changelog equivalent), must reconstruct the
+    current state EXACTLY. The dimension is built as three precedence
+    merges (latest event per user over three event-time thirds), then
+    REPLAYED: start from snapshot v0, apply diff(0,1) then diff(1,2)
+    (delete keys dropped, insert/update new-images upserted), RAISE if
+    the replay differs from ``read(v2)`` in either direction, and return
+    the replayed frame hash-checked against the batch latest-per-user
+    oracle. l15 certifies the diff's row classification; this certifies
+    the diff's COMPLETENESS — any change the diff misses or duplicates
+    breaks the reconstruction, which is the property CDC consumers
+    actually rely on.
+
+    Scale shape: each replay step is key-shuffled set algebra (one
+    anti-join + one union per diff) — the cost a real CDC consumer pays;
+    diffs come from one full-outer join per version pair; nothing
+    corpus²."""
+    src = _scratch_dir(spark, "l37")
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    t1 = lo + (hi - lo) / 3
+    t2 = lo + 2 * (hi - lo) / 3
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .drop("_rn")
+        )
+
+    vt = VersionedTable(spark, os.path.join(src, "dim"))
+    vt.write(latest(ev.where(F.col("ts") < F.lit(t1))))
+    vt.merge(
+        latest(ev.where((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2)))),
+        ["user_id"],
+        precedence=["ts", "event_id"],
+    )
+    vt.merge(
+        latest(ev.where(F.col("ts") >= F.lit(t2))),
+        ["user_id"],
+        precedence=["ts", "event_id"],
+    )
+    versions = vt.versions()
+    if len(versions) != 3:
+        raise RuntimeError(f"expected 3 committed versions, got {versions}")
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    state = vt.read(versions[0])
+    for v_from, v_to in zip(versions, versions[1:]):
+        d = vt.diff(v_from, v_to, ["user_id"])
+        new_images = d.where(
+            F.col("change_type").isin("insert", "update")
+        ).select(
+            "user_id",
+            *[F.col(f"new_{c}").alias(c) for c in cols if c != "user_id"],
+        ).select(*cols)
+        gone_keys = d.where(
+            F.col("change_type").isin("delete", "insert", "update")
+        ).select("user_id")
+        state = (
+            state.join(gone_keys, "user_id", "left_anti")
+            .select(*cols)
+            .unionByName(new_images)
+        )
+
+    direct = vt.read(versions[-1]).select(*cols)
+    drift = state.exceptAll(direct).count() + direct.exceptAll(state).count()
+    if drift != 0:
+        raise RuntimeError(f"replay drifted from direct read: {drift} rows")
+    return state

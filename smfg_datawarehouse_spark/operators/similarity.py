@@ -1602,3 +1602,233 @@ def l25_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+
+# x142: nearest-centroid classification — the cheapest embedding-space
+# classifier there is (Rocchio), and the standard fast baseline for
+# "do these embeddings separate the labels at all?" before training
+# anything. Doubles as the evaluation harness for labeled-centroid
+# routing (the same argmin kernel IVF uses, but against class means).
+
+_X142_ORACLE = """
+    WITH vecs AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), dims AS (
+      SELECT label, CAST(i AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS val
+      FROM vecs, UNNEST(range(1, len(v) + 1)) AS r(i)
+    ), micro AS (
+      SELECT label, dim,
+             SUM(CAST(floor(val * 1000000.0 + 0.5) AS BIGINT)) AS ms,
+             COUNT(*) AS n
+      FROM dims GROUP BY label, dim
+    ), cent AS (
+      SELECT label,
+             list(floor(CAST(ms AS DOUBLE) / 1000000.0 / n * 1000000.0 + 0.5)
+                  / 1000000.0 ORDER BY dim) AS c
+      FROM micro GROUP BY label
+    ), scored AS (
+      SELECT vecs.vec_id, vecs.label AS true_label,
+             cent.label AS cand_label,
+             list_reduce(list_transform(list_zip(v, c),
+                                        s -> (s[1] - s[2]) * (s[1] - s[2])),
+                         (x, y) -> x + y) AS d2
+      FROM vecs CROSS JOIN cent
+    ), pred AS (
+      SELECT vec_id, true_label, cand_label AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cand_label) AS rn
+      FROM scored
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM pred WHERE rn = 1 GROUP BY true_label, pred_label
+"""
+
+
+@register("x142_centroid_label_eval", _X142_ORACLE)
+def x142_centroid_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] NEAREST-CENTROID CLASSIFIER (Rocchio) over the labeled
+    embeddings — per-label class means, every vector assigned to its
+    L2-nearest centroid, emitted as the CONFUSION MATRIX (true x
+    predicted x count). The go/no-go probe run before any training:
+    if class centroids can't separate the labels, the embedding space
+    won't support the downstream classifier either — and the argmin
+    kernel is byte-for-byte the IVF cell-routing step (x11/x54) pointed
+    at class means instead of k-means cells.
+
+    Determinism: class means use x57's exact micro-unit recipe — integer
+    1e-6 sums per (label, dim), the mean re-snapped to the micro grid —
+    so every centroid coordinate is bit-identical in any engine at any
+    parallelism; distances fold per-row in dim order (left fold, same
+    association as the oracle's list_reduce); argmin ties break on
+    label.
+
+    Scale shape: centroid training is ONE map-combined (label, dim)-
+    keyed agg (|labels|x|dims| partials — KB); assignment broadcasts the
+    |labels|-row centroid table and scans the corpus ONCE, scan-side
+    argmin per row via a size-|labels| array fold, nothing pair-shaped
+    shuffled; the confusion rollup is a |labels|²-key agg."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    micro = (
+        e.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("val") * 1000000.0 + 0.5).cast("long")
+            ).alias("ms"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cent = (
+        micro.select(
+            "label",
+            "dim",
+            (
+                F.floor(
+                    F.col("ms").cast("double")
+                    / 1000000.0
+                    / F.col("n").cast("double")
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("m"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+        .select(F.col("label").alias("cand_label"), "c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "cand_label",
+        d2.alias("d2"),
+    )
+    wn = W.partitionBy("vec_id").orderBy("d2", "cand_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .groupBy(
+            "true_label", F.col("cand_label").alias("pred_label")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+
+
+# x144: farthest-point (maxmin / Gonzalez) diversity sampling — pick k
+# vectors that maximize the minimum pairwise spread: the standard
+# coreset / diverse-subset selection for "show me k maximally different
+# examples" and the 2-approximation initializer for k-center clustering
+# (Gonzalez 1985; the deterministic cousin of k-means++ seeding x57
+# initializes without).
+
+_X144_K = 6
+
+
+def _x144_d2(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"z -> (z[1] - z[2]) * (z[1] - z[2])), (x, y) -> x + y)"
+    )
+
+
+def _x144_oracle() -> str:
+    parts = [
+        "WITH vecs AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings), "
+        "p1 AS (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 1), "
+        f"m1 AS (SELECT a.vec_id, a.v, {_x144_d2('a.v', 's.v')} AS mind "
+        "FROM vecs a CROSS JOIN p1 s WHERE a.vec_id <> s.vec_id)"
+    ]
+    for i in range(2, _X144_K + 1):
+        parts.append(
+            f"p{i} AS (SELECT vec_id, v, mind FROM m{i - 1} "
+            f"ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if i < _X144_K:
+            parts.append(
+                f"m{i} AS (SELECT a.vec_id, a.v, "
+                f"LEAST(a.mind, {_x144_d2('a.v', 'p.v')}) AS mind "
+                f"FROM m{i - 1} a CROSS JOIN p{i} p "
+                f"WHERE a.vec_id <> p.vec_id)"
+            )
+    selects = [
+        "SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS mind FROM p1"
+    ] + [
+        f"SELECT {i} AS sel_rank, vec_id, mind FROM p{i}"
+        for i in range(2, _X144_K + 1)
+    ]
+    return ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+@register("x144_maxmin_diversity_sample", _x144_oracle())
+def x144_maxmin_diversity_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[X] FARTHEST-POINT (maxmin) DIVERSITY SAMPLE — Gonzalez's greedy
+    k-center: seed with the lowest vec_id, then 5 rounds of "pick the
+    vector farthest from everything selected so far" (argmax of the
+    running min-L2², ties to the lowest id). The selection a curation
+    run uses for maximally-diverse few-shot exemplars / eval panels, and
+    the certified deterministic seeding k-center clustering starts from.
+    The oracle replays every round exactly (chained CTEs), so the
+    ITERATIVE algorithm — not just one scan — is hash-checked.
+
+    Determinism: distances fold per-row in dim order (left fold == the
+    oracle's list_reduce), the running minimum is LEAST of previously
+    certified values, and every argmax breaks ties on vec_id — no float
+    accumulation across rows anywhere.
+
+    Scale shape: each round is ONE corpus scan computing a scalar argmax
+    (map-side partial top-1, k×1 driver rows total) plus a scan-side
+    LEAST update against the newest selected vector broadcast as a
+    literal — the same per-round cost profile as x57's Lloyd iterations;
+    the frontier is localCheckpointed so round r's plan does not replay
+    rounds 1..r-1."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seed = e.orderBy("vec_id").limit(1).first()
+
+    def d2_to(vec: list[float]):
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with("v", lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    selected = [(1, int(seed.vec_id), None)]
+    cur = (
+        e.where(F.col("vec_id") != int(seed.vec_id))
+        .withColumn("mind", d2_to(list(seed.v)))
+        .localCheckpoint(eager=False)
+    )
+    for i in range(2, _X144_K + 1):
+        pick = cur.orderBy(F.col("mind").desc(), "vec_id").limit(1).first()
+        selected.append((i, int(pick.vec_id), float(pick.mind)))
+        if i < _X144_K:
+            cur = (
+                cur.where(F.col("vec_id") != int(pick.vec_id))
+                .withColumn("mind", F.least("mind", d2_to(list(pick.v))))
+                .localCheckpoint(eager=False)
+            )
+    return spark.createDataFrame(
+        selected, "sel_rank int, vec_id long, mind double"
+    )

@@ -1506,3 +1506,176 @@ def s23_streaming_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("window_start"), "event_type", "cnt", "total_value"
     )
+
+
+_S24_ORACLE = """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), ch AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS version,
+           event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM ch
+"""
+
+
+@register("s24_streaming_scd2_maintenance", _S24_ORACLE)
+def s24_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/J3/§2.5] STREAMING SCD2 DIMENSION MAINTENANCE certified — the
+    foreachBatch production shape for keeping a type-2 slowly-changing
+    dimension current from an ordered change feed: the events backlog is
+    staged as THREE event-time-ordered slices (CDC commit order — SCD2
+    apply, like any CDC apply, is only defined over an ordered feed;
+    s11 certifies the drop path for feeds that violate it) and drained
+    one file per micro-batch; each batch seeds its change detection with
+    the dimension's OPEN row per user (batch-internal LAG for the rest),
+    CLOSES the open row at the user's first in-batch change, appends the
+    new validity-interval rows with continued version numbers, and
+    publishes via one ``VersionedTable.merge`` keyed on (user_id,
+    version). The converged table hash-checks against q79's BATCH SCD2
+    oracle — so batch-built and stream-maintained history are certified
+    IDENTICAL, the lambda-architecture equivalence that makes streaming
+    dim maintenance trustworthy. s10 certifies the type-1 (latest-wins)
+    streaming merge; this is its history-preserving type-2 twin.
+
+    Scale shape: per batch, ONE user-keyed window over batch rows plus a
+    key-joined lookup of open rows, and a key-shuffled MERGE — state
+    lives in the dimension table, not the state store, so key
+    cardinality is unbounded; version numbering never rescans closed
+    history (open row carries the max version by construction)."""
+    import os as _os2
+
+    from smfg_datawarehouse_spark.streaming.windows import events_stream
+
+    src = _scratch_dir(spark, "s24")
+    raw = _os.path.join(src, "raw")
+    _os2.makedirs(raw, exist_ok=True)
+    batch = load_events(spark, sf_dir)
+
+    lo, hi = batch.agg(F.min("ts"), F.max("ts")).first()
+    t1 = lo + (hi - lo) / 3
+    t2 = lo + 2 * (hi - lo) / 3
+    slices = [
+        batch.where(F.col("ts") < F.lit(t1)),
+        batch.where((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))),
+        batch.where(F.col("ts") >= F.lit(t2)),
+    ]
+    base = _os2.path.getmtime(raw)
+    for i, sl in enumerate(slices):
+        part_dir = _os.path.join(src, f"slice{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = next(
+            f for f in _os2.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(raw, f"slice-{i}.parquet")
+        _os2.rename(_os.path.join(part_dir, part), dst)
+        _os2.utime(dst, (base + 10 * (i + 1), base + 10 * (i + 1)))
+
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, _os.path.join(src, "dim"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select("user_id", "event_type", "ts", "event_id")
+        if b.isEmpty():
+            return
+        wb = W.partitionBy("user_id").orderBy("ts", "event_id")
+        b = b.withColumn("prev_type", F.lag("event_type").over(wb))
+        if vt.current_version() is not None:
+            open_rows = (
+                vt.read()
+                .where(F.col("valid_to").isNull())
+                .select(
+                    "user_id",
+                    F.col("event_type").alias("open_type"),
+                    F.col("version").alias("open_ver"),
+                    F.col("valid_from").alias("open_from"),
+                )
+            )
+        else:
+            open_rows = (
+                b.select("user_id")
+                .limit(0)
+                .withColumn("open_type", F.lit(None).cast("string"))
+                .withColumn("open_ver", F.lit(None).cast("long"))
+                .withColumn("open_from", F.lit(None).cast("timestamp"))
+            )
+        seeded = b.join(F.broadcast(open_rows), "user_id", "left")
+        changes = seeded.where(
+            (
+                F.col("prev_type").isNull()
+                & (
+                    F.col("open_type").isNull()
+                    | (F.col("open_type") != F.col("event_type"))
+                )
+            )
+            | (
+                F.col("prev_type").isNotNull()
+                & (F.col("prev_type") != F.col("event_type"))
+            )
+        )
+        new_rows = changes.select(
+            "user_id",
+            (
+                F.coalesce(F.col("open_ver"), F.lit(0).cast("long"))
+                + F.row_number().over(wb).cast("long")
+            ).alias("version"),
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wb).alias("valid_to"),
+        )
+        closed = (
+            changes.groupBy("user_id")
+            .agg(
+                F.min("ts").alias("close_at"),
+                F.first("open_ver").alias("open_ver"),
+                F.first("open_type").alias("open_type"),
+                F.first("open_from").alias("open_from"),
+            )
+            .where(F.col("open_ver").isNotNull())
+            .select(
+                "user_id",
+                F.col("open_ver").alias("version"),
+                F.col("open_type").alias("event_type"),
+                F.col("open_from").alias("valid_from"),
+                F.col("close_at").alias("valid_to"),
+            )
+        )
+        upserts = closed.unionByName(new_rows)
+        if not upserts.isEmpty():
+            vt.merge(upserts, ["user_id", "version"])
+
+    stream = events_stream(spark, raw, max_files_per_trigger=1).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", _os.path.join(src, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("s24 SCD2 drain did not terminate within 600s")
+    if vt.current_version() is None:
+        raise RuntimeError("s24 drain landed no dimension snapshot")
+    return vt.read().select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

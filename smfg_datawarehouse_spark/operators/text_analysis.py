@@ -1361,3 +1361,89 @@ def x53_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# x141: the BPE trainer's inner statistic — adjacent-symbol pair counts
+# over the word-frequency table. Iteration 1 of byte-pair encoding is
+# exactly "count every adjacent character pair, weighted by word
+# frequency, pick the max"; x24 certifies the pre-tokenization regex,
+# x27 the word-level n-grams — this is the character-level table the
+# merge rule actually reads.
+
+_X141_TOPK = 30
+
+_X141_ORACLE = rf"""
+    WITH tk AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), words AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tk, UNNEST(t) AS u(tok) GROUP BY tok
+    ), pairs AS (
+      SELECT tok, freq, substring(tok, CAST(i AS INTEGER), 2) AS pair
+      FROM words, UNNEST(range(1, length(tok))) AS r(i)
+      WHERE length(tok) >= 2
+    ), counted AS (
+      SELECT pair,
+             CAST(SUM(freq) AS BIGINT) AS total_count,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_words
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, total_count, n_words,
+           CAST(ROW_NUMBER() OVER (ORDER BY total_count DESC, pair)
+                AS BIGINT) AS rank
+    FROM counted
+    ORDER BY total_count DESC, pair
+    LIMIT {_X141_TOPK}
+"""
+
+
+@register("x141_bpe_pair_counts", _X141_ORACLE)
+def x141_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] BPE MERGE-CANDIDATE STATISTICS — the first iteration of
+    byte-pair-encoding training: adjacent CHARACTER-pair counts over the
+    corpus word-frequency table (each pair occurrence weighted by its
+    word's corpus frequency), top-30 with a total deterministic order.
+    The max row is the tokenizer's first merge rule; the table is what
+    a distributed BPE trainer materializes per iteration (Sennrich et
+    al. 2015 — the counting step is the only corpus-scale part).
+
+    Scale shape: the corpus collapses to the DISTINCT-word frequency
+    table first (one map-combined token-keyed agg — the only corpus-
+    scale stage), and pair exploding runs over the VOCABULARY (|vocab| ×
+    avg word length rows — trivially small), so iterating BPE rounds
+    would re-explode only the vocab, never the corpus. Counts exact
+    BIGINTs; top-k is a TakeOrderedAndProject."""
+    from smfg_datawarehouse_spark.functions import word_tokens
+
+    n_parts = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(n_parts)
+    words = (
+        d.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs = (
+        words.where(F.length("tok") >= 2)
+        .select(
+            "tok",
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1), "
+                    "i -> substring(tok, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("total_count"),
+        F.countDistinct("tok").cast("long").alias("n_words"),
+    )
+    wr = W.orderBy(F.col("total_count").desc(), "pair")
+    return (
+        counted.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .orderBy(F.col("total_count").desc(), "pair")
+        .limit(_X141_TOPK)
+    )

@@ -1362,3 +1362,156 @@ def x131_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (padded - real).cast("double") / padded.cast("double")
         ).alias("waste_frac"),
     )
+
+
+# x139: doc-as-query sparse retrieval — tf-idf cosine top-k through the
+# inverted index. x93 certifies the postings structure and x98 a fixed
+# bag-of-words BM25 query; this is the third retrieval leg: the QUERY is
+# itself a document's sparse vector (more-like-this / related-articles),
+# so the kernel is a sparse x sparse cosine driven entirely by term-keyed
+# joins — no dense embeddings, no pair enumeration beyond shared terms.
+
+_X139_NQ = 8      # query docs: doc_id < 8
+_X139_TOPK = 10
+
+_X139_ORACLE = rf"""
+    WITH tk0 AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), tk AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tk0, UNNEST(t) AS u(tok) GROUP BY doc_id, tok
+    ), dfq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tk GROUP BY tok
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents
+    ), w AS (
+      SELECT doc_id, tok,
+             CAST(tf AS DOUBLE) * (CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))
+               AS w
+      FROM tk JOIN dfq USING (tok) CROSS JOIN n
+    ), norms AS (
+      SELECT doc_id,
+             list_reduce(list(w * w ORDER BY tok), (a, b) -> a + b) AS n2
+      FROM w GROUP BY doc_id
+    ), q AS (
+      SELECT doc_id AS qid, tok, w AS qw FROM w WHERE doc_id < {_X139_NQ}
+    ), pairs AS (
+      SELECT q.qid, w.doc_id,
+             list_reduce(list(q.qw * w.w ORDER BY w.tok),
+                         (a, b) -> a + b) AS dot
+      FROM w JOIN q ON q.tok = w.tok AND w.doc_id <> q.qid
+      GROUP BY q.qid, w.doc_id
+    ), scored AS (
+      SELECT p.qid AS query_doc, p.doc_id,
+             p.dot / (sqrt(qs.n2) * sqrt(ds.n2)) AS cos_sim
+      FROM pairs p
+      JOIN norms qs ON qs.doc_id = p.qid
+      JOIN norms ds ON ds.doc_id = p.doc_id
+    )
+    SELECT query_doc, doc_id, cos_sim, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT query_doc, doc_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_doc
+                                ORDER BY cos_sim DESC, doc_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_X139_TOPK}
+"""
+
+
+@register("x139_tfidf_cosine_retrieval", _X139_ORACLE)
+def x139_tfidf_cosine_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] SPARSE TF-IDF COSINE RETRIEVAL (more-like-this): for each of
+    the 8 fixed query documents, the top-10 most similar corpus docs
+    by tf-idf cosine, computed ENTIRELY through the inverted index — a
+    sparse x sparse similarity where only docs SHARING a term with the
+    query are ever touched (the vector-space twin of x98's BM25 and the
+    lexical twin of x63's dense contamination scan). Weights are the
+    rational tf·(N/df) (log-free, per the repo's transcendental-free
+    determinism convention); dot products and norms fold in TERM ORDER
+    (left fold == the oracle's list_reduce), so every double is
+    bit-identical at any parallelism.
+
+    Scale shape: postings and weights come from ONE map-combined
+    (doc, term) agg; the query side is 8 docs' sparse vectors
+    broadcast; the candidate join keys on term and touches only
+    posting rows for terms the queries contain (df-bounded — the
+    classic impact-ordered retrieval cost, NOT corpus x corpus); norms
+    are a doc-keyed rollup computed once. At 100 TB this is the
+    text-retrieval serving path: term-keyed shuffles proportional to
+    query-term postings, never pairwise."""
+    from smfg_datawarehouse_spark.functions import word_tokens
+
+    n_parts = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(n_parts)
+    tk = (
+        d.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfq = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    w = (
+        tk.join(F.broadcast(dfq), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf").cast("double")
+                * (F.col("nd").cast("double") / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok", "w"))),
+                lambda s: s["w"] * s["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ).alias("n2")
+    )
+    q = w.where(F.col("doc_id") < _X139_NQ).select(
+        F.col("doc_id").alias("qid"),
+        F.col("tok").alias("qtok"),
+        F.col("w").alias("qw"),
+    )
+    pairs = (
+        w.join(F.broadcast(q), (F.col("tok") == F.col("qtok")))
+        .where(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("tok", (F.col("qw") * F.col("w")).alias("c"))
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ).alias("dot")
+        )
+    )
+    scored = (
+        pairs.join(
+            norms.select(F.col("doc_id").alias("qid"), F.col("n2").alias("qn2")),
+            "qid",
+        )
+        .join(norms, "doc_id")
+        .select(
+            F.col("qid").alias("query_doc"),
+            "doc_id",
+            (F.col("dot") / (F.sqrt("qn2") * F.sqrt("n2"))).alias("cos_sim"),
+        )
+    )
+    wr = W.partitionBy("query_doc").orderBy(F.col("cos_sim").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= _X139_TOPK)
+    )

@@ -911,3 +911,157 @@ def x132_feistel_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch",
         (F.col("l") * 65536 + F.col("r")).cast("long").alias("perm_pos"),
     )
+
+
+# x143: Neyman (optimal) stratified sample allocation — given a total
+# annotation/inspection budget, how many docs should each stratum
+# (source) contribute? Proportional allocation wastes budget on
+# low-variance strata; Neyman allocates n_h ∝ N_h·S_h (population size ×
+# within-stratum std), the variance-minimizing split (Neyman 1934) —
+# the planning table behind every "label 1k docs for the quality model"
+# run. Integerized by floor + largest-remainder so the plan sums to the
+# budget EXACTLY.
+
+_X143_BUDGET = 1000
+
+_X143_ORACLE = f"""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_c,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sumsq_c
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             sqrt((CAST(sumsq_c AS DOUBLE)
+                   - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE))
+                  / CAST(n_docs AS DOUBLE)) AS std_chars
+      FROM s
+    ), tot AS (
+      SELECT list_reduce(list(CAST(n_docs AS DOUBLE) * std_chars
+                              ORDER BY source),
+                         (a, b) -> a + b) AS total
+      FROM w
+    ), a AS (
+      SELECT source, n_docs, std_chars,
+             {_X143_BUDGET} * (CAST(n_docs AS DOUBLE) * std_chars)
+               / tot.total AS raw
+      FROM w CROSS JOIN tot
+    ), b AS (
+      SELECT source, n_docs, std_chars, raw,
+             CAST(floor(raw) AS BIGINT) AS base,
+             raw - floor(raw) AS rem
+      FROM a
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk,
+             {_X143_BUDGET} - SUM(base) OVER () AS deficit
+      FROM b
+    )
+    SELECT source, n_docs, std_chars, raw AS alloc_raw,
+           base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS n_alloc
+    FROM r
+"""
+
+
+@register("x143_neyman_allocation", _X143_ORACLE)
+def x143_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] NEYMAN-OPTIMAL STRATIFIED SAMPLE ALLOCATION — per source
+    stratum, the share of a 1000-doc budget that minimizes the estimator
+    variance for mean doc length: n_h ∝ N_h·S_h (stratum size × exact
+    population std of n_chars), integerized by floor + largest-remainder
+    so Σ n_alloc == budget exactly. The planning step of every
+    annotation / quality-audit run over a stratified corpus, and x140's
+    design-side complement (x140 certifies the estimate given a sample
+    design; this certifies the design).
+
+    Determinism: stratum moments are EXACT BIGINT sums (Σx, Σx²); std,
+    weights, and the allocation are a fixed chain of double ops per
+    stratum row; remainder ties break on source. The ranking windows run
+    over |strata| rows (tens), not the corpus.
+
+    Scale shape: ONE map-combined source-keyed agg over the corpus —
+    everything after is |strata|-sized. RAISE-gated on Σ n_alloc ==
+    budget (the integerization invariant) and on ≥2 strata."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_c"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sumsq_c"),
+    )
+    std = F.sqrt(
+        (
+            F.col("sumsq_c").cast("double")
+            - F.col("sum_c").cast("double")
+            * F.col("sum_c").cast("double")
+            / F.col("n_docs").cast("double")
+        )
+        / F.col("n_docs").cast("double")
+    )
+    w = s.select("source", "n_docs", std.alias("std_chars"))
+    wa = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    # Σ N_h·S_h folded in SOURCE order (a plain SUM over doubles would
+    # accumulate in partition order and drift from the oracle by a ULP
+    # once |strata| weights stop being exactly representable sums)
+    tot = w.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "source",
+                            (
+                                F.col("n_docs").cast("double")
+                                * F.col("std_chars")
+                            ).alias("w_h"),
+                        )
+                    )
+                ),
+                lambda s: s["w_h"],
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ).alias("total")
+    )
+    a = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "std_chars",
+        (
+            F.lit(float(_X143_BUDGET))
+            * (F.col("n_docs").cast("double") * F.col("std_chars"))
+            / F.col("total")
+        ).alias("raw"),
+    )
+    b = a.select(
+        "*",
+        F.floor("raw").cast("long").alias("base"),
+        (F.col("raw") - F.floor("raw")).alias("rem"),
+    )
+    r = b.select(
+        "*",
+        F.row_number().over(W.orderBy(F.col("rem").desc(), "source")).alias("rnk"),
+        (F.lit(_X143_BUDGET) - F.sum("base").over(wa)).alias("deficit"),
+    )
+    out = r.select(
+        "source",
+        "n_docs",
+        "std_chars",
+        F.col("raw").alias("alloc_raw"),
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("deficit"), 1).otherwise(0)
+        ).cast("long").alias("n_alloc"),
+    )
+    stats = out.agg(
+        F.sum("n_alloc").alias("total"), F.count(F.lit(1)).alias("n_strata")
+    ).first()
+    if stats.total != _X143_BUDGET or stats.n_strata < 2:
+        raise RuntimeError(
+            f"allocation invariant broken: total={stats.total} "
+            f"strata={stats.n_strata}"
+        )
+    return out

@@ -1138,14 +1138,18 @@ def _register_x129() -> None:
         vocabulary-sized) first-occurrence table by its winning doc —
         both shuffle partial aggregates, never raw exploded rows (the
         join-back formulation re-shuffled the exploded corpus and was
-        the bench's heaviest query: 8.9 s → ~4 s at sf0.1; the remaining
-        cost is the irreducible vocabulary-keyed MIN). Counts are
-        exact BIGINTs; the novelty ratio is a single division of exact
-        ints. Reuses x02's shingle convention verbatim, so the oracle is
-        its CTE plus a MIN."""
+        the bench's heaviest query). The corpus is repartitioned before
+        BOTH shingle passes — a compact source (one parquet row group
+        here; one scan split at scale) would otherwise run the ~300×
+        row-inflating explode and the regex tokenization in one task
+        (measured: 11 s single-task → ~1.5 s at sf0.1 on 32 cores).
+        Counts are exact BIGINTs; the novelty ratio is a single division
+        of exact ints. Reuses x02's shingle convention verbatim, so the
+        oracle is its CTE plus a MIN."""
         from smfg_datawarehouse_spark.functions import word_shingles
 
-        d = t(spark, sf_dir, "documents")
+        n_parts = spark.sparkContext.defaultParallelism
+        d = t(spark, sf_dir, "documents").repartition(n_parts)
         sh = d.select(
             "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
         )

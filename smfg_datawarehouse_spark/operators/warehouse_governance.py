@@ -93,8 +93,15 @@ def q88_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay it; the 100 TB path swaps in ``approx_count_distinct``
     (within-5%% gate certified by x47) without changing the output
     schema. Reference parity: the metadata/config catalog surface (S4)
-    describes declared shape; this describes the DATA."""
-    o = t(spark, sf_dir, "orders")
+    describes declared shape; this describes the DATA.
+
+    The scan is repartitioned first: ~9 exact count_distincts expand the
+    row stream ~10× before the partial agg, and a compact single-row-
+    group source would run that expansion in ONE task (measured 2.9 s →
+    1.8 s at sf0.1; at scale the source arrives in many splits and the
+    exchange is a no-op-sized rebalance)."""
+    n_parts = spark.sparkContext.defaultParallelism
+    o = t(spark, sf_dir, "orders").repartition(n_parts)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, expr in _PROFILE_NUM:
         c = F.expr(expr)

@@ -842,3 +842,112 @@ def q63_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# x140: sample-based approximate query processing — the interactive-BI
+# tier every 100 TB warehouse runs in front of the exact engine: answer
+# the aggregate from a small deterministic sample with a confidence
+# interval, and let the caller decide whether the error bar is good
+# enough before paying for the full scan (BlinkDB's contract).
+
+_X140_NUM = 13  # inclusion: first md5 byte < 0x0d -> p = 13/256 exactly
+
+_X140_ORACLE = f"""
+    WITH base AS (
+      SELECT l_returnflag,
+             l_extendedprice * (1 - l_discount) AS rev,
+             md5(CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR)) < '0d' AS in_s
+      FROM lineitem
+    ), g AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             {_dsum_sql('rev')} AS sum_exact,
+             CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sample,
+             {_dsum_sql('CASE WHEN in_s THEN rev END')} AS sum_sample,
+             {_dsum_sql('CASE WHEN in_s THEN rev * rev END')} AS sumsq_sample
+      FROM base GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_exact, n_sample,
+           CAST(n_sample AS DOUBLE) * (256.0 / {_X140_NUM}) AS n_est,
+           sum_exact,
+           sum_sample * (256.0 / {_X140_NUM}) AS sum_est,
+           ABS(sum_sample * (256.0 / {_X140_NUM}) - sum_exact) / sum_exact
+             AS rel_err,
+           1.96 * sqrt(sumsq_sample
+                       * ((1.0 - {_X140_NUM} / 256.0)
+                          / (({_X140_NUM} / 256.0) * ({_X140_NUM} / 256.0))))
+             AS ci95,
+           ABS(sum_sample * (256.0 / {_X140_NUM}) - sum_exact)
+             <= 1.96 * sqrt(sumsq_sample
+                            * ((1.0 - {_X140_NUM} / 256.0)
+                               / (({_X140_NUM} / 256.0)
+                                  * ({_X140_NUM} / 256.0))))
+             AS ci_covered
+    FROM g
+"""
+
+
+@register("x140_aqp_sample_estimate", _X140_ORACLE)
+def x140_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/A4] APPROXIMATE QUERY PROCESSING over a deterministic hash
+    sample — the BlinkDB/interactive-BI contract: per l_returnflag,
+    revenue totals estimated from the ~5% of rows whose
+    md5(orderkey-linenumber) first byte < 0x0d (inclusion probability
+    EXACTLY 13/256 — reproducible under reruns and data growth, unlike
+    ``TABLESAMPLE``), Horvitz-Thompson scaled (y/p), with the Poisson-
+    sampling 95% CI (Var = Σ_s y²·(1-p)/p²) and the exact answer beside
+    it so the cert GATES on the estimator's own guarantee (ci_covered).
+
+    Scale shape: ONE scan computes exact and sample aggregates together
+    (conditional aggregation — the sample predicate is a scan-side
+    expression, no second pass, no shuffle beyond |groups| partials).
+    At 100 TB the sample would be materialized as its own zone and this
+    query reads only it; the single-scan form here additionally certifies
+    the estimator against ground truth. All sums are decimal-exact
+    (``dsum``); the HT scaling, sqrt, and CI are single deterministic
+    double ops per group row."""
+    p = _X140_NUM / 256.0
+    scale = 256.0 / _X140_NUM
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    in_s = F.md5(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    ) < "0d"
+    g = (
+        li.select(
+            "l_returnflag",
+            rev.alias("rev"),
+            in_s.alias("in_s"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            dsum(F.col("rev")).alias("sum_exact"),
+            F.sum(F.when(F.col("in_s"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sample"),
+            dsum(F.when(F.col("in_s"), F.col("rev"))).alias("sum_sample"),
+            dsum(
+                F.when(F.col("in_s"), F.col("rev") * F.col("rev"))
+            ).alias("sumsq_sample"),
+        )
+    )
+    sum_est = F.col("sum_sample") * F.lit(scale)
+    ci95 = F.lit(1.96) * F.sqrt(
+        F.col("sumsq_sample") * F.lit((1.0 - p) / (p * p))
+    )
+    return g.select(
+        "l_returnflag",
+        "n_exact",
+        "n_sample",
+        (F.col("n_sample").cast("double") * F.lit(scale)).alias("n_est"),
+        "sum_exact",
+        sum_est.alias("sum_est"),
+        (F.abs(sum_est - F.col("sum_exact")) / F.col("sum_exact")).alias(
+            "rel_err"
+        ),
+        ci95.alias("ci95"),
+        (F.abs(sum_est - F.col("sum_exact")) <= ci95).alias("ci_covered"),
+    )

@@ -688,3 +688,56 @@ def test_x128_packing_no_corpus_scale_global_window(spark):
 def test_x129_novelty_keyed_joins_only(spark):
     df = qmod.all_queries()["x129_ngram_novelty_curve"](spark, SF)
     assert_no_cartesian(df)
+
+
+def test_q109_window_funnel_one_user_exchange(spark):
+    """q109's three stacked window MINs must share q64's single user_id
+    hash exchange (the per-row time bounds add zero shuffles)."""
+    df = qmod.all_queries()["q109_window_funnel"](spark, SF)
+    assert_no_cartesian(df)
+    assert exchange_count(df) <= 3  # user window + depth rollup (+AQE read)
+
+
+def test_x139_retrieval_joins_are_keyed_or_broadcast(spark):
+    """x139's candidate join must be term-keyed with the query side
+    broadcast — never a pair enumeration."""
+    df = qmod.all_queries()["x139_tfidf_cosine_retrieval"](spark, SF)
+    assert_no_cartesian(df)
+    assert broadcast_join_count(df) >= 2  # df table + query vectors
+
+
+def test_x140_aqp_single_scan(spark):
+    """x140 computes exact AND sample aggregates in ONE lineitem scan —
+    conditional aggregation, no second pass."""
+    df = qmod.all_queries()["x140_aqp_sample_estimate"](spark, SF)
+    schemas = read_schemas(df)
+    assert len(schemas) == 1  # one scan feeds both estimators
+    assert exchange_count(df) <= 1
+
+
+def test_x142_assignment_broadcasts_centroids(spark):
+    """x142's argmin assignment must broadcast the |labels|-row centroid
+    table against the corpus scan (a shuffled pair join would be wrong)."""
+    from smfg_datawarehouse_spark.plans import formatted_plan
+
+    df = qmod.all_queries()["x142_centroid_label_eval"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q110_rolling_distinct_fanout_shape(spark):
+    """q110's sliding COUNT DISTINCT must run as the fan-out rewrite:
+    keyed exchanges only, no 7-way self-join of the corpus."""
+    df = qmod.all_queries()["q110_rolling_distinct_users"](spark, SF)
+    assert_no_cartesian(df)
+    assert broadcast_join_count(df) >= 1  # observed-days filter broadcast
+
+
+def test_l36_mv_serving_reads_mv_artifact(spark):
+    """l36 must serve from the reloaded MV parquet + a tail scan — two
+    scans total, with the decimal partial sums surviving the roundtrip."""
+    df = qmod.all_queries()["l36_mv_tail_serving"](spark, SF)
+    schemas = read_schemas(df)
+    assert len(schemas) == 2  # MV artifact + orders tail
+    assert any(any("rev_partial" in f for f in s) for s in schemas)
