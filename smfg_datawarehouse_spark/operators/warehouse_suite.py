@@ -951,3 +951,235 @@ def x140_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ci95.alias("ci95"),
         (F.abs(sum_est - F.col("sum_exact")) <= ci95).alias("ci_covered"),
     )
+
+
+# q111: market-basket analysis over order lines — which parts are
+# ordered TOGETHER more than chance predicts. The association-rule
+# staple (support / confidence-free lift form) every retail warehouse
+# ships; pair space is per-order C(lines,2) with lines bounded by order
+# size, never |parts|².
+
+_Q111_TOPK = 20
+
+_Q111_ORACLE = f"""
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM pp
+    ), per_part AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part FROM pp
+      GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+    ), scored AS (
+      SELECT p.part_a, p.part_b, p.n_both,
+             pa.n_part AS n_a, pb.n_part AS n_b,
+             CAST(p.n_both AS DOUBLE) / n.n_orders AS support,
+             CAST(p.n_both * n.n_orders AS DOUBLE)
+               / CAST(pa.n_part * pb.n_part AS DOUBLE) AS lift
+      FROM pairs p
+      JOIN per_part pa ON pa.l_partkey = p.part_a
+      JOIN per_part pb ON pb.l_partkey = p.part_b
+      CROSS JOIN n
+    )
+    SELECT part_a, part_b, n_both, n_a, n_b, support, lift,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_both DESC, part_a, part_b)
+                  AS rnk
+      FROM scored
+    ) WHERE rnk <= {_Q111_TOPK}
+"""
+
+
+@register("q111_market_basket_lift", _Q111_ORACLE)
+def q111_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.4/§2.3] MARKET-BASKET PAIR LIFT — the top co-ordered part
+    pairs with their support and lift (observed co-occurrence over the
+    independence expectation), i.e. one-hop association-rule mining on
+    order lines. The lift form is kept RATIONAL (n_both·N / (n_a·n_b) —
+    one double division of exact BIGINT products, the repo's
+    transcendental-free convention; a log-lift would drift).
+
+    Scale shape: baskets dedup to DISTINCT (order, part) first, then the
+    pair space is Σ_orders C(lines,2) — bounded by real basket sizes
+    (TPC-H ≤7 lines), structurally immune to hot parts exploding the
+    join because pairing keys on ORDER, not part. Part marginals join
+    back broadcast (|parts|-sized), the global top-20 is a
+    TakeOrderedAndProject. At 100 TB: one order-keyed shuffle of the
+    deduped basket lines, one pair-keyed rollup. The deduped basket is
+    localCheckpointed — four consumers (both pair sides, part marginals,
+    the order count) would otherwise re-run the distinct each
+    (measured 5.0 s → ~1.6 s at sf0.1)."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_part")
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                per_part.select(
+                    F.col("l_partkey").alias("part_a"),
+                    F.col("n_part").alias("n_a"),
+                )
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                per_part.select(
+                    F.col("l_partkey").alias("part_b"),
+                    F.col("n_part").alias("n_b"),
+                )
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.col("n_both").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+            (
+                (F.col("n_both") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    # top-k FIRST (TakeOrderedAndProject — per-partition partial top-20,
+    # never a global sort), THEN rank the 20 survivors: a row_number over
+    # the full pair table would drag every pair through one task
+    top = scored.orderBy(
+        F.col("n_both").desc(), "part_a", "part_b"
+    ).limit(_Q111_TOPK)
+    wr = W.orderBy(F.col("n_both").desc(), "part_a", "part_b")
+    return top.withColumn("rank", F.row_number().over(wr).cast("long"))
+
+
+# q112: ABC (Pareto) inventory classification — parts ranked by revenue,
+# classified A/B/C at the 80% / 95% cumulative-share cuts. The heavy
+# intermediate is a GLOBAL cumulative revenue in rank order — done here
+# with band-partitioned DECIMAL prefix sums (the global_ordinals recipe
+# extended from counts to sums), so no single-partition corpus window.
+
+_Q112_ORACLE = """
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+               AS rev
+      FROM lineitem GROUP BY l_partkey
+    ), c AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+             SUM(rev) OVER () AS total
+      FROM pr
+    ), cls AS (
+      SELECT l_partkey, rev,
+             CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80
+                    THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+                    THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM c
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue
+    FROM cls GROUP BY abc_class
+"""
+
+
+@register("q112_abc_classification", _Q112_ORACLE)
+def q112_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5/A4] ABC / PARETO CLASSIFICATION of parts by revenue — the
+    inventory-management classic: rank parts by revenue, class A until
+    80% of cumulative revenue, B until 95%, C after. The interesting
+    operator is the GLOBAL running total in rank order: a plain
+    ``SUM OVER (ORDER BY rev DESC)`` drags every part through ONE task
+    (the q38 anti-pattern), so the prefix sum is decomposed exactly like
+    ``global_ordinals`` decomposes ROW_NUMBER — monotone revenue BANDS,
+    per-band DECIMAL sums rolled to band offsets (a |bands|-row window),
+    and a band-partitioned running DECIMAL sum inside each band; offset +
+    within-band = the global cumulative, every coordinate decimal-exact
+    so the band route is BIT-IDENTICAL to the oracle's one-window form.
+
+    Scale shape: one part-keyed rollup of lineitem, then |parts|-sized
+    band-partitioned windows; the only global object is the |bands|-row
+    offset table (broadcast). Share thresholds are two double compares
+    per part; the output is the 3-row class summary whose counts pin the
+    entire cumsum."""
+    li = t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,6)"
+            )
+        ).alias("rev")
+    )
+    # band monotone non-decreasing in (rev DESC): floor(-rev / width).
+    # the double cast only buckets — order inside a band is exact decimal
+    banded = pr.withColumn(
+        "_band", F.floor((-F.col("rev")).cast("double") / F.lit(10000.0))
+    )
+    offsets = (
+        banded.groupBy("_band")
+        .agg(F.sum("rev").alias("_bsum"))
+        .withColumn(
+            "_off",
+            F.sum("_bsum").over(
+                W.orderBy("_band").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .select("_band", "_off")
+    )
+    wb = W.partitionBy("_band").orderBy(F.col("rev").desc(), "l_partkey")
+    total = pr.agg(F.sum("rev").alias("_total"))
+    c = (
+        banded.join(F.broadcast(offsets), "_band")
+        .withColumn("_run", F.sum("rev").over(wb))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "rev",
+            (
+                F.coalesce(F.col("_off"), F.lit(0).cast("decimal(30,6)"))
+                + F.col("_run")
+            ).alias("cum"),
+            "_total",
+        )
+    )
+    share = F.col("cum").cast("double") / F.col("_total").cast("double")
+    cls = c.select(
+        "l_partkey",
+        "rev",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+        .alias("abc_class"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev").cast("double").alias("class_revenue"),
+    )
