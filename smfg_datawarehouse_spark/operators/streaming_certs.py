@@ -1679,3 +1679,90 @@ def s24_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+_S25_ORACLE = """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+"""
+
+
+@register("s25_streaming_mv_refresh", _S25_ORACLE)
+def s25_streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/S7/A4] STREAMING INCREMENTAL MV MAINTENANCE certified — the
+    refresh loop that keeps l36's materialized rollup current without
+    ever rescanning history: the orders backlog lands as THREE files
+    drained one per micro-batch; each batch folds its month-keyed
+    DECIMAL partials (count + decimal revenue sum) ADDITIVELY into the
+    MV — read current MV ⊎ batch partials, re-aggregate, publish as a
+    new atomic ``VersionedTable`` snapshot — and the converged MV must
+    hash-equal the one-shot batch rollup of the whole table. The
+    additive-decimal contract is the load-bearing part: folding DOUBLE
+    partials batch-by-batch would accumulate a different rounding path
+    than the oracle's single pass and hash-fail; decimal partials make
+    refresh order irrelevant. l36 certifies SERVING from an MV + raw
+    tail; this certifies MAINTAINING the MV itself — together they are
+    the full incremental-view lifecycle.
+
+    Scale shape: per batch, ONE month-keyed map-combined agg over only
+    the batch's rows plus a |months|-sized combine with the current MV;
+    the MV table never exceeds |months| rows, so refresh cost is
+    O(batch) regardless of history size."""
+    import os as _os2
+
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+    from smfg_datawarehouse_spark.streaming.windows import events_stream  # noqa: F401
+
+    src = _scratch_dir(spark, "s25")
+    raw = _os.path.join(src, "raw")
+    orders = t(spark, sf_dir, "orders")
+    orders.repartition(3).write.mode("overwrite").parquet(raw)
+
+    vt = VersionedTable(spark, _os.path.join(src, "mv"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias(
+                "rev_partial"
+            ),
+        )
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        delta = partial(batch_df)
+        if vt.current_version() is not None:
+            delta = vt.read().unionByName(delta)
+        combined = delta.groupBy("month").agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("rev_partial")
+            .cast("decimal(30,6)")
+            .alias("rev_partial"),
+        )
+        vt.write(combined)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw)
+    )
+    q = (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", _os.path.join(src, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("s25 MV refresh drain did not terminate in 600s")
+    if vt.current_version() is None:
+        raise RuntimeError("s25 drain landed no MV snapshot")
+    return vt.read().select(
+        "month",
+        "n_orders",
+        F.col("rev_partial").cast("double").alias("revenue"),
+    )
