@@ -1114,7 +1114,9 @@ _Q112_ORACLE = """
 
 
 @register("q112_abc_classification", _Q112_ORACLE)
-def q112_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q112_abc_classification(
+    spark: SparkSession, sf_dir: str, band_width: float = 10000.0
+) -> DataFrame:
     """[§2.5/A4] ABC / PARETO CLASSIFICATION of parts by revenue — the
     inventory-management classic: rank parts by revenue, class A until
     80% of cumulative revenue, B until 95%, C after. The interesting
@@ -1131,7 +1133,8 @@ def q112_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-partitioned windows; the only global object is the |bands|-row
     offset table (broadcast). Share thresholds are two double compares
     per part; the output is the 3-row class summary whose counts pin the
-    entire cumsum."""
+    entire cumsum. ``band_width`` only changes the DECOMPOSITION, never
+    the result — tests/test_plans pins width-invariance."""
     li = t(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(
         F.sum(
@@ -1143,7 +1146,8 @@ def q112_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band monotone non-decreasing in (rev DESC): floor(-rev / width).
     # the double cast only buckets — order inside a band is exact decimal
     banded = pr.withColumn(
-        "_band", F.floor((-F.col("rev")).cast("double") / F.lit(10000.0))
+        "_band",
+        F.floor((-F.col("rev")).cast("double") / F.lit(float(band_width))),
     )
     offsets = (
         banded.groupBy("_band")

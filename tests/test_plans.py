@@ -741,3 +741,32 @@ def test_l36_mv_serving_reads_mv_artifact(spark):
     schemas = read_schemas(df)
     assert len(schemas) == 2  # MV artifact + orders tail
     assert any(any("rev_partial" in f for f in s) for s in schemas)
+
+
+def test_q112_band_width_invariance(spark):
+    """q112's revenue bands are pure decomposition: any band width must
+    produce the identical class table (the decimal offsets + within-band
+    runs always compose to the same global cumsum)."""
+    from smfg_datawarehouse_spark.operators.warehouse_suite import (
+        q112_abc_classification,
+    )
+
+    wide = sorted(
+        map(tuple, q112_abc_classification(spark, SF, band_width=10000.0)
+            .collect())
+    )
+    narrow = sorted(
+        map(tuple, q112_abc_classification(spark, SF, band_width=137.0)
+            .collect())
+    )
+    assert wide == narrow
+
+
+def test_x144_maxmin_sequence_non_increasing(spark):
+    """Gonzalez greedy invariant: each selected point's min-distance to
+    the prior selection never increases along the selection order (the
+    frontier only shrinks as points are added)."""
+    df = qmod.all_queries()["x144_maxmin_diversity_sample"](spark, SF)
+    rows = sorted(df.collect(), key=lambda r: r.sel_rank)
+    dists = [r.mind for r in rows if r.mind is not None]
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists

@@ -722,3 +722,69 @@ def test_dedup_within_watermark_semantics(spark, tmp_path):
     assert dropped_by_batch.get(1, 0) == 0
     assert dropped_by_batch.get(2, 0) == 0  # in-state dedup, not wm drop
     assert dropped_by_batch.get(3, 0) == 1  # post-eviction late B
+
+
+def test_s25_mv_refresh_batch_split_invariance(spark, tmp_path):
+    """The s25 contract in miniature: folding month-keyed DECIMAL
+    partials into the MV additively makes the refresh result identical
+    however the backlog splits into micro-batches (2-file vs 4-file
+    arrival) — and identical to the one-shot batch rollup."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.queries import t
+    from smfg_datawarehouse_spark.sources.versioned import VersionedTable
+
+    orders = t(spark, "/root/testdata/sf0.001", "orders")
+
+    def partial(df):
+        return df.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias(
+                "rev_partial"
+            ),
+        )
+
+    def run(n_files: int, tag: str):
+        raw = str(tmp_path / f"raw{tag}")
+        orders.repartition(n_files).write.mode("overwrite").parquet(raw)
+        vt = VersionedTable(spark, str(tmp_path / f"mv{tag}"))
+
+        def refresh(batch_df, batch_id):
+            delta = partial(batch_df)
+            if vt.current_version() is not None:
+                delta = vt.read().unionByName(delta)
+            vt.write(
+                delta.groupBy("month").agg(
+                    F.sum("n_orders").cast("long").alias("n_orders"),
+                    F.sum("rev_partial")
+                    .cast("decimal(30,6)")
+                    .alias("rev_partial"),
+                )
+            )
+
+        q = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(raw)
+            .writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", str(tmp_path / f"ckpt{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return sorted(
+            (str(r.month), r.n_orders, str(r.rev_partial))
+            for r in vt.read().collect()
+        )
+
+    two, four = run(2, "a"), run(4, "b")
+    assert two == four
+    oneshot = sorted(
+        (str(r.month), r.n_orders, str(r.rev_partial))
+        for r in partial(orders).collect()
+    )
+    assert two == oneshot
