@@ -1447,3 +1447,180 @@ def x141_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_count").desc(), "pair")
         .limit(_X141_TOPK)
     )
+
+
+# x147: the BPE training LOOP, certified — x141 is one iteration's pair
+# table; this runs FIVE true iterations (count pairs over the current
+# symbol sequences, merge the argmax pair left-to-right, recount) and
+# reports the merge chosen, its count, and the corpus symbol total after
+# each round. The oracle replays every round with chained CTEs, so the
+# iterative trainer — argmax selection, boundary-safe merge fold, count
+# interaction between rounds — is hash-checked end to end.
+
+_X147_ITERS = 5
+
+
+def _x147_oracle() -> str:
+    parts = [
+        r"""WITH tk AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ), words AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tk, UNNEST(t) AS u(tok) GROUP BY tok
+    ), s0 AS (
+      SELECT tok, freq, array_to_string(string_split(tok, ''), ' ') AS seq
+      FROM words
+    ), m0 AS (
+      SELECT 0 AS iteration, CAST(NULL AS VARCHAR) AS merged_pair,
+             CAST(NULL AS BIGINT) AS pair_count,
+             CAST(SUM(freq * len(string_split(seq, ' '))) AS BIGINT)
+               AS symbols_after
+      FROM s0
+    )"""
+    ]
+    fold = (
+        "list_reduce(string_split(seq, ' '), (acc, x) -> "
+        "CASE WHEN (acc = t.pa OR acc[-(length(t.pa)+1):] = ' ' || t.pa) "
+        "AND x = t.pb "
+        "THEN acc[1:length(acc)-length(t.pa)] || t.pa || t.pb "
+        "ELSE acc || ' ' || x END)"
+    )
+    for i in range(1, _X147_ITERS + 1):
+        parts.append(
+            f"""p{i} AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, arr[CAST(j AS INTEGER)] || ' '
+                     || arr[CAST(j AS INTEGER) + 1] AS pair
+        FROM (SELECT freq, string_split(seq, ' ') AS arr FROM s{i - 1}),
+             UNNEST(range(1, len(arr))) AS r(j)
+      ) GROUP BY pair
+    ), t{i} AS (
+      SELECT pair, cnt,
+             string_split(pair, ' ')[1] AS pa,
+             string_split(pair, ' ')[2] AS pb
+      FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+    ), s{i} AS (
+      SELECT tok, freq, {fold} AS seq
+      FROM s{i - 1} CROSS JOIN t{i} t
+    ), m{i} AS (
+      SELECT {i} AS iteration, t.pair AS merged_pair,
+             t.cnt AS pair_count,
+             CAST(SUM(s.freq * len(string_split(s.seq, ' '))) AS BIGINT)
+               AS symbols_after
+      FROM s{i} s CROSS JOIN t{i} t GROUP BY t.pair, t.cnt
+    )"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(0, _X147_ITERS + 1)
+    )
+    return (
+        ", ".join(parts)
+        + f""" SELECT u.iteration, u.merged_pair, u.pair_count,
+           u.symbols_after,
+           CAST(u.symbols_after AS DOUBLE)
+             / CAST(m0.symbols_after AS DOUBLE) AS compression
+    FROM ({unions}) u CROSS JOIN m0"""
+    )
+
+
+@register("x147_bpe_merge_apply", _x147_oracle())
+def x147_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] ITERATIVE BPE TRAINING certified — 5 true byte-pair-encoding
+    rounds over the corpus word-frequency table: each round counts
+    adjacent symbol pairs (weighted by word frequency), merges the
+    argmax pair (ties to the lexicographically first) LEFT-TO-RIGHT
+    NON-OVERLAPPING through every word's symbol sequence, and recounts —
+    the count interaction between rounds (merging 'e s' changes what
+    's t' neighbors) is exactly what x141's single-round table can't
+    certify. Emits per round: the merge rule chosen, its count, the
+    corpus symbol total after applying it, and the compression ratio vs
+    raw characters — the trainer's learning curve (Sennrich et al.
+    2015).
+
+    Determinism: the merge fold is a per-word left fold with
+    symbol-boundary-safe matching (a trailing symbol EQUAL to the
+    pair's left element, never a substring), identical in both engines;
+    counts are exact BIGINTs; the argmax breaks ties on pair text.
+
+    Scale shape: like x141, the corpus collapses to the DISTINCT-word
+    frequency table once — every BPE round then touches only the
+    vocabulary (|vocab| × word length), the same cost profile as a real
+    distributed BPE trainer where the corpus pass happens once and the
+    merge loop runs on the weighted vocab. Per round: one pair-keyed
+    vocab-sized agg, a 1-row argmax collect (k×1 driver rows total —
+    the x57/x144 budget), and a scan-side fold; the vocab frame is
+    localCheckpointed so round r never replays rounds 1..r-1."""
+    from smfg_datawarehouse_spark.functions import word_tokens
+
+    n_parts = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(n_parts)
+    seqs = (
+        d.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            "tok",
+            "freq",
+            F.concat_ws(" ", F.split(F.col("tok"), "")).alias("seq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def symbols_total(df: DataFrame) -> int:
+        return int(
+            df.agg(
+                F.sum(
+                    F.col("freq") * F.size(F.split(F.col("seq"), " "))
+                ).cast("long")
+            ).first()[0]
+        )
+
+    base_symbols = symbols_total(seqs)
+    records = [(0, None, None, base_symbols)]
+    for i in range(1, _X147_ITERS + 1):
+        # size-1 sequences have no pairs; Spark's sequence(1, 0) DESCENDS
+        # ([1, 0]) rather than returning empty, so gate on length first
+        pairs = (
+            seqs.where(F.size(F.split(F.col("seq"), " ")) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(seq, ' ')) - 1), "
+                        "j -> concat_ws(' ', element_at(split(seq, ' '), j), "
+                        "element_at(split(seq, ' '), j + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).first()
+        pa, pb = top.pair.split(" ")
+        fold = (
+            "aggregate("
+            "slice(split(seq, ' '), 2, size(split(seq, ' ')) - 1), "
+            "element_at(split(seq, ' '), 1), "
+            f"(acc, x) -> CASE WHEN (acc = '{pa}' "
+            f"OR endswith(acc, ' {pa}')) AND x = '{pb}' "
+            f"THEN concat(substring(acc, 1, length(acc) - {len(pa)}), "
+            f"'{pa}{pb}') "
+            "ELSE concat(acc, ' ', x) END)"
+        )
+        seqs = seqs.select(
+            "tok", "freq", F.expr(fold).alias("seq")
+        ).localCheckpoint(eager=False)
+        records.append((i, top.pair, int(top.cnt), symbols_total(seqs)))
+    out = spark.createDataFrame(
+        records,
+        "iteration int, merged_pair string, pair_count long, "
+        "symbols_after long",
+    )
+    return out.select(
+        "*",
+        (
+            F.col("symbols_after").cast("double") / F.lit(float(base_symbols))
+        ).alias("compression"),
+    )

@@ -207,10 +207,10 @@ _CERTIFIED = (
 #: round-6 registration automatically displaces a filler, never a
 #: never-certified name.
 #:
-#: Round-6 registrations (x128-x145, q108-q110, s21-s24, l35-l37) land
-#: in tier 1 — ahead of every filler, behind this window — so with 61
+#: Round-6 registrations (x128-x147, q108-q112, s21-s25, l35-l37) land
+#: in tier 1 — ahead of every filler, behind this window — so with 66
 #: total uncertified names the driver's 50 slots take all 33 window
-#: names + the first 17 tier-1 registrations; the newest 11 overflow to
+#: names + the first 17 tier-1 registrations; the newest 16 overflow to
 #: the round-7 window (build _WINDOW_R07 from CORRECTNESS_r06.json's
 #: complement exactly as this set was built from r05's).
 _WINDOW_R06 = {
