@@ -190,104 +190,85 @@ _CERTIFIED_R05 = {
     "x99_jl_projection_topk",
 }
 
-_CERTIFIED = (
+_CERTIFIED_FALLBACK = (
     _CERTIFIED_R01 | _CERTIFIED_R02 | _CERTIFIED_R03 | _CERTIFIED_R04
     | _CERTIFIED_R05
 )
 
-#: Round-6 driver-sample window (the driver certifies the FIRST 50
-#: registry names). Tier-0 core: the 33 names with zero driver rows
-#: after r05 (every round-5 registration, the spilled low-risk scan
-#: band, and the l31-l34 lake lifecycle family). The remaining 17 slots
-#: are re-certification fillers: certified names whose underlying code
-#: round 6 touches (sorted_compact / manifest fixes, the q94 rewrite,
-#: the x105/x59 regression re-times, Derby dialect edges) — a fresh
-#: driver hash on those validates this round's changes. Fillers sort
-#: BEHIND every uncertified name (see _priority_order), so a new
-#: round-6 registration automatically displaces a filler, never a
-#: never-certified name.
-#:
-#: Round-6 registrations (x128-x147, q108-q112, s21-s25, l35-l37) land
-#: in tier 1 — ahead of every filler, behind this window — so with 66
-#: total uncertified names the driver's 50 slots take all 33 window
-#: names + the first 17 tier-1 registrations; the newest 16 overflow to
-#: the round-7 window (build _WINDOW_R07 from CORRECTNESS_r06.json's
-#: complement exactly as this set was built from r05's).
-_WINDOW_R06 = {
-    # 33 never-driver-certified
-    "l31_optimistic_commit_conflict", "l32_partition_evolution",
-    "l33_manifest_tree_pruning", "l34_sorted_compaction",
-    "q105_position_attribution", "q106_decile_gains",
-    "q107_ratio_to_parent", "s18_streaming_heavy_hitters",
-    "s19_streaming_hll_registers", "s20_streaming_exactly_once_sink",
-    "x66_group_split_by_source", "x67_mixture_sampling_apply",
-    "x72_shard_layout_plan", "x75_source_quota_topk", "x77_zipf_constant",
-    "x78_tokenizer_fertility", "x79_k_anonymity_risk",
-    "x80_epoch_budget_plan", "x81_embedding_alignment",
-    "x82_lang_confusion", "x83_dup_cluster_histogram",
-    "x84_weighted_bernoulli_sample", "x97_mergeable_reservoir_sample",
-    "x102_length_drift_chi2", "x110_vocab_coverage_curve",
-    "x120_knn_graph", "x121_bigram_lm_score", "x122_audio_frame_features",
-    "x123_bbit_minhash_error", "x124_filter_funnel",
-    "x125_sorted_neighborhood_pairs", "x126_pair_feature_table",
-    "x127_boolean_retrieval",
-    # 17 re-certification fillers (code touched in round 6)
-    "q94_rolling_trend_slope", "x105_lsh_banding_calibration",
-    "x59_sq8_rerank_topk", "l07_compaction_lifecycle",
-    "l17_manifest_commit_lifecycle", "l18_zonemap_pruned_scan",
-    "l23_write_audit_publish", "l26_multi_table_transaction",
-    "l27_zero_copy_clone", "l30_binpack_minor_compaction",
-    "s15_streaming_write_audit_publish", "l14_jdbc_extraction_lifecycle",
-    "q16_metadata_compiler", "q05_ordered_group_concat",
-    "q19_merge_upsert", "l01_runner_audit_end_to_end",
-    "l02_versioned_merge_lifecycle",
-}
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: Names with NO driver row yet but an independent judge verification
-#: (round-3 VERDICT: 43/43 bit-exact sf0.01 DuckDB differential). They
-#: rank BELOW never-verified names in the driver sample: with >50
-#: uncertified names in a round, the 50 driver slots should go to
-#: queries with zero external evidence first.
-_JUDGE_VERIFIED_R03 = {
-    "q79_scd2_user_history", "q80_scd2_point_in_time",
-    "q82_burst_detection", "q83_grain_cascade", "q84_event_transitions",
-    "q85_rfm_segmentation", "q87_conversion_latency_profile",
-    "s03_streaming_interval_join", "s04_streaming_dedup",
-    "s05_streaming_session_window", "s06_streaming_sliding_window",
-    "s07_streaming_dim_enrichment", "s08_streaming_outer_join",
-    "s09_streaming_backlog_drain", "s10_streaming_cdc_upsert",
-    "x54_semantic_dedup", "x57_kmeans_lloyd",
-    "x58_eval_gram_decontamination", "x59_sq8_rerank_topk",
-    "x60_gopher_quality_gates", "x62_dsir_importance_weights",
-    "x63_semantic_contamination", "x64_hard_negative_mining",
-    "x65_corpus_datacard", "x66_group_split_by_source",
-    "x67_mixture_sampling_apply", "x68_collocation_lift",
-    "x69_embedding_covariance", "x70_lm_score_buckets",
-    "x71_containment_dupes", "x72_shard_layout_plan",
-    "x73_char_diversity_filter", "x74_eval_leakage_coverage",
-    "x75_source_quota_topk", "x76_quality_calibration",
-    "x77_zipf_constant", "x78_tokenizer_fertility",
-    "x79_k_anonymity_risk", "x80_epoch_budget_plan",
-    "x81_embedding_alignment", "x82_lang_confusion",
-    "x83_dup_cluster_histogram", "x84_weighted_bernoulli_sample",
+
+def _certified_from_disk() -> set[str]:
+    """Names with a green driver row in ANY on-disk CORRECTNESS_r*.json.
+
+    The driver lands a new CORRECTNESS_r{N}.json after each round closes,
+    i.e. AFTER the builder's last commit — so a hardcoded certified set is
+    stale (and the slot-waste guard red) the moment a round ends. Deriving
+    the tier from the files themselves makes the window self-refreshing:
+    every new driver record immediately pushes its green names to the back
+    of the registry order and promotes the never-certified complement into
+    the next 50-slot sample window. ``rows_match`` counts as green for the
+    oracle-less rows-only checks (custom stateful streaming) the driver
+    records with a weaker comparison; everything with an oracle needs
+    ``hash_match``. A malformed/unreadable file is skipped (never fatal on
+    import), and if NO files exist (fresh checkout without driver
+    artifacts) the frozen r01-r05 literals above are the offline fallback.
+    """
+    import glob
+    import json
+
+    greens: set[str] = set()
+    for path in sorted(
+        glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))
+    ):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") or row.get("rows_match"):
+                greens.add(name)
+    return greens
+
+
+_CERTIFIED = _certified_from_disk() or _CERTIFIED_FALLBACK
+
+#: Already-certified names whose underlying code THIS round touches
+#: (perf rewrites, shared-frame caching, dialect edges). They sort right
+#: behind every uncertified name, so if the driver window has spare
+#: slots a fresh hash re-validates this round's changes — and because
+#: every uncertified name still outranks them, a filler can never steal
+#: a slot from a never-certified query. Refresh per round alongside the
+#: round notes; stale entries cost nothing (they stay certified).
+_RECERT_FILLERS = {
+    # round 7: x105 restructure, x142 scan-side argmin, l36 cutover
+    # derivation, shared-frame caching in the heavy retrieval/pair plans
+    "x105_lsh_banding_calibration", "x142_centroid_label_eval",
+    "l36_mv_tail_serving", "x100_matryoshka_prefix_recall",
+    "x126_pair_feature_table", "x111_triangle_count",
+    "x127_boolean_retrieval", "l14_jdbc_extraction_lifecycle",
 }
 
 
 def _priority_order(names) -> list[str]:
-    """Four evidence tiers, driver-sample-aware: (0) window names with
-    no driver row yet (highest divergence risk), (1) every other
-    uncertified name (new round-6 registrations land here and so still
-    precede any certified name), (2) window re-certification fillers
-    (certified, but their code changed this round), (3) all other
-    certified names; stable (registration) order within each tier. The
-    driver samples the FIRST 50 names; because every uncertified name
-    outranks every certified one, fillers can never waste a slot a
-    never-certified query could have used."""
+    """Three evidence tiers, driver-sample-aware: (0) names with no green
+    driver row in any on-disk CORRECTNESS file (highest divergence risk —
+    new registrations land here automatically), (1) certified names whose
+    code changed this round (_RECERT_FILLERS), (2) every other certified
+    name; stable (registration) order within each tier. The driver
+    samples the FIRST 50 names; because every uncertified name outranks
+    every certified one, fillers can never waste a slot a never-certified
+    query could have used."""
 
     def tier(n: str) -> int:
         if n not in _CERTIFIED:
-            return 0 if n in _WINDOW_R06 else 1
-        return 2 if n in _WINDOW_R06 else 3
+            return 0
+        return 1 if n in _RECERT_FILLERS else 2
 
     return sorted(names, key=tier)
 
