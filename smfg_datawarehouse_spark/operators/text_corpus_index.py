@@ -1450,10 +1450,17 @@ def x139_tfidf_cosine_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    dfq = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     nd = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    # df is attached via a tok-partitioned window over the postings (the
+    # x56 recipe): the vocabulary grows with the corpus (typos, URLs,
+    # numbers), so a broadcast of the per-token df table is a driver/
+    # executor-memory blowup at 100 TB — the window rides the SAME
+    # tok-keyed shuffle the postings already need, no second pass, no
+    # broadcast of corpus-derived state.
     w = (
-        tk.join(F.broadcast(dfq), "tok")
+        tk.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("tok")).cast("long")
+        )
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
@@ -1463,6 +1470,7 @@ def x139_tfidf_cosine_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("nd").cast("double") / F.col("df").cast("double"))
             ).alias("w"),
         )
+        .localCheckpoint(eager=False)  # 3 consumers: norms, q, pairs
     )
     norms = w.groupBy("doc_id").agg(
         F.aggregate(
