@@ -1448,8 +1448,6 @@ def l35_column_stats_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reloaded
 
 
-_L36_CUTOVER = "1999-01-01 00:00:00"
-
 _L36_ORACLE = f"""
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -1486,7 +1484,17 @@ def l36_mv_tail_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = _scratch_dir(spark, "l36")
     mv_path = os.path.join(scratch, "mv_monthly_revenue")
     orders = t(spark, sf_dir, "orders")
-    cut = F.to_timestamp(F.lit(_L36_CUTOVER))
+    # Cutover = the LATEST month in the data (tail = current month, MV =
+    # all history before it) — the production high-water mark a refresh
+    # ledger records, derived instead of hardcoded so a regenerated
+    # fixture with a different date range can never make the split
+    # vacuous (ADVICE r6). One bounded scalar agg (the refresh-time
+    # metadata read); the oracle is the cutover-independent full
+    # recompute, so the derivation can't affect parity.
+    cut_ts = orders.agg(
+        F.date_trunc("month", F.max("o_orderdate")).alias("cut")
+    ).first()["cut"]
+    cut = F.lit(cut_ts).cast("timestamp")
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy(

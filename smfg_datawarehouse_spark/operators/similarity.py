@@ -1708,24 +1708,42 @@ def x142_centroid_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("cand_label"), "c")
     )
-    d2 = F.aggregate(
-        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
-    )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        F.col("label").alias("true_label"),
-        "cand_label",
-        d2.alias("d2"),
-    )
-    wn = W.partitionBy("vec_id").orderBy("d2", "cand_label")
-    return (
-        scored.withColumn("rn", F.row_number().over(wn))
-        .where(F.col("rn") == 1)
-        .groupBy(
-            "true_label", F.col("cand_label").alias("pred_label")
+    # Scan-side argmin: the |labels| centroids collapse to ONE row
+    # holding an array of (cand_label, c) structs; each corpus row folds
+    # over that broadcast array and takes array_min of (d2, cand_label)
+    # structs — struct comparison is field-lexicographic, so ties break
+    # on the smaller label exactly like the oracle's ORDER BY d2,
+    # cand_label. Nothing pair-shaped is ever shuffled: the only
+    # exchanges are the (label, dim) centroid agg and the |labels|²-key
+    # confusion rollup.
+    cent_arr = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cand_label", "c"))).alias(
+            "cents"
         )
+    )
+
+    def _d2(cand: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col("v"), cand["c"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda cand: F.struct(
+                _d2(cand).alias("d2"), cand["cand_label"].alias("cand_label")
+            ),
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(cent_arr))
+        .select(
+            F.col("label").alias("true_label"),
+            best["cand_label"].alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
     )
 

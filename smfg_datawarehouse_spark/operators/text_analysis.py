@@ -1525,6 +1525,36 @@ def _x147_oracle() -> str:
     )
 
 
+def bpe_merge_fold(pa: str, pb: str, seq_col: str = "seq") -> F.Column:
+    """Left-to-right non-overlapping BPE merge of adjacent symbols
+    (pa, pb) over a space-joined symbol sequence column.
+
+    Built from COLUMN functions, never from an f-string fed to
+    ``F.expr``: pa/pb are corpus-derived tokens, and a quote or
+    backslash in one would break (or silently corrupt) a textual SQL
+    fold — ``F.lit`` embeds them as values, not syntax. Boundary-safe:
+    the accumulator must END with the complete symbol ``pa`` (equal to
+    it, or preceded by a space), never a substring of a longer symbol.
+    """
+    arr = F.split(F.col(seq_col), " ")
+
+    def _merge(acc: F.Column, x: F.Column) -> F.Column:
+        hit = (
+            (acc == F.lit(pa)) | acc.endswith(F.lit(" " + pa))
+        ) & (x == F.lit(pb))
+        merged = F.concat(
+            acc.substr(F.lit(1), F.length(acc) - F.lit(len(pa))),
+            F.lit(pa + pb),
+        )
+        return F.when(hit, merged).otherwise(F.concat(acc, F.lit(" "), x))
+
+    return F.aggregate(
+        F.slice(arr, F.lit(2), F.size(arr) - F.lit(1)),
+        F.element_at(arr, 1),
+        _merge,
+    )
+
+
 @register("x147_bpe_merge_apply", _x147_oracle())
 def x147_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[X] ITERATIVE BPE TRAINING certified — 5 true byte-pair-encoding
@@ -1599,18 +1629,8 @@ def x147_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).first()
         pa, pb = top.pair.split(" ")
-        fold = (
-            "aggregate("
-            "slice(split(seq, ' '), 2, size(split(seq, ' ')) - 1), "
-            "element_at(split(seq, ' '), 1), "
-            f"(acc, x) -> CASE WHEN (acc = '{pa}' "
-            f"OR endswith(acc, ' {pa}')) AND x = '{pb}' "
-            f"THEN concat(substring(acc, 1, length(acc) - {len(pa)}), "
-            f"'{pa}{pb}') "
-            "ELSE concat(acc, ' ', x) END)"
-        )
         seqs = seqs.select(
-            "tok", "freq", F.expr(fold).alias("seq")
+            "tok", "freq", bpe_merge_fold(pa, pb).alias("seq")
         ).localCheckpoint(eager=False)
         records.append((i, top.pair, int(top.cnt), symbols_total(seqs)))
     out = spark.createDataFrame(

@@ -122,3 +122,39 @@ def test_winnowing_multibyte_parity(spark, tmp_path_factory):
     ).coalesce(1).write.parquet(str(d / "documents.parquet"))
     _compare(spark, str(d), "x23_winnowing_dupes")
     _compare(spark, str(d), "x71_containment_dupes")
+
+
+def test_bpe_merge_fold_quote_and_backslash_safe(spark):
+    """ADVICE r6: the BPE merge rule used to be an f-string fed to
+    F.expr, so an apostrophe or backslash in a corpus-derived merge pair
+    broke parsing (or silently corrupted the fold). The column-function
+    fold must treat such tokens as plain values."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.operators.text_analysis import bpe_merge_fold
+
+    rows = [
+        ("don't", 1, "d o n ' t"),
+        ("a\\b", 1, "a \\ b"),
+        ("nohit", 1, "x y z"),
+        ("single", 1, "q"),
+    ]
+    df = spark.createDataFrame(rows, "tok string, freq long, seq string")
+    got = {
+        r["tok"]: r["m"]
+        for r in df.select(
+            "tok", bpe_merge_fold("'", "t").alias("m")
+        ).collect()
+    }
+    assert got["don't"] == "d o n 't"
+    assert got["a\\b"] == "a \\ b"
+    assert got["nohit"] == "x y z"
+    assert got["single"] == "q"
+    got2 = {
+        r["tok"]: r["m"]
+        for r in df.select(
+            "tok", bpe_merge_fold("\\", "b").alias("m")
+        ).collect()
+    }
+    assert got2["a\\b"] == "a \\b"
+    assert got2["don't"] == "d o n ' t"

@@ -43,10 +43,17 @@ def main() -> None:
     head_end = m.end()
     # keep the prose between the header and the first table row
     body_start = src.index("| query | where | what |", head_end)
+    # replace ONLY the contiguous table: stop at the first non-table line
+    # after it (e.g. a section added below Appendix A), never truncate to
+    # EOF — a later '## ' heading must survive regeneration (ADVICE r6)
+    tail_start = len(src)
+    for match in re.finditer(r"\n(?!\|)", src[body_start:]):
+        tail_start = body_start + match.start() + 1
+        break
     table = (
         "| query | where | what |\n|---|---|---|\n" + "\n".join(rows) + "\n"
     )
-    open(SURVEY, "w").write(src[:body_start] + table)
+    open(SURVEY, "w").write(src[:body_start] + table + src[tail_start:])
     print(f"Appendix A regenerated: {len(rows)} rows")
 
 
