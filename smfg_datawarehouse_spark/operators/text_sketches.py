@@ -1048,21 +1048,23 @@ def _register_x126() -> None:
         )
         ssig = simhash_signatures(d)
         meta = d.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
-        a = (
-            sets.join(ssig, "doc_id").join(meta, "doc_id")
-            .select(
-                F.col("doc_id").alias("ka"), F.col("sh").alias("sh_a"),
-                F.col("sz").alias("sz_a"), F.col("simhash").alias("hs_a"),
-                F.col("nc").alias("nc_a"),
-            )
+        # one per-doc feature side, checkpointed: both ends of every
+        # candidate pair read the SAME materialized frame instead of each
+        # replaying the shingle-set rollup + simhash aggregation
+        side = (
+            sets.join(ssig, "doc_id")
+            .join(meta, "doc_id")
+            .localCheckpoint(eager=False)
         )
-        b = (
-            sets.join(ssig, "doc_id").join(meta, "doc_id")
-            .select(
-                F.col("doc_id").alias("kb"), F.col("sh").alias("sh_b"),
-                F.col("sz").alias("sz_b"), F.col("simhash").alias("hs_b"),
-                F.col("nc").alias("nc_b"),
-            )
+        a = side.select(
+            F.col("doc_id").alias("ka"), F.col("sh").alias("sh_a"),
+            F.col("sz").alias("sz_a"), F.col("simhash").alias("hs_a"),
+            F.col("nc").alias("nc_a"),
+        )
+        b = side.select(
+            F.col("doc_id").alias("kb"), F.col("sh").alias("sh_b"),
+            F.col("sz").alias("sz_b"), F.col("simhash").alias("hs_b"),
+            F.col("nc").alias("nc_b"),
         )
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
         return (
