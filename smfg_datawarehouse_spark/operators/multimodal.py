@@ -1064,3 +1064,80 @@ def x136_ahash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hd").cast("long").alias("min_ham"),
         F.max("hd").cast("long").alias("max_ham"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x151: energy-gated VAD segmentation — the curation step that consumes
+# x122's frame feature track: threshold frame energy, then stitch
+# consecutive voiced frames into segments (gaps-and-islands), which is
+# how an audio pipeline finds speech spans to keep and silence to trim
+# before any expensive model touches the bytes.
+# ---------------------------------------------------------------------------
+
+#: frame Σs² gate: the synthetic PCM's full frames carry ~155k-213k
+#: (phase-dependent) and tail frames much less, so 180000 splits the
+#: track non-vacuously at every fixture scale.
+_X151_ENERGY_GATE = 180000
+
+_X151_ORACLE = f"""
+    WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    dims AS (
+      SELECT doc_id, 64 + {_hex2('h', 5)} % 192 AS n FROM hashed
+    ),
+    samples AS (
+      SELECT doc_id, i // {WAV_FRAME} AS frame_idx,
+             ((i * 37) % 199) - 99 AS s
+      FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM dims)
+    ),
+    frames AS (
+      SELECT doc_id AS asset_id, frame_idx, SUM(s * s) AS sum_sq
+      FROM samples GROUP BY 1, 2
+    ),
+    voiced AS (
+      SELECT asset_id, frame_idx, sum_sq,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY asset_id
+                                            ORDER BY frame_idx) AS island
+      FROM frames WHERE sum_sq >= {_X151_ENERGY_GATE}
+    )
+    SELECT asset_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS seg_start,
+           CAST(MAX(frame_idx) AS BIGINT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(sum_sq) AS BIGINT) AS energy_sum
+    FROM voiced GROUP BY asset_id, island
+"""
+
+
+@register("x151_vad_energy_segments", _X151_ORACLE)
+def x151_vad_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] VOICE-ACTIVITY SEGMENTS from real decoded PCM: x122's
+    frame-level Σs² energy track (synthesize → REAL RIFF parse →
+    framing, Arrow-batched) is gated at a fixed energy threshold and
+    consecutive voiced frames are stitched into segments via
+    gaps-and-islands (frame_idx − row_number — the same island idiom as
+    x86's diagonal runs), emitting (segment start/end frame, length,
+    total energy) per asset. This is the trim/keep decision an audio
+    curation pipeline makes before decode-expensive stages; the oracle
+    replays the generator's closed form plus the identical island
+    construction and never sees a byte.
+
+    Scale shape: framing is scan-local in the decode UDF; the island
+    window keys on asset_id (per-file frame tracks — thousands of rows,
+    never corpus-wide); the rollup is (asset, island)-keyed. All
+    integers; segment identity is exact."""
+    from pyspark.sql import Window as W
+
+    frames = x122_audio_frame_features(spark, sf_dir)
+    voiced = frames.where(F.col("sum_sq") >= _X151_ENERGY_GATE).withColumn(
+        "island",
+        F.col("frame_idx")
+        - F.row_number().over(
+            W.partitionBy("asset_id").orderBy("frame_idx")
+        ),
+    )
+    return voiced.groupBy("asset_id", "island").agg(
+        F.min("frame_idx").cast("long").alias("seg_start"),
+        F.max("frame_idx").cast("long").alias("seg_end"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("sum_sq").cast("long").alias("energy_sum"),
+    ).drop("island")

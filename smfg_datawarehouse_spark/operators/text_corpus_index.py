@@ -1523,3 +1523,106 @@ def x139_tfidf_cosine_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(wr).cast("long"))
         .where(F.col("rank") <= _X139_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# x150: positional phrase retrieval — exact multi-word phrase matching
+# through a POSITIONAL inverted index (term -> (doc, position) postings),
+# the serving path behind every "quoted phrase" search box and the
+# n-gram-level contamination probe single-term postings (x93/x127)
+# cannot answer: the terms must be ADJACENT, in order.
+# ---------------------------------------------------------------------------
+
+_X150_PHRASES = ("scan query", "batch window", "slow hash batch")
+_X150_TOPK = 10
+
+
+def _x150_oracle() -> str:
+    branches = []
+    for ph in _X150_PHRASES:
+        k = len(ph.split(" "))
+        gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(k))
+        branches.append(f"""
+    SELECT '{ph}' AS phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM (
+      SELECT doc_id, unnest(list_transform(
+               range(1, GREATEST(len(tk) - {k - 1}, 1)),
+               i -> {gram})) AS g
+      FROM toks WHERE len(tk) >= {k}
+    ) WHERE g = '{ph}'
+    GROUP BY doc_id""")
+    body = "\n    UNION ALL\n".join(branches)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS tk
+      FROM documents
+    ),
+    hits AS (
+    {body}
+    )
+    SELECT phrase, doc_id, n_hits, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT phrase, doc_id, n_hits,
+             ROW_NUMBER() OVER (PARTITION BY phrase
+                                ORDER BY n_hits DESC, doc_id) AS rn
+      FROM hits
+    ) WHERE rn <= {_X150_TOPK}
+"""
+
+
+@register("x150_phrase_retrieval_positional", _x150_oracle())
+def x150_phrase_retrieval_positional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[X] POSITIONAL PHRASE RETRIEVAL: top-10 docs per quoted phrase by
+    exact in-order adjacent occurrence count, served through a
+    positional postings join — postings are FILTERED to the query
+    phrases' terms before anything shuffles (x127's query-term-scoping
+    discipline), then each phrase is one (doc, position)-keyed chain
+    join (term_i at pos p ⋈ term_{i+1} at pos p+1), which is how a real
+    positional index answers phrases without ever touching
+    non-query-term postings. The oracle replays it as an n-gram count —
+    same result, so parity certifies the join logic.
+
+    Scale shape: the postings build is one scan + explode filtered
+    scan-side to |phrase terms| tokens (df-bounded, like BM25's
+    term-scoped postings); adjacency joins key on (doc_id, pos) — the
+    classic impact-ordered phrase cost Σ df(term_i), never corpus².
+    Counts are exact BIGINTs; ranking ties break on doc_id."""
+    from smfg_datawarehouse_spark.functions import word_tokens
+
+    n_parts = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(n_parts)
+    all_terms = sorted({w for ph in _X150_PHRASES for w in ph.split(" ")})
+    postings = (
+        d.select(
+            "doc_id", F.posexplode(word_tokens(F.col("text"))).alias("pos", "tok")
+        )
+        .where(F.col("tok").isin(all_terms))
+        .localCheckpoint(eager=False)  # consumed once per phrase term
+    )
+    out = None
+    for ph in _X150_PHRASES:
+        terms = ph.split(" ")
+        cur = postings.where(F.col("tok") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for j, term in enumerate(terms[1:], start=1):
+            nxt = postings.where(F.col("tok") == term).select(
+                F.col("doc_id").alias("d_j"), F.col("pos").alias("p_j")
+            )
+            cur = cur.join(
+                nxt,
+                (F.col("doc_id") == F.col("d_j"))
+                & (F.col("p_j") == F.col("p0") + F.lit(j)),
+            ).select("doc_id", "p0")
+        hits = cur.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        ).select(F.lit(ph).alias("phrase"), "doc_id", "n_hits")
+        out = hits if out is None else out.unionByName(hits)
+    wr = W.partitionBy("phrase").orderBy(F.col("n_hits").desc(), "doc_id")
+    return (
+        out.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= _X150_TOPK)
+    )
