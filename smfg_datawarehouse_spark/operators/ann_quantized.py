@@ -880,3 +880,124 @@ def x112_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("fused_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x153: MRR of prefix-dimension retrieval — x100 measures recall@10 (set
+# overlap, order-blind); MRR asks the sharper serving question: at WHAT
+# RANK does the true nearest neighbor surface when searching truncated
+# vectors? A prefix that keeps recall but pushes the true hit from rank
+# 1 to rank 20 still wrecks a top-3 product surface; this is the curve
+# that catches it (the second half of the MRL truncation decision).
+# ---------------------------------------------------------------------------
+
+MRR_SHORTLIST = 25
+
+
+def _x153_oracle() -> str:
+    branches = []
+    for L in MRL_PREFIXES:
+        branches.append(f"""
+    SELECT CAST({L} AS BIGINT) AS prefix_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(COALESCE(rr_micro, 0)) AS BIGINT) AS mrr_micro_sum,
+           CAST(SUM(COALESCE(rr_micro, 0)) AS DOUBLE)
+             / (COUNT(*) * 1000000.0) AS mrr
+    FROM truth t LEFT JOIN (
+      SELECT query_id, neighbor_id, 1000000 // rank AS rr_micro FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_dcos(f'q.qv[1:{L}]', f'c.v[1:{L}]')} DESC,
+                          c.vec_id) AS rank
+        FROM vecs c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= {MRR_SHORTLIST}
+    ) a ON a.query_id = t.query_id AND a.neighbor_id = t.nn_id""")
+        branches[-1] += "\n    GROUP BY 1"
+    body = "\n    UNION ALL\n".join(branches)
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id % 25 = 0),
+    truth AS (
+      SELECT query_id, neighbor_id AS nn_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_dcos('q.qv', 'c.v')} DESC,
+                                           c.vec_id) AS rank
+        FROM vecs c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rank = 1
+    )
+    {body}
+"""
+
+
+@register("x153_mrr_prefix_eval", _x153_oracle())
+def x153_mrr_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] MEAN RECIPROCAL RANK of prefix-dimension retrieval: per
+    Matryoshka prefix (4/8/16/32 of 64 dims), find the rank at which the
+    FULL-dim true nearest neighbor appears in the truncated-vector
+    ranking (shortlist 25; absent → reciprocal 0) and report the
+    per-prefix MRR. Complements x100's recall@10 — recall is order-blind
+    and MRR is the top-rank serving metric the truncation decision
+    actually rides on.
+
+    Determinism: reciprocals are the exact-integer rationalization
+    1e6 DIV rank summed as BIGINT (the x148 recipe — a float 1/rank sum
+    would be partition-order-dependent); MRR itself is ONE division of
+    two exact integers. Ranking ties break on vec_id, matching the
+    oracle's ORDER BY exactly.
+
+    Scale shape: truth is one full-dim run of the single-scan
+    partial-top-k kernel (k=1); each prefix ranking reuses the same
+    kernel on sliced vectors (slice is scan-local); the rank lookup is a
+    (query, neighbor)-keyed left join against Q rows. Nothing beyond the
+    x10/x100 scan family."""
+    e = t(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qd = ed.where(F.col("vec_id") % 25 == 0)
+    truth = (
+        brute_force_topk(ed, qd, dim=64, vec_col="v", k=1)
+        .select("query_id", F.col("neighbor_id").alias("nn_id"))
+        .localCheckpoint(eager=False)  # one consumer per prefix branch
+    )
+    out = None
+    for L in MRL_PREFIXES:
+        edl = ed.select("vec_id", F.slice("v", 1, L).alias("v"))
+        qdl = qd.select("vec_id", F.slice("v", 1, L).alias("v"))
+        approx = brute_force_topk(
+            edl, qdl, dim=L, vec_col="v", k=MRR_SHORTLIST
+        ).select(
+            F.col("query_id").alias("a_qid"),
+            F.col("neighbor_id").alias("a_nid"),
+            F.expr("1000000 DIV rank").cast("long").alias("rr_micro"),
+        )
+        rec = (
+            truth.join(
+                approx,
+                (F.col("query_id") == F.col("a_qid"))
+                & (F.col("nn_id") == F.col("a_nid")),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.sum(F.coalesce(F.col("rr_micro"), F.lit(0)))
+                .cast("long")
+                .alias("mrr_micro_sum"),
+            )
+            .select(
+                F.lit(L).cast("long").alias("prefix_dim"),
+                "n_queries",
+                "mrr_micro_sum",
+                (
+                    F.col("mrr_micro_sum").cast("double")
+                    / (F.col("n_queries") * 1000000.0)
+                ).alias("mrr"),
+            )
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out

@@ -1621,3 +1621,104 @@ def l37_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     if drift != 0:
         raise RuntimeError(f"replay drifted from direct read: {drift} rows")
     return state
+
+
+# ---------------------------------------------------------------------------
+# l38: orphan-file audit — the table-maintenance sweep every manifest
+# lakehouse schedules (Iceberg's remove_orphan_files / Delta's FSCK):
+# reconcile what the manifest CLAIMS against what the filesystem HOLDS,
+# in both directions. Orphans (on disk, never committed — a failed
+# writer's leftovers) silently leak storage; referenced-but-missing
+# files (manifest points at nothing) break every future reader, and the
+# audit must find them BEFORE a query does.
+# ---------------------------------------------------------------------------
+
+_L38_ORACLE = """
+    SELECT 'orphan' AS status, CAST(1 AS BIGINT) AS n_files
+    UNION ALL
+    SELECT 'referenced_missing', CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 'referenced_present',
+           CAST(COUNT(DISTINCT r_regionkey) - 1 AS BIGINT)
+    FROM region
+"""
+
+
+@register("l38_orphan_file_audit", _L38_ORACLE)
+def l38_orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S3/S4/L] ORPHAN-FILE AUDIT lifecycle: build a manifest table with
+    one committed file per region (|regions| append commits through the
+    real ManifestTable protocol), then inject BOTH failure modes a
+    maintenance sweep exists to catch — an uncommitted leftover data
+    file (simulated failed writer: bytes on disk, no manifest row) and a
+    referenced file deleted out from under the manifest (external
+    interference) — and reconcile directory listing vs manifest in both
+    directions. Returns the audit rollup (status × file count); the
+    oracle derives the present count from the region table, so a
+    commit-protocol change that alters file counts cannot silently pass.
+
+    Scale shape: the audit is METADATA work — manifest read is
+    O(committed files), the listing is the storage inventory every
+    lakehouse maintenance job already pays (parallelizable by prefix at
+    100 TB), and the reconciliation is one set difference each way on
+    relative paths; no data file is opened. The engine-side listing here
+    is a bounded driver walk over the scratch table dir."""
+    import shutil
+
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
+
+    scratch = _scratch_dir(spark, "l38")
+    mt = ManifestTable(spark, os.path.join(scratch, "tbl"))
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    keys = sorted(
+        r["r_regionkey"] for r in region.select("r_regionkey").collect()
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("n_nationkey")
+    )
+    per_region = (
+        orders.select("o_custkey", "o_totalprice")
+        .join(cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", F.col("n_regionkey").alias("rk"))
+            ),
+            "n_nationkey",
+        )
+        .groupBy("rk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    ).localCheckpoint(eager=False)  # |regions| rows; appended per key
+    for k in keys:
+        mt.append(per_region.where(F.col("rk") == k).coalesce(1))
+    manifest = set(mt.manifest())
+    if len(manifest) != len(keys):
+        raise RuntimeError(
+            f"l38 expected {len(keys)} committed files, got {len(manifest)}"
+        )
+    data_root = os.path.join(mt.path, "data")
+    # failure mode 1: a failed writer's uncommitted leftover
+    any_file = os.path.join(mt.path, sorted(manifest)[-1])
+    orphan_rel = os.path.join("data", "batch-1", "leftover-uncommitted.parquet")
+    shutil.copyfile(any_file, os.path.join(mt.path, orphan_rel))
+    # failure mode 2: a referenced file deleted externally
+    os.remove(os.path.join(mt.path, sorted(manifest)[0]))
+
+    on_disk = set()
+    for root, _dirs, files in os.walk(data_root):
+        for f in files:
+            if f.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, f), mt.path)
+                on_disk.add(rel)
+    orphans = on_disk - manifest
+    missing = manifest - on_disk
+    present = manifest & on_disk
+    return spark.createDataFrame(
+        [
+            ("orphan", len(orphans)),
+            ("referenced_missing", len(missing)),
+            ("referenced_present", len(present)),
+        ],
+        "status string, n_files long",
+    )

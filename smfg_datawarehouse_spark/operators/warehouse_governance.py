@@ -1731,3 +1731,91 @@ def l33_manifest_tree_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q113: policy-driven row-level security + column masking — the serving
+# contract a governed warehouse enforces between the curated zone and
+# every consumer: a broadcast policy catalog decides which ROWS a role
+# may see (region allow-list) and which COLUMNS arrive masked (the
+# customer name redacted to a suffix, balances coarsened to a bucket). The reference's
+# metadata-driven column handling (IncludeFlag / TransformationLogic,
+# `1. Metadata Creation.sql:88-100`) is exactly this shape one zone
+# earlier; x33 masks for egress, this certifies per-ROLE serving.
+# ---------------------------------------------------------------------------
+
+#: (role, allowed region key) — 'admin' sees all five regions raw;
+#: 'analyst' sees regions 0-2 with masked name + bucketed balance.
+_Q113_POLICY = (("admin", 0), ("admin", 1), ("admin", 2), ("admin", 3),
+                ("admin", 4), ("analyst", 0), ("analyst", 1), ("analyst", 2))
+
+_Q113_ORACLE = f"""
+    WITH policy (role, regionkey, masked) AS (
+      VALUES {", ".join(f"('{r}', {k}, {str(r != 'admin').upper()})"
+                        for r, k in _Q113_POLICY)}
+    )
+    SELECT p.role, c.c_custkey,
+           CASE WHEN p.masked
+                THEN 'XXX-' || substring(c.c_name, length(c.c_name) - 3, 4)
+                ELSE c.c_name END AS name_served,
+           CASE WHEN p.masked
+                THEN CAST(floor(c.c_acctbal / 100.0) * 100 AS DOUBLE)
+                ELSE CAST(c.c_acctbal AS DOUBLE) END AS acctbal_served,
+           n.n_name AS nation
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN policy p ON p.regionkey = n.n_regionkey
+"""
+
+
+@register("q113_policy_masked_serving", _Q113_ORACLE)
+def q113_policy_masked_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P1/P3/J1] ROW-LEVEL SECURITY + COLUMN MASKING serving view: a
+    role-keyed policy catalog (allow-listed region keys + a masked flag)
+    is broadcast-joined onto the customer dimension — 'admin' receives
+    every row raw, 'analyst' only its allowed regions with the name
+    redacted to its last four characters and the account balance coarsened
+    to a 100-unit bucket. One governed extract per (role, visible
+    customer), the exact contract a warehouse view layer enforces.
+
+    Determinism: masks are pure string/floor arithmetic; the balance
+    bucket is floor(x/100)*100 on the raw double (single op, no
+    summation); row membership is an equi-join on policy keys.
+
+    Scale shape: the policy catalog is control-plane-small (broadcast —
+    J1's config-join shape); nation is a broadcast dim; the customer
+    scan is touched ONCE and fans out only to matching (role, region)
+    rows. Masking is scan-side expression work — zero extra shuffles."""
+    policy = F.broadcast(
+        spark.createDataFrame(
+            [(r, k, r != "admin") for r, k in _Q113_POLICY],
+            "role string, regionkey int, masked boolean",
+        )
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("regionkey"),
+        F.col("n_name").alias("nation"),
+    )
+    joined = c.join(F.broadcast(n), "c_nationkey").join(policy, "regionkey")
+    name = F.when(
+        F.col("masked"),
+        F.concat(
+            F.lit("XXX-"),
+            F.substring(
+                F.col("c_name"), F.length("c_name") - F.lit(3), F.lit(4)
+            ),
+        ),
+    ).otherwise(F.col("c_name"))
+    bal = F.when(
+        F.col("masked"),
+        (F.floor(F.col("c_acctbal") / 100.0) * 100).cast("double"),
+    ).otherwise(F.col("c_acctbal").cast("double"))
+    return joined.select(
+        "role",
+        "c_custkey",
+        name.alias("name_served"),
+        bal.alias("acctbal_served"),
+        "nation",
+    )
