@@ -87,7 +87,19 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for name, fn in sorted(queries.items()):
+    import gc
+
+    for qi, (name, fn) in enumerate(sorted(queries.items())):
+        # localCheckpoint blocks are NOT SQL cache: they're RDD blocks the
+        # ContextCleaner releases only after BOTH a Python GC (drops the
+        # py4j wrappers) and a JVM GC (fires the weak references). Without
+        # the nudges below they accumulate across the ~320-query suite and
+        # the storage-memory pressure inflates later queries — the r5/r6
+        # "balloons under full-suite load" mechanism. Both run OUTSIDE the
+        # timed window.
+        gc.collect()
+        if qi % 20 == 0:
+            spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(repeats):
             # caches are scoped per query invocation (dedup prefix tables,

@@ -158,3 +158,17 @@ def test_bpe_merge_fold_quote_and_backslash_safe(spark):
     }
     assert got2["a\\b"] == "a \\b"
     assert got2["don't"] == "d o n ' t"
+
+
+def test_cdc_chunk_dedup_multibyte_and_empty_parity(spark, edge_sf_dir):
+    """x149's boundary gate hashes raw tokens: multibyte tokens must hash
+    identically in both engines and the zero-token doc must vanish from
+    the chunk table (never divide-by-zero in the dup ratio)."""
+    _compare(spark, edge_sf_dir, "x149_cdc_chunk_dedup")
+
+
+def test_phrase_retrieval_short_doc_parity(spark, edge_sf_dir):
+    """x150 on docs shorter than the phrase (and a zero-token doc): the
+    adjacency join and the oracle's n-gram branch must both yield
+    nothing rather than error on range(1, len-k+1) underflow."""
+    _compare(spark, edge_sf_dir, "x150_phrase_retrieval_positional")

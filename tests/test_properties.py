@@ -386,3 +386,95 @@ def test_manifest_enc_preserves_temporal_order(days):
     stamps = sorted(base + dt.timedelta(minutes=d) for d in days)
     enc = [ManifestTree._enc(s) for s in stamps]
     assert enc == sorted(enc)
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps",
+                         "zeta", "eta", "theta"]),
+        min_size=4,
+        max_size=24,
+    ),
+    ins_at=st.integers(0, 24),
+    new_tok=st.sampled_from(["omega", "kappa", "lambda"]),
+)
+@_SETTINGS
+def test_cdc_chunking_self_synchronizes(spark, toks, ins_at, new_tok):
+    """The property that makes content-defined chunking worth its cost
+    over x53's fixed windows: inserting one token may change the chunk
+    it lands in (and merge/split at that point), but every chunk that
+    starts AFTER the next boundary past the insertion must be
+    byte-identical in both versions — boundaries depend only on token
+    content, so the chunk stream re-aligns. Verified as: the edited
+    doc's chunk-hash multiset differs from the original's by at most
+    the chunks overlapping the insertion point (suffix chunk sequences
+    are equal once re-aligned)."""
+    from smfg_datawarehouse_spark.operators.dedup import cdc_chunks
+
+    ins_at = min(ins_at, len(toks))
+    edited = toks[:ins_at] + [new_tok] + toks[ins_at:]
+    docs = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, " ".join(edited))], "doc_id long, text string"
+    )
+    rows = cdc_chunks(docs).collect()
+    orig = [r["chunk_hash"] for r in sorted(
+        (r for r in rows if r["doc_id"] == 0), key=lambda r: r["chunk_id"])]
+    edit = [r["chunk_hash"] for r in sorted(
+        (r for r in rows if r["doc_id"] == 1), key=lambda r: r["chunk_id"])]
+    # chunks strictly BEFORE the insertion's chunk are identical
+    # (prefix stability) and chunks strictly AFTER the insertion's chunk
+    # re-align (suffix stability): compare longest common prefix +
+    # suffix; the differing middle is at most 2 chunks (split/merge at
+    # the insertion point).
+    p = 0
+    while p < min(len(orig), len(edit)) and orig[p] == edit[p]:
+        p += 1
+    s = 0
+    while (
+        s < min(len(orig), len(edit)) - p
+        and orig[len(orig) - 1 - s] == edit[len(edit) - 1 - s]
+    ):
+        s += 1
+    assert len(orig) - p - s <= 2, (toks, ins_at, new_tok, orig, edit)
+    assert len(edit) - p - s <= 2
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    cap=st.sampled_from([1, 2, 64]),
+)
+@_SETTINGS
+def test_adamic_adar_matches_bruteforce(spark, edges, cap):
+    """The wedge-join AA construction must equal the textbook definition
+    (restricted to centers with deg <= cap) on any small graph — the
+    degree cap is a recall trade, never a score change on surviving
+    pairs."""
+    from smfg_datawarehouse_spark.operators.dedup import adamic_adar_scores
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    eset = set(und)
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    expect: dict[tuple[int, int], tuple[int, int]] = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            zs = [z for z in adj[a] & adj[b] if deg[z] <= cap]
+            if zs:
+                expect[(a, b)] = (len(zs), sum(1000000 // deg[z] for z in zs))
+    df = spark.createDataFrame(und, "doc_a long, doc_b long")
+    rows = adamic_adar_scores(df, deg_cap=cap).collect()
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], round(r["aa_score"] * 1000000))
+        for r in rows
+    }
+    assert got == expect
+    for r in rows:
+        assert r["is_edge"] == ((r["doc_a"], r["doc_b"]) in eset)
