@@ -1722,3 +1722,137 @@ def l38_orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "status string, n_files long",
     )
+
+
+# ---------------------------------------------------------------------------
+# l39: sorted-run overlap-depth audit — the read-amplification metric
+# that DRIVES compaction scheduling (Iceberg/Delta "clustering depth",
+# LSM level-0 run count): for a time-filtered probe, how many files can
+# one timestamp force a reader to open? l34 certifies the compaction
+# that fixes deep overlap; this certifies the MEASUREMENT that decides
+# when to run it, contrasting a hash-appended layout (every run spans
+# the whole time range — depth = run count) against a time-clustered
+# layout (depth 1) built from the same rows.
+# ---------------------------------------------------------------------------
+
+_L39_RUNS = 4
+
+_L39_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id % {_L39_RUNS} AS run_id,
+             epoch_us(ts) AS tsu, event_id,
+             NTILE({_L39_RUNS}) OVER (ORDER BY ts, event_id) AS quartile
+      FROM events
+    ),
+    hash_runs AS (
+      SELECT run_id, MIN(tsu) AS lo, MAX(tsu) AS hi FROM ev GROUP BY run_id
+    ),
+    time_runs AS (
+      SELECT quartile, MIN(tsu) AS lo, MAX(tsu) AS hi FROM ev GROUP BY quartile
+    ),
+    pts AS (
+      SELECT 'hash_appended' AS layout, lo AS pos, 1 AS delta FROM hash_runs
+      UNION ALL
+      SELECT 'hash_appended', hi, -1 FROM hash_runs
+      UNION ALL
+      SELECT 'time_clustered', lo, 1 FROM time_runs
+      UNION ALL
+      SELECT 'time_clustered', hi, -1 FROM time_runs
+    ),
+    depth AS (
+      SELECT layout,
+             SUM(delta) OVER (PARTITION BY layout
+                              ORDER BY pos, delta DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS d
+      FROM pts
+    )
+    SELECT p.layout,
+           CAST({_L39_RUNS} AS BIGINT) AS n_runs,
+           CAST(MAX(d.d) AS BIGINT) AS max_overlap_depth
+    FROM (SELECT DISTINCT layout FROM pts) p
+    JOIN depth d ON d.layout = p.layout
+    GROUP BY p.layout
+"""
+
+
+@register("l39_overlap_depth_audit", _L39_ORACLE)
+def l39_overlap_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S3/S4] SORTED-RUN OVERLAP-DEPTH AUDIT: the events table is
+    written twice through real file layouts — (a) 4 hash-keyed
+    append runs (each internally time-sorted but spanning the whole
+    range: the arrival-order layout every streaming ingest produces)
+    and (b) 4 time-quartile clustered runs — then per-FILE
+    [min_ts, max_ts] ranges are read back from the actual written files
+    (input_file_name grouping, the footer-stats view a manifest keeps)
+    and the MAX STABBING DEPTH (how many files one probe timestamp can
+    force open) is computed via the +1/−1 interval sweep. Hash layout
+    must audit at depth = run count, clustered at 1 — the number that
+    tells a compaction scheduler which tables are worth an l34 pass.
+
+    Determinism: the quartile split uses NTILE over (ts, event_id) —
+    total order, both engines agree; depths are integer prefix sums
+    over ≤2·runs interval endpoints (inclusive ranges: +1 sorts before
+    −1 at equal position).
+
+    Scale shape: file stats are metadata (|files| rows — a manifest
+    read at 100 TB, never a data scan; here re-derived from the real
+    files to certify the write path); the sweep is a |files|-row
+    window. The two writes are the fixture's cost of staging both
+    layouts."""
+    from smfg_datawarehouse_spark.functions.ordering import distributed_ntile
+
+    scratch = _scratch_dir(spark, "l39")
+    base = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        (F.col("user_id") % _L39_RUNS).alias("run_id"),
+    )
+    # band-partitioned NTILE (exact SQL bucket split, no one-task global
+    # sort — the q38 anti-pattern this repo reserves as a contrast case);
+    # day bucket is monotone in the (ts, event_id) order
+    ev = distributed_ntile(
+        base,
+        _L39_RUNS,
+        ["ts", "event_id"],
+        band=F.expr("unix_micros(ts) DIV 86400000000"),
+        out_col="quartile",
+    )
+    hash_dir = os.path.join(scratch, "hash_appended")
+    time_dir = os.path.join(scratch, "time_clustered")
+    for rid in range(_L39_RUNS):
+        ev.where(F.col("run_id") == rid).sort("ts").coalesce(1).write.mode(
+            "append"
+        ).parquet(hash_dir)
+        ev.where(F.col("quartile") == rid + 1).sort("ts").coalesce(
+            1
+        ).write.mode("append").parquet(time_dir)
+
+    def run_ranges(path: str, layout: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min(F.unix_micros("ts")).alias("lo"),
+                F.max(F.unix_micros("ts")).alias("hi"),
+            )
+            .select(F.lit(layout).alias("layout"), "lo", "hi")
+        )
+
+    runs = run_ranges(hash_dir, "hash_appended").unionByName(
+        run_ranges(time_dir, "time_clustered")
+    )
+    pts = runs.select(
+        "layout", F.col("lo").alias("pos"), F.lit(1).alias("delta")
+    ).unionByName(
+        runs.select("layout", F.col("hi").alias("pos"), F.lit(-1).alias("delta"))
+    )
+    wd = (
+        W.partitionBy("layout")
+        .orderBy(F.col("pos"), F.col("delta").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    depth = pts.withColumn("d", F.sum("delta").over(wd))
+    return depth.groupBy("layout").agg(
+        F.lit(_L39_RUNS).cast("long").alias("n_runs"),
+        F.max("d").cast("long").alias("max_overlap_depth"),
+    )
