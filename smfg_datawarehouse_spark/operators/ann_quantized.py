@@ -705,6 +705,65 @@ MRL_PREFIXES = (4, 8, 16, 32)
 MRL_K = 10
 
 
+def multi_prefix_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefixes: tuple[int, ...],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact cosine top-k for EVERY prefix dimension in ONE corpus scan:
+    (prefix_dim, query_id, neighbor_id, cos_sim, rank). Each Arrow batch
+    is scored once per prefix on numpy slices of the SAME decoded
+    matrix — bit-identical to running ``brute_force_topk`` per sliced
+    frame (same ``_lr_cosine`` left-to-right dim fold on the same
+    values), at 1/|prefixes| of the scan + decode cost. The global
+    resolve is one (prefix, query)-keyed window over |prefixes|×Q×k
+    partial rows."""
+    qids, qmat = _collect_matrix(queries, id_col, vec_col)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qmat))
+    n_parts = spark.sparkContext.defaultParallelism
+    prefixes = tuple(prefixes)
+
+    def score_partition(it):
+        ids, qm = bq.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            for L in prefixes:
+                out = _topk_rows(
+                    _lr_cosine(cm[:, :L], qm[:, :L]), nid, ids, k
+                )
+                out.insert(0, "prefix_dim", np.int64(L))
+                yield out
+
+    c = corpus.repartition(n_parts).select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    partial = c.mapInPandas(
+        score_partition, "prefix_dim long, " + _PARTIAL_SCHEMA
+    )
+    w = W.partitionBy("prefix_dim", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "prefix_dim",
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def _mrl_oracle() -> str:
     branches = []
     for L in MRL_PREFIXES:
@@ -763,30 +822,32 @@ def x100_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     exact = brute_force_topk(ed, qd, dim=64, vec_col="v", k=MRL_K).select(
         "query_id", "neighbor_id"
     )
-    out = None
-    for L in MRL_PREFIXES:
-        edl = ed.select("vec_id", F.slice("v", 1, L).alias("v"))
-        qdl = qd.select("vec_id", F.slice("v", 1, L).alias("v"))
-        approx = brute_force_topk(edl, qdl, dim=L, vec_col="v", k=MRL_K).select(
-            F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
-        )
-        rec = (
-            exact.join(
-                approx,
-                (F.col("query_id") == F.col("a_qid"))
-                & (F.col("neighbor_id") == F.col("a_nid")),
-                "left",
-            )
-            .groupBy("query_id")
-            .agg((F.count("a_nid") / F.lit(MRL_K)).alias(f"recall_at_{MRL_K}"))
-            .select(
-                F.lit(L).cast("long").alias("prefix_dim"),
-                "query_id",
-                f"recall_at_{MRL_K}",
+    # all four prefix rankings come from ONE corpus scan (bit-identical
+    # to per-prefix runs — same slice values, same fold order)
+    approx = multi_prefix_topk(ed, qd, MRL_PREFIXES, MRL_K).select(
+        F.col("prefix_dim").alias("a_dim"),
+        F.col("query_id").alias("a_qid"),
+        F.col("neighbor_id").alias("a_nid"),
+    )
+    anchor = exact.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(int(L),) for L in MRL_PREFIXES], "prefix_dim long"
             )
         )
-        out = rec if out is None else out.unionByName(rec)
-    return out
+    )
+    return (
+        anchor.join(
+            approx,
+            (F.col("prefix_dim") == F.col("a_dim"))
+            & (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("prefix_dim", "query_id")
+        .agg((F.count("a_nid") / F.lit(MRL_K)).alias(f"recall_at_{MRL_K}"))
+        .select("prefix_dim", "query_id", f"recall_at_{MRL_K}")
+    )
 
 
 RRF_DIMS = (64, 16, 4)
@@ -960,44 +1021,46 @@ def x153_mrr_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     qd = ed.where(F.col("vec_id") % 25 == 0)
-    truth = (
-        brute_force_topk(ed, qd, dim=64, vec_col="v", k=1)
-        .select("query_id", F.col("neighbor_id").alias("nn_id"))
-        .localCheckpoint(eager=False)  # one consumer per prefix branch
+    truth = brute_force_topk(ed, qd, dim=64, vec_col="v", k=1).select(
+        "query_id", F.col("neighbor_id").alias("nn_id")
     )
-    out = None
-    for L in MRL_PREFIXES:
-        edl = ed.select("vec_id", F.slice("v", 1, L).alias("v"))
-        qdl = qd.select("vec_id", F.slice("v", 1, L).alias("v"))
-        approx = brute_force_topk(
-            edl, qdl, dim=L, vec_col="v", k=MRR_SHORTLIST
-        ).select(
-            F.col("query_id").alias("a_qid"),
-            F.col("neighbor_id").alias("a_nid"),
-            F.expr("1000000 DIV rank").cast("long").alias("rr_micro"),
-        )
-        rec = (
-            truth.join(
-                approx,
-                (F.col("query_id") == F.col("a_qid"))
-                & (F.col("nn_id") == F.col("a_nid")),
-                "left",
-            )
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_queries"),
-                F.sum(F.coalesce(F.col("rr_micro"), F.lit(0)))
-                .cast("long")
-                .alias("mrr_micro_sum"),
-            )
-            .select(
-                F.lit(L).cast("long").alias("prefix_dim"),
-                "n_queries",
-                "mrr_micro_sum",
-                (
-                    F.col("mrr_micro_sum").cast("double")
-                    / (F.col("n_queries") * 1000000.0)
-                ).alias("mrr"),
+    # all four prefix shortlists from ONE corpus scan (bit-identical to
+    # per-prefix runs — same slice values, same fold order)
+    approx = multi_prefix_topk(ed, qd, MRL_PREFIXES, MRR_SHORTLIST).select(
+        F.col("prefix_dim").alias("a_dim"),
+        F.col("query_id").alias("a_qid"),
+        F.col("neighbor_id").alias("a_nid"),
+        F.expr("1000000 DIV rank").cast("long").alias("rr_micro"),
+    )
+    anchor = truth.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(int(L),) for L in MRL_PREFIXES], "prefix_dim long"
             )
         )
-        out = rec if out is None else out.unionByName(rec)
-    return out
+    )
+    return (
+        anchor.join(
+            approx,
+            (F.col("prefix_dim") == F.col("a_dim"))
+            & (F.col("query_id") == F.col("a_qid"))
+            & (F.col("nn_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("prefix_dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(F.coalesce(F.col("rr_micro"), F.lit(0)))
+            .cast("long")
+            .alias("mrr_micro_sum"),
+        )
+        .select(
+            "prefix_dim",
+            "n_queries",
+            "mrr_micro_sum",
+            (
+                F.col("mrr_micro_sum").cast("double")
+                / (F.col("n_queries") * 1000000.0)
+            ).alias("mrr"),
+        )
+    )

@@ -1819,13 +1819,16 @@ def l39_overlap_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hash_dir = os.path.join(scratch, "hash_appended")
     time_dir = os.path.join(scratch, "time_clustered")
-    for rid in range(_L39_RUNS):
-        ev.where(F.col("run_id") == rid).sort("ts").coalesce(1).write.mode(
-            "append"
-        ).parquet(hash_dir)
-        ev.where(F.col("quartile") == rid + 1).sort("ts").coalesce(
-            1
-        ).write.mode("append").parquet(time_dir)
+    # one job per layout: partitionBy on the run key guarantees one file
+    # per run (a task holding two hash-colliding runs still writes one
+    # file per partition directory) — same physical layout as 4
+    # sequential coalesce(1) appends at a quarter of the job count
+    ev.repartition(_L39_RUNS, "run_id").sortWithinPartitions(
+        "run_id", "ts"
+    ).write.partitionBy("run_id").mode("overwrite").parquet(hash_dir)
+    ev.repartition(_L39_RUNS, "quartile").sortWithinPartitions(
+        "quartile", "ts"
+    ).write.partitionBy("quartile").mode("overwrite").parquet(time_dir)
 
     def run_ranges(path: str, layout: str) -> DataFrame:
         return (
