@@ -252,6 +252,9 @@ _RECERT_FILLERS = {
     "l36_mv_tail_serving", "x100_matryoshka_prefix_recall",
     "x126_pair_feature_table", "x111_triangle_count",
     "x127_boolean_retrieval", "l14_jdbc_extraction_lifecycle",
+    # jaccard_pairs df now rides a shingle-keyed window (vocab-broadcast
+    # removal) — re-hash its certified consumer
+    "x02_ngram_jaccard_pairs",
 }
 
 
