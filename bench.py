@@ -20,6 +20,19 @@ before timing. Each query's recorded time is the MIN of $SPARK_GRAFT_REPEATS
 (default 2) cold runs — min-of-N filters host/GC noise (observed 3-10×
 spikes on otherwise-stable queries under co-tenant load) while caches are
 cleared per run so every repeat still times the cold path.
+
+The runner is STEAL-AWARE (VERDICT r7 item 1): host CPU-steal jiffies
+(/proc/stat) are sampled around every repeat. min-of-2 filters a noise
+spike but cannot filter a *sustained* co-tenant window (the r07 driver
+record ran under ~7.5% steal for its whole 584 s and read 2.45× the
+anchor), so when every repeat of a query lands above
+$SPARK_GRAFT_STEAL_THRESH jiffies/sec (default 25 ≈ 0.8% of this
+32-CPU host) the runner escalates that query up to
+$SPARK_GRAFT_MAX_REPEATS (default 4) cold runs, keeping the min. The
+per-query steal rate of the kept (fastest) run is written into the
+record (``query_steal_rate``), so a contaminated record is
+self-adjudicating: a reader can see exactly which timings were taken
+under contention instead of inferring it from one run-level delta.
 """
 
 from __future__ import annotations
@@ -69,6 +82,51 @@ def _steal_jiffies() -> int | None:
         return None
 
 
+def time_with_escalation(
+    run_once,
+    repeats: int,
+    max_repeats: int,
+    steal_thresh: float,
+    steal_fn=_steal_jiffies,
+    before_attempt=None,
+):
+    """min-of-N timing that escalates under SUSTAINED host steal.
+
+    ``run_once()`` executes one cold repeat and returns elapsed seconds.
+    Steal jiffies are sampled around every repeat; after the base
+    ``repeats`` the loop keeps going (to ``max_repeats``) while the
+    fastest run so far was itself timed above ``steal_thresh``
+    jiffies/sec — min-of-2 filters a spike, this filters the sustained
+    co-tenant window min-of-2 cannot (the r07 driver record). Returns
+    ``(best_sec, best_steal_rate_or_None, escalated_bool)``; raises
+    whatever ``run_once`` raises.
+    """
+    best, best_rate, escalated = float("inf"), None, False
+    attempt = 0
+    while attempt < max_repeats:
+        attempt += 1
+        if before_attempt is not None:
+            before_attempt()
+        s0 = steal_fn()
+        elapsed = run_once()
+        s1 = steal_fn()
+        rate = (
+            (s1 - s0) / max(elapsed, 1e-3)
+            if s0 is not None and s1 is not None
+            else None
+        )
+        if elapsed < best:
+            best, best_rate = elapsed, rate
+        if attempt >= repeats:
+            # base repeats done: stop once the kept (fastest) run was
+            # timed on a clean window or steal is unreadable; otherwise
+            # escalate toward max_repeats
+            if best_rate is None or best_rate <= steal_thresh:
+                break
+            escalated = True
+    return best, best_rate, escalated
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -85,7 +143,16 @@ def main() -> None:
             pass
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
+    max_repeats = max(
+        repeats, int(os.environ.get("SPARK_GRAFT_MAX_REPEATS", "4"))
+    )
+    # jiffies/sec of host steal above which a repeat counts as contended;
+    # 32 CPUs × 100 Hz = 3200 jiffies/sec capacity, so 25 ≈ 0.8% steal.
+    # Clean windows measure ~1/s here; the r07 contended window ~70/s.
+    steal_thresh = float(os.environ.get("SPARK_GRAFT_STEAL_THRESH", "25"))
     timings: dict[str, float] = {}
+    steal_rates: dict[str, float] = {}
+    escalated: list[str] = []
     failed: dict[str, str] = {}
     import gc
 
@@ -100,21 +167,27 @@ def main() -> None:
         gc.collect()
         if qi % 20 == 0:
             spark.sparkContext._jvm.System.gc()
-        best = float("inf")
-        for _ in range(repeats):
-            # caches are scoped per query invocation (dedup prefix tables,
-            # LSH signatures); drop them before every run so leftovers don't
-            # skew timings via memory pressure AND each repeat stays cold
-            spark.catalog.clearCache()
-            # one failing query must degrade to a recorded failure, not
-            # zero out the whole bench record (the round-1 rc=1 mode)
-            try:
-                best = min(best, run_query(fn, spark, sf_dir))
-            except Exception as exc:  # noqa: BLE001 — record and continue
-                failed[name] = repr(exc)[:200]
-                break
-        if name not in failed:
-            timings[name] = round(best, 4)
+        # caches are scoped per query invocation (dedup prefix tables,
+        # LSH signatures); drop them before every repeat so leftovers
+        # don't skew timings via memory pressure AND each repeat stays
+        # cold. One failing query must degrade to a recorded failure,
+        # not zero out the whole bench record (the round-1 rc=1 mode).
+        try:
+            best, best_rate, esc = time_with_escalation(
+                lambda: run_query(fn, spark, sf_dir),
+                repeats,
+                max_repeats,
+                steal_thresh,
+                before_attempt=spark.catalog.clearCache,
+            )
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            failed[name] = repr(exc)[:200]
+            continue
+        timings[name] = round(best, 4)
+        if best_rate is not None:
+            steal_rates[name] = round(best_rate, 2)
+        if esc:
+            escalated.append(name)
 
     out = {
         "metric": "total_wall_sec",
@@ -136,6 +209,13 @@ def main() -> None:
         local["steal_jiffies_before"] = steal_before
         local["steal_jiffies_after"] = _steal_jiffies()
         local["repeats"] = repeats
+        # per-query steal rate (jiffies/sec) of each KEPT run + which
+        # queries needed contention escalation — makes a contaminated
+        # record self-adjudicating (VERDICT r7 item 1)
+        local["query_steal_rate"] = steal_rates
+        local["steal_threshold"] = steal_thresh
+        if escalated:
+            local["steal_escalated"] = escalated
         try:
             with open(bench_out, "w") as fh:
                 json.dump(local, fh, indent=1, sort_keys=True)
@@ -158,6 +238,19 @@ def main() -> None:
         "full_record": "BENCH_LOCAL.json",
         "sf": sf,
     }
+    # contention summary in the driver-visible line: how many kept runs
+    # were timed above the steal threshold despite escalation, and the
+    # run-level steal delta — a reader can adjudicate a slow record
+    # without opening BENCH_LOCAL.json
+    steal_after = _steal_jiffies()
+    if steal_before is not None and steal_after is not None:
+        compact["steal_jiffies_run"] = steal_after - steal_before
+    contended = [n for n, r in steal_rates.items() if r > steal_thresh]
+    if contended:
+        compact["contended_queries"] = len(contended)
+        compact["contended_sec"] = round(
+            sum(timings[n] for n in contended), 2
+        )
     if failed:
         compact["failed"] = {k: v[:40] for k, v in failed.items()}
     print(json.dumps(compact))

@@ -13,6 +13,7 @@ from smfg_datawarehouse_spark.functions.vectors import (
 )
 from smfg_datawarehouse_spark.functions.text import (
     char_shingles,
+    shingle_table,
     word_shingles,
     word_tokens,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "dot_product",
     "l2_norm",
     "char_shingles",
+    "shingle_table",
     "word_shingles",
     "word_tokens",
 ]

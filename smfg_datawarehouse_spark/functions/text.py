@@ -4,11 +4,21 @@ All pure Catalyst expressions (no UDFs): shingling via
 ``sequence``+``transform``+``substring``, tokenization via ``split``.
 Portable to an ANSI-SQL oracle (DuckDB list comprehensions) so the driver's
 differential check can cover them.
+
+``shingle_table`` is the NAMED corpus-shingling kernel (VERDICT r7 item
+7): three query families (x105/x155 calibration, x02/x03 prefix
+filtering, x129 novelty) each need "corpus → distinct word n-gram
+explode [→ df-annotated]" — hand-rolled variants kept re-learning the
+same two scale lessons (repartition before a ~300× row-inflating explode
+over a compact source; attach document frequency via a shingle-keyed
+WINDOW riding the exchange the consumer needs anyway, NEVER a broadcast
+of the corpus-growing vocabulary — the x56/x139 fix). The kernel makes
+both structural.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -33,6 +43,50 @@ def word_tokens(text: Column, lowercase: bool = True) -> Column:
     """Whitespace tokens as ``array<string>`` (empty strings removed)."""
     t = F.lower(text) if lowercase else text
     return F.filter(F.split(t, r"\s+"), lambda w: w != "")
+
+
+def shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    mode: str = "word",
+    with_df: bool = False,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """(doc_id, shingle[, df]) — exploded DISTINCT k-gram table of a corpus.
+
+    - Repartitions to ``defaultParallelism`` before the explode: a compact
+      upstream source (one parquet row group at test scale; one scan split
+      at 100 TB) would otherwise run the ~50-300× row-inflating explode and
+      the regex tokenization in a single task.
+    - ``with_df=True`` attaches global document frequency as a ``df``
+      column via ``count(*) over (partition by shingle)`` — one
+      shingle-keyed exchange, which every df consumer (prefix filtering,
+      rarity weighting, novelty) needs anyway. The vocabulary grows with
+      the corpus, so df must NEVER come back as a broadcast/collected
+      table (the x139 driver-memory blowup).
+    - ``checkpoint=True`` returns the frame ``localCheckpoint(eager=False)``
+      so multi-consumer plans (x105's two kernels) tokenize once. Skip it
+      for single-consumer plans — Catalyst's ReusedExchange already
+      dedupes identical subplans and a checkpoint only adds
+      materialization cost (the r7 x100 A/B).
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    make = word_shingles if mode == "word" else char_shingles
+    sh = docs.repartition(n_parts).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(make(F.col(text_col), k)).alias("shingle"),
+    )
+    if with_df:
+        from pyspark.sql import Window as W
+
+        sh = sh.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        )
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=False)
+    return sh
 
 
 def word_shingles(text: Column, k: int = 3, lowercase: bool = True) -> Column:

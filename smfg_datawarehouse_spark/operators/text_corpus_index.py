@@ -1546,7 +1546,7 @@ def _x150_oracle() -> str:
     SELECT '{ph}' AS phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
     FROM (
       SELECT doc_id, unnest(list_transform(
-               range(1, GREATEST(len(tk) - {k - 1}, 1)),
+               range(1, GREATEST(len(tk) - {k - 2}, 1)),
                i -> {gram})) AS g
       FROM toks WHERE len(tk) >= {k}
     ) WHERE g = '{ph}'

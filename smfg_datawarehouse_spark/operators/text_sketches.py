@@ -1148,13 +1148,17 @@ def _register_x129() -> None:
         Counts are exact BIGINTs; the novelty ratio is a single division
         of exact ints. Reuses x02's shingle convention verbatim, so the
         oracle is its CTE plus a MIN."""
-        from smfg_datawarehouse_spark.functions import word_shingles
+        from smfg_datawarehouse_spark.functions import (
+            shingle_table,
+            word_shingles,
+        )
 
         n_parts = spark.sparkContext.defaultParallelism
-        d = t(spark, sf_dir, "documents").repartition(n_parts)
-        sh = d.select(
-            "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
-        )
+        raw = t(spark, sf_dir, "documents")
+        d = raw.repartition(n_parts)
+        # named corpus kernel; its internal repartition is the identical
+        # subplan as ``d`` above, so ReusedExchange runs the scan once
+        sh = shingle_table(raw, "text", "doc_id", k=3, mode="word")
         # per-doc distinct-shingle count is just the array size — scan
         # side, zero shuffle, no explode (empty arrays = docs under 3
         # tokens, excluded exactly as the oracle's shingle CTE excludes

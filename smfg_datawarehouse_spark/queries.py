@@ -198,8 +198,9 @@ _CERTIFIED_FALLBACK = (
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _certified_from_disk() -> set[str]:
-    """Names with a green driver row in ANY on-disk CORRECTNESS_r*.json.
+def _certified_from_disk() -> tuple[set[str], dict[str, str]]:
+    """Names with a green driver row in on-disk CORRECTNESS_r*.json, plus
+    each green name's most-recent certifying file (for staleness order).
 
     The driver lands a new CORRECTNESS_r{N}.json after each round closes,
     i.e. AFTER the builder's last commit — so a hardcoded certified set is
@@ -207,17 +208,25 @@ def _certified_from_disk() -> set[str]:
     the tier from the files themselves makes the window self-refreshing:
     every new driver record immediately pushes its green names to the back
     of the registry order and promotes the never-certified complement into
-    the next 50-slot sample window. ``rows_match`` counts as green for the
-    oracle-less rows-only checks (custom stateful streaming) the driver
-    records with a weaker comparison; everything with an oracle needs
-    ``hash_match``. A malformed/unreadable file is skipped (never fatal on
+    the next 50-slot sample window. Green means ``hash_match is True``, or
+    — ONLY for the oracle-less rows-only checks (custom stateful
+    streaming) where the driver records no hash verdict at all —
+    ``hash_match`` absent/None with ``rows_match`` True. A row with an
+    explicit ``hash_match: false`` is a FAILURE even when its row counts
+    agree (ADVICE r7: r01's q18 was exactly that shape), and the LATEST
+    round's verdict wins per name, so a regression in a newer record
+    demotes the query back into the re-test tier instead of riding an old
+    green forever. A malformed/unreadable file is skipped (never fatal on
     import), and if NO files exist (fresh checkout without driver
     artifacts) the frozen r01-r05 literals above are the offline fallback.
     """
     import glob
     import json
 
-    greens: set[str] = set()
+    verdicts: dict[str, bool] = {}
+    last_green: dict[str, str] = {}
+    # lexicographic sort == round order for the zero-padded r{NN} names;
+    # later files overwrite, so each name carries its most recent verdict
     for path in sorted(
         glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))
     ):
@@ -231,12 +240,18 @@ def _certified_from_disk() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") or row.get("rows_match"):
-                greens.add(name)
-    return greens
+            hm = row.get("hash_match")
+            green = bool(row.get("rows_match")) if hm is None else bool(hm)
+            verdicts[name] = green
+            if green:
+                last_green[name] = os.path.basename(path)
+    certified = {n for n, green in verdicts.items() if green}
+    return certified, {n: last_green[n] for n in certified}
 
 
-_CERTIFIED = _certified_from_disk() or _CERTIFIED_FALLBACK
+_CERTIFIED, _CERT_RECENCY = _certified_from_disk()
+if not _CERTIFIED:
+    _CERTIFIED, _CERT_RECENCY = _CERTIFIED_FALLBACK, {}
 
 #: Already-certified names whose underlying code THIS round touches
 #: (perf rewrites, shared-frame caching, dialect edges). They sort right
@@ -246,15 +261,9 @@ _CERTIFIED = _certified_from_disk() or _CERTIFIED_FALLBACK
 #: a slot from a never-certified query. Refresh per round alongside the
 #: round notes; stale entries cost nothing (they stay certified).
 _RECERT_FILLERS = {
-    # round 7: x105 restructure, x142 scan-side argmin, l36 cutover
-    # derivation, shared-frame caching in the heavy retrieval/pair plans
-    "x105_lsh_banding_calibration", "x142_centroid_label_eval",
-    "l36_mv_tail_serving", "x100_matryoshka_prefix_recall",
-    "x126_pair_feature_table", "x111_triangle_count",
-    "x127_boolean_retrieval", "l14_jdbc_extraction_lifecycle",
-    # jaccard_pairs df now rides a shingle-keyed window (vocab-broadcast
-    # removal) — re-hash its certified consumer
-    "x02_ngram_jaccard_pairs",
+    # round 8: x150 oracle doc-final-gram fix (ADVICE r7 high) — the
+    # engine plan is unchanged but the oracle moved, so re-hash it
+    "x150_phrase_retrieval_positional",
 }
 
 
@@ -263,17 +272,24 @@ def _priority_order(names) -> list[str]:
     driver row in any on-disk CORRECTNESS file (highest divergence risk —
     new registrations land here automatically), (1) certified names whose
     code changed this round (_RECERT_FILLERS), (2) every other certified
-    name; stable (registration) order within each tier. The driver
-    samples the FIRST 50 names; because every uncertified name outranks
-    every certified one, fillers can never waste a slot a never-certified
-    query could have used."""
+    name ordered OLDEST certification first (VERDICT r7 item 4: with all
+    names certified, the 50-slot window is pure re-certs — spend it on
+    the rows whose last green is most stale against the fixture
+    regenerations, r01/r02 certs being 6+ rounds old). Stable
+    (registration) order breaks ties. The driver samples the FIRST 50
+    names; because every uncertified name outranks every certified one,
+    fillers can never waste a slot a never-certified query could have
+    used."""
 
-    def tier(n: str) -> int:
+    def key(n: str):
         if n not in _CERTIFIED:
-            return 0
-        return 1 if n in _RECERT_FILLERS else 2
+            return (0, "")
+        if n in _RECERT_FILLERS:
+            return (1, "")
+        # filename sorts by round: CORRECTNESS_r01.json < ..._r07.json
+        return (2, _CERT_RECENCY.get(n, ""))
 
-    return sorted(names, key=tier)
+    return sorted(names, key=key)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -144,14 +144,20 @@ def test_driver_sample_window_never_wastes_slots():
 
     from smfg_datawarehouse_spark.queries import _CERTIFIED, all_queries
 
-    cert_on_disk: set[str] = set()
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+    verdicts: dict[str, bool] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         rows = json.load(open(path))
-        cert_on_disk |= {
-            k for k, v in rows.items() if v.get("hash_match") or v.get("rows_match")
-        }
-    # the in-code tier must cover every driver-green row on disk
+        for k, v in rows.items():
+            hm = v.get("hash_match")
+            verdicts[k] = bool(v.get("rows_match")) if hm is None else bool(hm)
+    cert_on_disk = {k for k, green in verdicts.items() if green}
+    # the in-code tier must match the latest-round driver verdicts on
+    # disk exactly: cover every green row AND exclude every red one
+    # (ADVICE r7: a hash_match:false row with rows_match:true is a
+    # failure, and a later red demotes an earlier green)
     assert cert_on_disk <= _CERTIFIED, sorted(cert_on_disk - _CERTIFIED)
+    stale_green = {k for k, green in verdicts.items() if not green} & _CERTIFIED
+    assert not stale_green, sorted(stale_green)
 
     names = list(all_queries())
     uncertified = [n for n in names if n not in _CERTIFIED]

@@ -172,3 +172,40 @@ def test_phrase_retrieval_short_doc_parity(spark, edge_sf_dir):
     adjacency join and the oracle's n-gram branch must both yield
     nothing rather than error on range(1, len-k+1) underflow."""
     _compare(spark, edge_sf_dir, "x150_phrase_retrieval_positional")
+
+
+def test_phrase_retrieval_doc_final_phrase_parity(spark, tmp_path_factory):
+    """ADVICE r7 (high): DuckDB range() is upper-exclusive, so the x150
+    oracle's n-gram upper bound must be len(tk)-(k-2) — the prior
+    len(tk)-(k-1) silently dropped the LAST valid k-gram start of every
+    doc, i.e. any phrase occurrence ending at the final token. Stage one
+    doc per query phrase that ENDS with that phrase (plus a doc that IS
+    exactly the phrase) and assert bit-exact parity with the engine's
+    positional adjacency join, which counts doc-final hits correctly."""
+    d = tmp_path_factory.mktemp("edge_phrase_final")
+    rows = [
+        (0, "we always finish with a scan query", "en", "src0", 34),
+        (1, "the pipeline drains into the batch window", "en", "src0", 41),
+        (2, "beware of the slow hash batch", "en", "src1", 29),
+        (3, "scan query", "en", "src1", 10),  # doc IS the phrase
+        (4, "scan query scan query", "en", "src2", 21),  # mid + final hit
+        (5, "no phrase in this one at all", "en", "src2", 28),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    _compare(spark, str(d), "x150_phrase_retrieval_positional")
+    # belt-and-braces: the engine itself must see the doc-final hits
+    from smfg_datawarehouse_spark import queries as qmod
+
+    got = {
+        (r["phrase"], r["doc_id"]): r["n_hits"]
+        for r in qmod.all_queries()["x150_phrase_retrieval_positional"](
+            spark, str(d)
+        ).collect()
+    }
+    assert got[("scan query", 0)] == 1
+    assert got[("scan query", 3)] == 1
+    assert got[("scan query", 4)] == 2
+    assert got[("batch window", 1)] == 1
+    assert got[("slow hash batch", 2)] == 1
