@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from smfg_datawarehouse_spark.session import local_rows_df
 
 # --- schemas (1:1 with the reference DDL, MySQL types mapped per SURVEY §1.2)
 
@@ -182,8 +183,9 @@ def catalog_from_rows(
         filled = [
             {**{f.name: None for f in schema.fields}, **defaults, **r} for r in rows
         ]
-        return spark.createDataFrame(
-            [tuple(r[f.name] for f in schema.fields) for r in filled], schema
+        return local_rows_df(
+            spark, [tuple(r[f.name] for f in schema.fields) for r in filled],
+            schema,
         )
 
     return ConfigCatalog(

@@ -29,6 +29,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from smfg_datawarehouse_spark.session import local_rows_df
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -69,7 +70,7 @@ class WatermarkStore:
         timestamps/dates and zero-padded sequences)."""
         self._seq += 1
         row = [(table, str(value), self._seq)]
-        self.spark.createDataFrame(row, _STATE_SCHEMA).coalesce(1).write.mode(
+        local_rows_df(self.spark, row, _STATE_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(self.path)
 

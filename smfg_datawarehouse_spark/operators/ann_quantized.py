@@ -30,6 +30,7 @@ from smfg_datawarehouse_spark.operators.similarity import (
     brute_force_topk,
 )
 from smfg_datawarehouse_spark.queries import register, t
+from smfg_datawarehouse_spark.session import local_rows_df
 
 SQ8_COARSE_K = 50
 
@@ -831,8 +832,8 @@ def x100_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     anchor = exact.crossJoin(
         F.broadcast(
-            spark.createDataFrame(
-                [(int(L),) for L in MRL_PREFIXES], "prefix_dim long"
+            local_rows_df(
+                spark, [(int(L),) for L in MRL_PREFIXES], "prefix_dim long"
             )
         )
     )
@@ -1034,8 +1035,8 @@ def x153_mrr_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     anchor = truth.crossJoin(
         F.broadcast(
-            spark.createDataFrame(
-                [(int(L),) for L in MRL_PREFIXES], "prefix_dim long"
+            local_rows_df(
+                spark, [(int(L),) for L in MRL_PREFIXES], "prefix_dim long"
             )
         )
     )

@@ -25,6 +25,7 @@ from smfg_datawarehouse_spark.queries import (
     register,
     t,
 )
+from smfg_datawarehouse_spark.session import local_rows_df
 
 _L04_ORACLE = f"""
     SELECT o.o_orderpriority,
@@ -1714,7 +1715,8 @@ def l38_orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphans = on_disk - manifest
     missing = manifest - on_disk
     present = manifest & on_disk
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             ("orphan", len(orphans)),
             ("referenced_missing", len(missing)),

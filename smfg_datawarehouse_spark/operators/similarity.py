@@ -50,6 +50,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from smfg_datawarehouse_spark.queries import register, t
+from smfg_datawarehouse_spark.session import local_rows_df
 
 # ---------------------------------------------------------------------------
 # numpy kernels (bit-exact with the DuckDB list_reduce left-to-right fold)
@@ -1847,6 +1848,6 @@ def x144_maxmin_diversity_sample(
                 .withColumn("mind", F.least("mind", d2_to(list(pick.v))))
                 .localCheckpoint(eager=False)
             )
-    return spark.createDataFrame(
-        selected, "sel_rank int, vec_id long, mind double"
+    return local_rows_df(
+        spark, selected, "sel_rank int, vec_id long, mind double"
     )

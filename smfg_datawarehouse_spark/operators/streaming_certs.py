@@ -39,6 +39,7 @@ from smfg_datawarehouse_spark.streaming.windows import (
     sliding_agg,
     tumbling_agg,
 )
+from smfg_datawarehouse_spark.session import local_rows_df
 
 _S18_D = 4  # CMS hash rows
 _S18_W = 64  # CMS buckets per row
@@ -432,8 +433,9 @@ def s08_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = top.withColumn("ts", F.col("ts") + F.lit(3600 * 10**9).cast("long"))
     else:
         top = top.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
-    sides = spark.createDataFrame(
-        [("view", -1), ("purchase", -2)], "hb_type: string, hb_user: bigint"
+    sides = local_rows_df(
+        spark, [("view", -1), ("purchase", -2)],
+        "hb_type string, hb_user bigint",
     )
     hb = (
         top.drop("event_type", "user_id")
@@ -628,7 +630,8 @@ def s11_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
-    heartbeat = spark.createDataFrame(
+    heartbeat = local_rows_df(
+        spark,
         [(-1, mx, -1, "heartbeat", 0.0, None)],
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from smfg_datawarehouse_spark.functions import ordered_concat_ws, word_tokens
 from smfg_datawarehouse_spark.queries import davg, register, t
+from smfg_datawarehouse_spark.session import local_rows_df
 
 _STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -1633,7 +1634,8 @@ def x147_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok", "freq", bpe_merge_fold(pa, pb).alias("seq")
         ).localCheckpoint(eager=False)
         records.append((i, top.pair, int(top.cnt), symbols_total(seqs)))
-    out = spark.createDataFrame(
+    out = local_rows_df(
+        spark,
         records,
         "iteration int, merged_pair string, pair_count long, "
         "symbols_after long",

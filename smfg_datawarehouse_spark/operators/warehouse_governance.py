@@ -24,6 +24,7 @@ from smfg_datawarehouse_spark.queries import (
     register,
     t,
 )
+from smfg_datawarehouse_spark.session import local_rows_df
 
 _PROFILE_NUM = [
     ("o_orderkey", "o_orderkey"),
@@ -1787,7 +1788,8 @@ def q113_policy_masked_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is touched ONCE and fans out only to matching (role, region)
     rows. Masking is scan-side expression work — zero extra shuffles."""
     policy = F.broadcast(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(r, k, r != "admin") for r, k in _Q113_POLICY],
             "role string, regionkey int, masked boolean",
         )

@@ -111,6 +111,33 @@ def get_spark(
     return spark
 
 
+def local_rows_df(spark: SparkSession, rows, schema):
+    """Local literal rows as an Arrow ``LocalTableScan`` — NOT an RDD scan.
+
+    ``spark.createDataFrame(list_of_tuples, schema)`` plans as
+    ``Scan ExistingRDD``: every action that touches the frame pays a
+    Python-runner round trip (measured ~5 s per 1-row WRITE in this
+    container — the s11 heartbeat stage was 4.8 s of its 7.2 s total).
+    Round-tripping the rows through a pandas DataFrame takes the Arrow
+    local-relation path instead (``LocalTableScan``, evaluated JVM-side,
+    ~0.2 s) with identical values. ``schema`` (DDL string or StructType)
+    stays authoritative — pandas never infers dtypes (``dtype=object``
+    keeps None/ints/Decimals untouched until Arrow applies the schema).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    st: StructType = (
+        _parse_datatype_string(schema) if isinstance(schema, str) else schema
+    )
+    names = [f.name for f in st.fields]
+    pdf = pd.DataFrame(
+        [tuple(r) for r in rows], columns=names, dtype=object
+    )
+    return spark.createDataFrame(pdf, schema=st)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the standard testdata tables as temp views; return dict of DFs.
 
