@@ -1417,16 +1417,19 @@ def s22_streaming_chained_aggregation(spark: SparkSession, sf_dir: str) -> DataF
     # split would let an early-time event land in a late micro-batch and
     # be dropped as late data once earlier batches advanced the watermark
     # (that drop path is s11's cert — here arrival models a raw zone fed
-    # in commit order). Slice the backlog into three event-time ranges
-    # and stage them with increasing mtimes (FileStreamSource consumes
-    # oldest-first), heartbeat strictly last.
+    # in commit order). TWO event-time ranges staged with increasing
+    # mtimes (FileStreamSource consumes oldest-first), heartbeat strictly
+    # last: batch 2 proves stage-1 state accumulates ACROSS batches and
+    # the heartbeat batch proves the watermark flush propagates through
+    # both stacked aggregations — a third real slice only repeated batch
+    # 2's accumulation at ~1 trigger of cost (VERDICT r7 item 2), and
+    # the two-level rollup is slice-boundary-invariant, so the oracle
+    # hash is unchanged.
     lo, hi = batch.agg(F.min("ts"), F.max("ts")).first()
-    t1 = lo + (hi - lo) / 3
-    t2 = lo + 2 * (hi - lo) / 3
+    t1 = lo + (hi - lo) / 2
     slices = [
         batch.where(F.col("ts") < F.lit(t1)),
-        batch.where((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))),
-        batch.where(F.col("ts") >= F.lit(t2)),
+        batch.where(F.col("ts") >= F.lit(t1)),
     ]
     hb = (
         batch.orderBy(F.col("ts").desc())
@@ -1539,7 +1542,7 @@ def s24_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     """[T2/J3/§2.5] STREAMING SCD2 DIMENSION MAINTENANCE certified — the
     foreachBatch production shape for keeping a type-2 slowly-changing
     dimension current from an ordered change feed: the events backlog is
-    staged as THREE event-time-ordered slices (CDC commit order — SCD2
+    staged as TWO event-time-ordered slices (CDC commit order — SCD2
     apply, like any CDC apply, is only defined over an ordered feed;
     s11 certifies the drop path for feeds that violate it) and drained
     one file per micro-batch; each batch seeds its change detection with
@@ -1567,13 +1570,19 @@ def s24_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     _os2.makedirs(raw, exist_ok=True)
     batch = load_events(spark, sf_dir)
 
+    # TWO event-time slices: batch 1 is the initial load (no open rows —
+    # every user's history starts), batch 2 is the cross-batch state
+    # transition this certifies (open-row seeding, close-at-first-change,
+    # version continuation). A third slice only repeated batch 2's
+    # transition at ~1.5 s per extra merge cycle (VERDICT r7 item 2:
+    # enough triggers to PROVE the transition, not more) — and the final
+    # dimension is slice-boundary-invariant by construction, so the
+    # oracle hash is unchanged.
     lo, hi = batch.agg(F.min("ts"), F.max("ts")).first()
-    t1 = lo + (hi - lo) / 3
-    t2 = lo + 2 * (hi - lo) / 3
+    t1 = lo + (hi - lo) / 2
     slices = [
         batch.where(F.col("ts") < F.lit(t1)),
-        batch.where((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))),
-        batch.where(F.col("ts") >= F.lit(t2)),
+        batch.where(F.col("ts") >= F.lit(t1)),
     ]
     base = _os2.path.getmtime(raw)
     for i, sl in enumerate(slices):
@@ -1656,7 +1665,10 @@ def s24_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
                 F.col("close_at").alias("valid_to"),
             )
         )
-        upserts = closed.unionByName(new_rows)
+        # eager checkpoint: the window+join+agg upsert plan runs ONCE —
+        # isEmpty() on the lazy frame would evaluate it, then merge()
+        # would replay the whole lineage a second time
+        upserts = closed.unionByName(new_rows).localCheckpoint()
         if not upserts.isEmpty():
             vt.merge(upserts, ["user_id", "version"])
 

@@ -1148,24 +1148,28 @@ def _register_x129() -> None:
         Counts are exact BIGINTs; the novelty ratio is a single division
         of exact ints. Reuses x02's shingle convention verbatim, so the
         oracle is its CTE plus a MIN."""
-        from smfg_datawarehouse_spark.functions import (
-            shingle_table,
-            word_shingles,
-        )
+        from smfg_datawarehouse_spark.functions import word_shingles
 
         n_parts = spark.sparkContext.defaultParallelism
         raw = t(spark, sf_dir, "documents")
-        d = raw.repartition(n_parts)
-        # named corpus kernel; its internal repartition is the identical
-        # subplan as ``d`` above, so ReusedExchange runs the scan once
-        sh = shingle_table(raw, "text", "doc_id", k=3, mode="word")
-        # per-doc distinct-shingle count is just the array size — scan
-        # side, zero shuffle, no explode (empty arrays = docs under 3
-        # tokens, excluded exactly as the oracle's shingle CTE excludes
-        # them)
-        per_doc = d.select(
+        # ONE tokenize+shingle pass, checkpointed as the doc-keyed ARRAY
+        # table (corpus-sized rows, pre-explode — far smaller than the
+        # exploded shingle table): both consumers below used to re-run
+        # the full regex tokenization + shingle construction, the
+        # query's single most expensive scan-side expression (VERDICT r7
+        # item 3 — x129 had grown three rounds straight)
+        arr = (
+            raw.repartition(n_parts)
+            .select("doc_id", word_shingles(F.col("text")).alias("arr"))
+            .localCheckpoint(eager=False)
+        )
+        sh = arr.select("doc_id", F.explode("arr").alias("shingle"))
+        # per-doc distinct-shingle count is just the array size — zero
+        # shuffle, no explode (empty arrays = docs under 3 tokens,
+        # excluded exactly as the oracle's shingle CTE excludes them)
+        per_doc = arr.select(
             "doc_id",
-            F.size(word_shingles(F.col("text"))).cast("long").alias("n_shingles"),
+            F.size("arr").cast("long").alias("n_shingles"),
         ).where(F.col("n_shingles") > 0)
         news = (
             sh.groupBy("shingle")

@@ -264,6 +264,14 @@ _RECERT_FILLERS = {
     # round 8: x150 oracle doc-final-gram fix (ADVICE r7 high) — the
     # engine plan is unchanged but the oracle moved, so re-hash it
     "x150_phrase_retrieval_positional",
+    # round 8 perf rewrites: shared-array tokenize pass (x129), two-slice
+    # streaming drains (s22/s24), Arrow local-relation staging in the
+    # streaming heartbeats + shared shingle kernel conversions
+    "x129_ngram_novelty_curve", "s22_streaming_chained_aggregation",
+    "s24_streaming_scd2_maintenance", "s11_streaming_late_data_drop",
+    "s08_streaming_outer_join", "x105_lsh_banding_calibration",
+    "x154_weighted_jaccard_rescore", "x155_banding_design_table",
+    "x144_maxmin_diversity_sample", "x147_bpe_merge_apply",
 }
 
 
