@@ -1461,11 +1461,17 @@ def x141_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X147_ITERS = 5
 
 
-def _x147_oracle() -> str:
+def _x147_cte_chain() -> str:
+    """The shared WITH-chain replaying x147's BPE trainer to ``s{N}``:
+    corpus → word-frequency vocab (``words``), char-split sequences
+    (``s0``), then per round i the pair count (``p{i}``), the argmax
+    merge rule (``t{i}``), the folded sequences (``s{i}``), and the
+    round record (``m{i}``). x147's oracle selects the ``m*`` records;
+    x158's applies ``s{N}`` back to per-source token frequencies."""
     parts = [
         r"""WITH tk AS (
-      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
-                         w -> w <> '') AS t
+      SELECT source, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS t
       FROM documents
     ), words AS (
       SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
@@ -1513,11 +1519,15 @@ def _x147_oracle() -> str:
       FROM s{i} s CROSS JOIN t{i} t GROUP BY t.pair, t.cnt
     )"""
         )
+    return ", ".join(parts)
+
+
+def _x147_oracle() -> str:
     unions = " UNION ALL ".join(
         f"SELECT * FROM m{i}" for i in range(0, _X147_ITERS + 1)
     )
     return (
-        ", ".join(parts)
+        _x147_cte_chain()
         + f""" SELECT u.iteration, u.merged_pair, u.pair_count,
            u.symbols_after,
            CAST(u.symbols_after AS DOUBLE)
@@ -1556,33 +1566,13 @@ def bpe_merge_fold(pa: str, pb: str, seq_col: str = "seq") -> F.Column:
     )
 
 
-@register("x147_bpe_merge_apply", _x147_oracle())
-def x147_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[X] ITERATIVE BPE TRAINING certified — 5 true byte-pair-encoding
-    rounds over the corpus word-frequency table: each round counts
-    adjacent symbol pairs (weighted by word frequency), merges the
-    argmax pair (ties to the lexicographically first) LEFT-TO-RIGHT
-    NON-OVERLAPPING through every word's symbol sequence, and recounts —
-    the count interaction between rounds (merging 'e s' changes what
-    's t' neighbors) is exactly what x141's single-round table can't
-    certify. Emits per round: the merge rule chosen, its count, the
-    corpus symbol total after applying it, and the compression ratio vs
-    raw characters — the trainer's learning curve (Sennrich et al.
-    2015).
-
-    Determinism: the merge fold is a per-word left fold with
-    symbol-boundary-safe matching (a trailing symbol EQUAL to the
-    pair's left element, never a substring), identical in both engines;
-    counts are exact BIGINTs; the argmax breaks ties on pair text.
-
-    Scale shape: like x141, the corpus collapses to the DISTINCT-word
-    frequency table once — every BPE round then touches only the
-    vocabulary (|vocab| × word length), the same cost profile as a real
-    distributed BPE trainer where the corpus pass happens once and the
-    merge loop runs on the weighted vocab. Per round: one pair-keyed
-    vocab-sized agg, a 1-row argmax collect (k×1 driver rows total —
-    the x57/x144 budget), and a scan-side fold; the vocab frame is
-    localCheckpointed so round r never replays rounds 1..r-1."""
+def _bpe_train(spark: SparkSession, sf_dir: str, iters: int):
+    """x147's BPE training loop, shared with x158's corpus-apply twin:
+    returns ``(seqs, records, base_symbols)`` — the post-merge vocab
+    frame (tok, freq, seq), the per-round (iteration, merged_pair,
+    pair_count, symbols_after) records, and the round-0 symbol total.
+    Logic is exactly the certified x147 shape (vocab-sized rounds,
+    argmax collect, boundary-safe column-function fold)."""
     from smfg_datawarehouse_spark.functions import word_tokens
 
     n_parts = spark.sparkContext.defaultParallelism
@@ -1610,7 +1600,7 @@ def x147_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_symbols = symbols_total(seqs)
     records = [(0, None, None, base_symbols)]
-    for i in range(1, _X147_ITERS + 1):
+    for i in range(1, iters + 1):
         # size-1 sequences have no pairs; Spark's sequence(1, 0) DESCENDS
         # ([1, 0]) rather than returning empty, so gate on length first
         pairs = (
@@ -1634,6 +1624,37 @@ def x147_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok", "freq", bpe_merge_fold(pa, pb).alias("seq")
         ).localCheckpoint(eager=False)
         records.append((i, top.pair, int(top.cnt), symbols_total(seqs)))
+    return seqs, records, base_symbols
+
+
+@register("x147_bpe_merge_apply", _x147_oracle())
+def x147_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] ITERATIVE BPE TRAINING certified — 5 true byte-pair-encoding
+    rounds over the corpus word-frequency table: each round counts
+    adjacent symbol pairs (weighted by word frequency), merges the
+    argmax pair (ties to the lexicographically first) LEFT-TO-RIGHT
+    NON-OVERLAPPING through every word's symbol sequence, and recounts —
+    the count interaction between rounds (merging 'e s' changes what
+    's t' neighbors) is exactly what x141's single-round table can't
+    certify. Emits per round: the merge rule chosen, its count, the
+    corpus symbol total after applying it, and the compression ratio vs
+    raw characters — the trainer's learning curve (Sennrich et al.
+    2015).
+
+    Determinism: the merge fold is a per-word left fold with
+    symbol-boundary-safe matching (a trailing symbol EQUAL to the
+    pair's left element, never a substring), identical in both engines;
+    counts are exact BIGINTs; the argmax breaks ties on pair text.
+
+    Scale shape: like x141, the corpus collapses to the DISTINCT-word
+    frequency table once — every BPE round then touches only the
+    vocabulary (|vocab| × word length), the same cost profile as a real
+    distributed BPE trainer where the corpus pass happens once and the
+    merge loop runs on the weighted vocab. Per round: one pair-keyed
+    vocab-sized agg, a 1-row argmax collect (k×1 driver rows total —
+    the x57/x144 budget), and a scan-side fold; the vocab frame is
+    localCheckpointed so round r never replays rounds 1..r-1."""
+    _, records, base_symbols = _bpe_train(spark, sf_dir, _X147_ITERS)
     out = local_rows_df(
         spark,
         records,
@@ -1645,4 +1666,83 @@ def x147_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("symbols_after").cast("double") / F.lit(float(base_symbols))
         ).alias("compression"),
+    )
+
+
+_X158_ORACLE = (
+    _x147_cte_chain()
+    + f""", src_tok AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tk, UNNEST(t) AS u(tok) GROUP BY source, tok
+    ), lens AS (
+      SELECT tok,
+             CAST(len(string_split(tok, '')) AS BIGINT) AS l0,
+             CAST(len(string_split(seq, ' ')) AS BIGINT) AS l{_X147_ITERS}
+      FROM s{_X147_ITERS}
+    )
+    SELECT st.source,
+           CAST(SUM(st.freq * lens.l0) AS BIGINT) AS symbols_raw,
+           CAST(SUM(st.freq * lens.l{_X147_ITERS}) AS BIGINT) AS symbols_bpe,
+           CAST(SUM(st.freq * lens.l{_X147_ITERS}) AS DOUBLE)
+             / CAST(SUM(st.freq * lens.l0) AS DOUBLE) AS compression
+    FROM src_tok st JOIN lens USING (tok)
+    GROUP BY st.source
+"""
+)
+
+
+@register("x158_bpe_apply_by_source", _X158_ORACLE)
+def x158_bpe_apply_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] TOKENIZER-APPLY TWIN of x147 (VERDICT r7 item 5): train the
+    5-round BPE merge table on the GLOBAL vocabulary (exactly the
+    certified x147 loop), then apply the learned segmentation to the
+    full corpus and report per-SOURCE compression — symbols before
+    (characters) vs after the merges, and their ratio. This is the
+    fertility audit a tokenizer release ships: a source whose
+    compression lags the corpus (merge rules learned elsewhere don't
+    fire on its text) is under-served by the tokenizer and will cost
+    more tokens per character at training time (cf. x78's per-lang
+    fertility under a FIXED tokenizer — here the tokenizer itself is
+    the trained artifact).
+
+    Determinism: trained rules are exact argmax merges (ties on pair
+    text); per-source sums are exact BIGINT Σ freq × |seq| folded over
+    the vocab join; ONE final double division.
+
+    Scale shape: applying merges never re-folds the corpus — each
+    source's cost is Σ_tok freq_src(tok) · |seq_trained(tok)|, i.e. a
+    (source, tok)-keyed agg joined to the trained vocab table (vocab-
+    sized, the same frame the trainer already materialized). The corpus
+    is touched once more for per-source token frequencies; everything
+    else rides vocab-sized tables."""
+    from smfg_datawarehouse_spark.functions import word_tokens
+
+    seqs, _, _ = _bpe_train(spark, sf_dir, _X147_ITERS)
+    lens = seqs.select(
+        "tok",
+        F.size(F.split(F.col("tok"), "")).cast("long").alias("l0"),
+        F.size(F.split(F.col("seq"), " ")).cast("long").alias("lN"),
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(n_parts)
+    src_tok = (
+        d.select("source", F.explode(word_tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return (
+        src_tok.join(lens, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("freq") * F.col("l0")).cast("long").alias(
+                "symbols_raw"
+            ),
+            F.sum(F.col("freq") * F.col("lN")).cast("long").alias(
+                "symbols_bpe"
+            ),
+            (
+                F.sum(F.col("freq") * F.col("lN")).cast("double")
+                / F.sum(F.col("freq") * F.col("l0")).cast("double")
+            ).alias("compression"),
+        )
     )

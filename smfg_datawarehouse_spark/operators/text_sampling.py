@@ -1065,3 +1065,169 @@ def x143_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"strata={stats.n_strata}"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# x160: stratified eval-set construction under a near-dup exclusion
+# constraint — the artifact every model release needs: a heldout set that
+# (a) matches the corpus's (lang, length-band) marginals via exact
+# integer quotas, (b) contains ZERO documents with any LSH near-dup in
+# the corpus (conservative leakage guard: an eval doc whose twin trains
+# is x157's straddle case — here it is excluded up front), and (c) is
+# reproducible bit-for-bit from the corpus alone (salted-md5 ranking, no
+# RNG state). Composes three certified kernels: x79's QI cells, x03's
+# banding edges, x66's md5-order discipline.
+# ---------------------------------------------------------------------------
+
+_X160_EVAL_TOTAL = 500
+
+
+def _x160_oracle() -> str:
+    from smfg_datawarehouse_spark.operators.dedup import _MINHASH_ORACLE
+
+    return f"""
+    WITH e AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+    dup_ids AS (
+      SELECT doc_a AS doc_id FROM e UNION SELECT doc_b FROM e
+    ),
+    cells AS (
+      SELECT doc_id, lang,
+             CAST(LEAST(length(text) // 100, 9) AS BIGINT) AS len_bucket,
+             doc_id IN (SELECT doc_id FROM dup_ids) AS has_neardup
+      FROM documents
+    ),
+    stats AS (
+      SELECT lang, len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_corpus,
+             CAST(SUM(CASE WHEN NOT has_neardup THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_eligible
+      FROM cells GROUP BY lang, len_bucket
+    ),
+    tot AS (SELECT CAST(SUM(n_corpus) AS BIGINT) AS n FROM stats),
+    quotas AS (
+      SELECT s.lang, s.len_bucket, s.n_corpus, s.n_eligible,
+             CAST({_X160_EVAL_TOTAL} * s.n_corpus // tot.n AS BIGINT)
+               AS quota
+      FROM stats s CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT lang, len_bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, len_bucket
+               ORDER BY md5('eval:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM cells WHERE NOT has_neardup
+    )
+    SELECT q.lang, q.len_bucket, q.n_corpus, q.n_eligible, q.quota,
+           CAST(COALESCE(sel.n_selected, 0) AS BIGINT) AS n_selected
+    FROM quotas q
+    LEFT JOIN (
+      SELECT r.lang, r.len_bucket, COUNT(*) AS n_selected
+      FROM ranked r JOIN quotas q2
+        ON q2.lang = r.lang AND q2.len_bucket = r.len_bucket
+      WHERE r.rk <= q2.quota
+      GROUP BY r.lang, r.len_bucket
+    ) sel ON sel.lang = q.lang AND sel.len_bucket = q.len_bucket
+"""
+
+
+def _register_x160() -> None:
+    @register("x160_eval_set_construction", _x160_oracle())
+    def x160_eval_set_construction(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """[X] STRATIFIED EVAL-SET CONSTRUCTION with a near-dup exclusion
+        constraint: per (lang, 100-char-band) cell — x79's
+        quasi-identifier cells — an exact integer quota
+        ``EVAL_TOTAL · n_cell // N`` keeps the heldout set's marginals
+        proportional to the corpus; candidates are ranked inside each
+        cell by the salted portable md5 (x66/x84's reproducible-order
+        discipline, no RNG state) and only documents with NO x03 LSH
+        near-dup edge anywhere in the corpus are eligible (the
+        conservative leakage guard — an eval doc whose near-twin remains
+        in train is exactly x157's straddle case). Emits the
+        construction audit per cell: corpus mass, eligible mass, quota,
+        and how many the quota actually filled (a cell whose dup-heavy
+        population can't fill its quota surfaces here — the
+        re-stratification signal).
+
+        Determinism: quotas are exact BIGINT floor divisions; ranking is
+        md5-ordered with doc_id ties; selection counts are exact.
+
+        Scale shape: one x03 LSH pass bounds the exclusion set (edge
+        endpoints, corpus-sublinear); eligibility is an edge-id
+        anti-join; ranking is ONE (lang, band)-keyed window; quotas ride
+        a broadcast one-row total. No pairwise anything beyond the
+        certified banding."""
+        from smfg_datawarehouse_spark.operators.dedup import (
+            minhash_candidates,
+        )
+
+        d = t(spark, sf_dir, "documents")
+        edges = minhash_candidates(d, "text", "doc_id", est_threshold=0.5)
+        dup_ids = (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(edges.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        len_bucket = F.least(
+            F.floor(F.length("text") / 100).cast("long"),
+            F.lit(9).cast("long"),
+        )
+        cells = d.select(
+            "doc_id", "lang", len_bucket.alias("len_bucket")
+        ).join(
+            dup_ids.withColumn("_dup", F.lit(True)), "doc_id", "left"
+        ).select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("has_neardup"),
+        ).localCheckpoint(eager=False)  # 2 consumers: stats + ranked —
+        # without it each replays the whole LSH edge derivation
+        stats = cells.groupBy("lang", "len_bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n_corpus"),
+            F.sum(F.when(~F.col("has_neardup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_eligible"),
+        )
+        tot = stats.agg(F.sum("n_corpus").cast("long").alias("n"))
+        quotas = stats.crossJoin(F.broadcast(tot)).select(
+            "lang",
+            "len_bucket",
+            "n_corpus",
+            "n_eligible",
+            F.expr(f"CAST({_X160_EVAL_TOTAL} * n_corpus DIV n AS BIGINT)")
+            .alias("quota"),
+        )
+        wr = W.partitionBy("lang", "len_bucket").orderBy(
+            F.md5(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))),
+            F.col("doc_id"),
+        )
+        ranked = (
+            cells.where(~F.col("has_neardup"))
+            .withColumn("rk", F.row_number().over(wr))
+            .select("lang", "len_bucket", "rk")
+        )
+        selected = (
+            ranked.join(
+                quotas.select("lang", "len_bucket", "quota"),
+                ["lang", "len_bucket"],
+            )
+            .where(F.col("rk") <= F.col("quota"))
+            .groupBy("lang", "len_bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_selected"))
+        )
+        return quotas.join(selected, ["lang", "len_bucket"], "left").select(
+            "lang",
+            "len_bucket",
+            "n_corpus",
+            "n_eligible",
+            "quota",
+            F.coalesce(F.col("n_selected"), F.lit(0)).cast("long").alias(
+                "n_selected"
+            ),
+        )
+
+
+_register_x160()

@@ -209,3 +209,78 @@ def test_phrase_retrieval_doc_final_phrase_parity(spark, tmp_path_factory):
     assert got[("scan query", 4)] == 2
     assert got[("batch window", 1)] == 1
     assert got[("slow hash batch", 2)] == 1
+
+
+def test_crossversion_stability_all_three_statuses(spark, tmp_path_factory):
+    """x156 on a corpus staged so every status appears: a stable group
+    (V1 survivor keeps winning), a displaced group (a re-crawl doc with
+    a LOWER id than V1's survivor takes over), and a new group (content
+    absent from V1). V1 membership = doc_id % 10 != 7."""
+    from smfg_datawarehouse_spark import queries as qmod
+
+    d = tmp_path_factory.mktemp("edge_x156")
+    rows = [
+        # stable: v1 survivor 10 < arrival 27
+        (10, "alpha content", "en", "s0", 13),
+        (20, "alpha content", "en", "s0", 13),
+        (27, "alpha content", "en", "s0", 13),
+        # displaced: arrival 7 < v1 survivor 30
+        (30, "beta content", "en", "s1", 12),
+        (7, "beta content", "en", "s1", 12),
+        # new_group: only arrivals carry it
+        (17, "gamma content", "en", "s2", 13),
+        (37, "gamma content", "en", "s2", 13),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    _compare(spark, str(d), "x156_crossversion_dedup_stability")
+    got = {
+        r["status"]: (r["n_groups"], r["n_docs"], r["n_duplicates"])
+        for r in qmod.all_queries()["x156_crossversion_dedup_stability"](
+            spark, str(d)
+        ).collect()
+    }
+    assert got["stable"] == (1, 3, 2)
+    assert got["displaced"] == (1, 2, 1)
+    assert got["new_group"] == (1, 2, 1)
+
+
+def test_eval_set_construction_unfillable_cell(spark, tmp_path_factory):
+    """x160 when one cell's population is entirely near-dup-excluded:
+    its quota must go unfilled (n_selected = 0 < quota) while the clean
+    cell fills — the re-stratification signal the audit exists for.
+    Near-dups are two ~identical long docs (word-3-gram LSH catches
+    them); the clean cell is four distinct short docs."""
+    from smfg_datawarehouse_spark import queries as qmod
+
+    d = tmp_path_factory.mktemp("edge_x160")
+    dup_base = " ".join(f"w{i}" for i in range(120))  # >100 chars: bucket>=1
+    short = [
+        (i, f"short doc number {i} unique tokens t{i} u{i} v{i}", "en", "s0")
+        for i in range(4)
+    ]
+    rows = [(r[0], r[1], r[2], r[3], len(r[1])) for r in short] + [
+        (100, dup_base, "en", "s1", len(dup_base)),
+        (101, dup_base + " tail", "en", "s1", len(dup_base) + 5),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    _compare(spark, str(d), "x160_eval_set_construction")
+    out = {
+        (r["lang"], r["len_bucket"]): r
+        for r in qmod.all_queries()["x160_eval_set_construction"](
+            spark, str(d)
+        ).collect()
+    }
+    dup_cell = next(
+        v for (lang, b), v in out.items() if b >= 1
+    )  # the long-doc cell
+    assert dup_cell["n_eligible"] == 0 and dup_cell["n_selected"] == 0
+    assert dup_cell["quota"] > 0  # quota allocated but unfillable
+    clean_cell = out[("en", 0)]
+    assert clean_cell["n_selected"] == min(
+        clean_cell["quota"], clean_cell["n_eligible"]
+    )
+    assert clean_cell["n_selected"] > 0
