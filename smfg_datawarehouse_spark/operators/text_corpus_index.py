@@ -1626,3 +1626,110 @@ def x150_phrase_retrieval_positional(
         out.withColumn("rank", F.row_number().over(wr).cast("long"))
         .where(F.col("rank") <= _X150_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# x162: proximity retrieval (NEAR/k) — the third rung of the positional
+# ladder: x127's boolean AND needs terms anywhere in the doc, x150's
+# phrase join needs them ADJACENT in order; NEAR/k needs them within a
+# bounded window in either order — how "guarantee NEAR/5 default"
+# searches legal/financial corpora where word order varies but
+# co-occurrence distance carries the meaning.
+# ---------------------------------------------------------------------------
+
+_X162_QUERIES = (("scan", "batch", 5), ("slow", "hash", 3))
+_X162_TOPK = 10
+
+
+def _x162_oracle() -> str:
+    branches = []
+    for ta, tb, w in _X162_QUERIES:
+        branches.append(f"""
+    SELECT '{ta} NEAR/{w} {tb}' AS query, a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM pos a JOIN pos b
+      ON b.doc_id = a.doc_id AND a.tok = '{ta}' AND b.tok = '{tb}'
+     AND ABS(a.p - b.p) <= {w} AND a.p <> b.p
+    GROUP BY a.doc_id""")
+    body = "\n    UNION ALL\n".join(branches)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS tk
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, tk[CAST(j AS INTEGER)] AS tok, CAST(j AS BIGINT) AS p
+      FROM toks, UNNEST(range(1, len(tk) + 1)) AS r(j)
+    ),
+    hits AS (
+    {body}
+    )
+    SELECT query, doc_id, n_hits, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT query, doc_id, n_hits,
+             ROW_NUMBER() OVER (PARTITION BY query
+                                ORDER BY n_hits DESC, doc_id) AS rn
+      FROM hits
+    ) WHERE rn <= {_X162_TOPK}
+"""
+
+
+@register("x162_proximity_retrieval", _x162_oracle())
+def x162_proximity_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X] PROXIMITY RETRIEVAL (NEAR/k): top-10 docs per query by the
+    number of (pos_a, pos_b) occurrence pairs of the two terms within k
+    tokens of each other, either order — the bounded-window operator
+    between x127's boolean AND (no position constraint) and x150's
+    phrase chain (distance exactly 1, ordered). Served through the same
+    query-term-scoped positional postings: postings are FILTERED to the
+    queries' terms scan-side, the distance predicate rides a doc-keyed
+    equi-join (cost Σ df(t_a)·df(t_b) per doc, never corpus²), counts
+    are exact BIGINTs, ties break on doc_id.
+
+    Scale shape: identical to x150's — one scan + posexplode filtered
+    to |query terms| tokens, then per-query doc-keyed joins on the
+    df-bounded postings. The window predicate is a residual on the
+    equi-join, not a join explosion."""
+    from smfg_datawarehouse_spark.functions import word_tokens
+
+    n_parts = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(n_parts)
+    all_terms = sorted({w for ta, tb, _ in _X162_QUERIES for w in (ta, tb)})
+    postings = (
+        d.select(
+            "doc_id",
+            F.posexplode(word_tokens(F.col("text"))).alias("pos", "tok"),
+        )
+        .where(F.col("tok").isin(all_terms))
+        .localCheckpoint(eager=False)  # consumed once per query side
+    )
+    out = None
+    for ta, tb, w in _X162_QUERIES:
+        a = postings.where(F.col("tok") == ta).select(
+            "doc_id", F.col("pos").alias("pa")
+        )
+        b = postings.where(F.col("tok") == tb).select(
+            F.col("doc_id").alias("d_b"), F.col("pos").alias("pb")
+        )
+        hits = (
+            a.join(
+                b,
+                (F.col("doc_id") == F.col("d_b"))
+                & (F.abs(F.col("pa") - F.col("pb")) <= w)
+                & (F.col("pa") != F.col("pb")),
+            )
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(
+                F.lit(f"{ta} NEAR/{w} {tb}").alias("query"),
+                "doc_id",
+                "n_hits",
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    wr = W.partitionBy("query").orderBy(F.col("n_hits").desc(), "doc_id")
+    return (
+        out.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= _X162_TOPK)
+    )
