@@ -1821,3 +1821,88 @@ def q113_policy_masked_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         bal.alias("acctbal_served"),
         "nation",
     )
+
+
+# ---------------------------------------------------------------------------
+# x163: shuffle-key skew profile — the PLANNING-side complement to l19's
+# salted skew join: before a 100 TB pipeline commits to a partitioning,
+# profile every candidate shuffle key for hot-key concentration. The
+# decision inputs are exact integers (top-1 key mass, ideal per-key
+# share, their ratio in micro-units), so the "salt this key" advisory is
+# reproducible — no sampled sketch, one pass per keyed table.
+# ---------------------------------------------------------------------------
+
+_X163_KEYS = (
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("documents", "source"),
+)
+
+#: a key whose hottest value carries > 8x its ideal (uniform) share
+#: straggles its shuffle partition — the l19 salting trigger
+_X163_SKEW_FACTOR = 8
+
+_X163_ORACLE = (
+    "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{tbl}' AS table_name, '{col}' AS key_col,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS top1_count,
+           CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top1_share_micro,
+           MAX(c) * CAST(COUNT(*) AS BIGINT)
+             > {_X163_SKEW_FACTOR} * SUM(c) AS salting_recommended
+    FROM (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS c
+          FROM {tbl} GROUP BY {col})"""
+        for tbl, col in _X163_KEYS
+    )
+)
+
+
+@register("x163_skew_profile", _X163_ORACLE)
+def x163_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[X/§2.3] SHUFFLE-KEY SKEW PROFILE: for every candidate shuffle
+    key in the warehouse (join keys, groupBy keys), the exact hot-key
+    concentration — row count, distinct keys, the hottest key's mass,
+    its corpus share in integer micro-units, and a salting advisory
+    (hottest key carries > 8x its uniform share — the threshold at
+    which one reducer partition straggles the stage, l19's trigger).
+    AQE's skew-join handles the JOIN case at runtime; groupBy/window
+    hot keys still need the l19 salt or the q94 bucket decomposition,
+    and this profile is how a pipeline finds them BEFORE the straggler.
+
+    Determinism: all decision inputs are exact BIGINTs (share = mass *
+    1e6 DIV total; the advisory compares integer cross-products, no
+    division at all).
+
+    Scale shape: one map-side-combined keyed agg per profiled column —
+    the same shuffle the production query would pay, output 1 row per
+    (table, key). Nothing driver-side beyond the 5-row result."""
+    out = None
+    for tbl, col in _X163_KEYS:
+        d = t(spark, sf_dir, tbl)
+        per_key = d.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        prof = per_key.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("top1_count"),
+        ).select(
+            F.lit(tbl).alias("table_name"),
+            F.lit(col).alias("key_col"),
+            "n_rows",
+            "n_keys",
+            "top1_count",
+            F.expr("top1_count * 1000000 DIV n_rows")
+            .cast("long")
+            .alias("top1_share_micro"),
+            (
+                F.col("top1_count") * F.col("n_keys")
+                > F.lit(_X163_SKEW_FACTOR) * F.col("n_rows")
+            ).alias("salting_recommended"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out

@@ -284,3 +284,62 @@ def test_eval_set_construction_unfillable_cell(spark, tmp_path_factory):
         clean_cell["quota"], clean_cell["n_eligible"]
     )
     assert clean_cell["n_selected"] > 0
+
+
+def test_skew_profile_advisory_fires_on_hot_key(spark, tmp_path_factory):
+    """x163 on a synthetic warehouse with one pathologically hot
+    events.user_id (hottest key > 8x its uniform share): the advisory
+    must fire for exactly that (table, key) and stay off for the
+    uniform keys — and the oracle must agree bit-for-bit."""
+    import duckdb as _duck
+
+    from smfg_datawarehouse_spark import queries as qmod
+
+    d = tmp_path_factory.mktemp("edge_x163")
+    # events: user 1 owns 500 of 590 rows across 10 users -> top1*keys =
+    # 5000 > 8*590 = 4720 -> advisory fires; event_type stays uniform
+    import datetime as _dt
+
+    base_ts = _dt.datetime(2025, 1, 1)
+    ev = [
+        (
+            i,
+            base_ts + _dt.timedelta(minutes=i),
+            1 if i < 500 else 2 + i % 9,
+            f"t{i % 5}",
+        )
+        for i in range(590)
+    ]
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    spark.createDataFrame(
+        [(i, i % 40) for i in range(200)], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        [(i % 100, i) for i in range(300)], "l_orderkey long, l_linenumber long"
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(80)], "doc_id long, source string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    qs, os_ = qmod.all_queries(), qmod.all_oracles()
+    sdf = qs["x163_skew_profile"](spark, str(d))
+    got = {
+        (r["table_name"], r["key_col"]): r["salting_recommended"]
+        for r in sdf.collect()
+    }
+    assert got[("events", "user_id")] is True
+    assert got[("events", "event_type")] is False
+    assert got[("documents", "source")] is False
+    con = _duck.connect()
+    for tname in ("events", "orders", "lineitem", "documents"):
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM "
+            f"'{d}/{tname}.parquet/*.parquet'"
+        )
+    orows = sorted(map(tuple, con.execute(os_["x163_skew_profile"]).fetchall()))
+    srows = sorted(map(tuple, sdf.collect()))
+    assert [tuple(map(str, r)) for r in srows] == [
+        tuple(map(str, r)) for r in orows
+    ]
