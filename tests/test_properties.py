@@ -478,3 +478,80 @@ def test_adamic_adar_matches_bruteforce(spark, edges, cap):
     assert got == expect
     for r in rows:
         assert r["is_edge"] == ((r["doc_a"], r["doc_b"]) in eset)
+
+
+_DOC_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "fr", "de"]),
+        st.sampled_from(["s0", "s1", "s2", "s3"]),
+        st.integers(min_value=1, max_value=400),  # n_chars proxy
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(rows=_DOC_ROWS)
+@_SETTINGS
+def test_drift_tvd_invariants(spark, rows, tmp_path_factory):
+    """x161's TVD must satisfy the metric's algebra on ANY corpus split:
+    0 <= tvd <= 1, the exact rational equals the double
+    (numer/denom == tvd bit-for-bit), and an arrival batch distributed
+    IDENTICALLY to the standing corpus (every doc duplicated into both
+    versions) yields tvd == 0 on every dimension."""
+    from smfg_datawarehouse_spark import queries as qmod
+
+    d = tmp_path_factory.mktemp("prop_x161")
+    # doc_id % 10 == 7 marks arrivals: build a corpus where every
+    # (lang, source, len) profile appears in BOTH versions -> zero drift
+    docs = []
+    for i, (lang, src, n) in enumerate(rows):
+        text = "w " * max(1, n // 2)
+        docs.append((i * 10, text, lang, src, len(text)))      # V1 member
+        docs.append((i * 10 + 7, text, lang, src, len(text)))  # arrival twin
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = qmod.all_queries()["x161_corpus_drift_tvd"](spark, str(d)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert 0.0 <= r["tvd"] <= 1.0
+        assert r["tvd"] == r["tvd_numer"] / r["tvd_denom"]
+        assert r["tvd"] == 0.0, f"identical halves must not drift: {r}"
+
+
+def test_crossversion_stability_conservation(spark, tmp_path_factory):
+    """x156: across statuses, n_groups sums to |distinct V2 hashes| and
+    n_docs to |V2|; every V1 group is stable or displaced (new_group
+    counts only hashes absent from V1)."""
+    from pyspark.sql import functions as F2
+
+    from smfg_datawarehouse_spark import queries as qmod
+
+    d = tmp_path_factory.mktemp("prop_x156")
+    rows = [
+        (i, f"text {i % 13}", "en", "s0", 10) for i in range(60)
+    ] + [(i, f"text {i % 7}", "en", "s1", 10) for i in range(60, 90)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = qmod.all_queries()["x156_crossversion_dedup_stability"](
+        spark, str(d)
+    ).collect()
+    n_groups = sum(r["n_groups"] for r in out)
+    n_docs = sum(r["n_docs"] for r in out)
+    exp_groups = df.select(F2.md5("text")).distinct().count()
+    assert n_groups == exp_groups
+    assert n_docs == len(rows)
+    v1_hashes = (
+        df.where(F2.col("doc_id") % 10 != 7).select(F2.md5("text")).distinct().count()
+    )
+    by = {r["status"]: r for r in out}
+    assert by.get("new_group", None) is None or (
+        by["new_group"]["n_groups"] == exp_groups - v1_hashes
+    )
+    stable_plus_displaced = sum(
+        r["n_groups"] for r in out if r["status"] in ("stable", "displaced")
+    )
+    assert stable_plus_displaced == v1_hashes
