@@ -101,3 +101,37 @@ def test_shingle_table_kernel_df_window_and_parity(spark):
     # checkpoint=True must hand back a runnable frame with the same rows
     ck = shingle_table(docs, "text", "doc_id", checkpoint=True)
     assert sorted(map(tuple, ck.collect())) == base
+
+
+def test_local_rows_df_is_arrow_local_relation(spark):
+    """session.local_rows_df must plan as a LocalTableScan (Arrow local
+    relation) — NOT Scan ExistingRDD, whose every action pays a
+    ~5s Python-runner round trip in this container (round-8 finding; the
+    s11 heartbeat write alone was 4.8s). Schema stays authoritative:
+    Nones survive as NULLs, timestamps keep their values, arrays and
+    empty inputs work, and values match the legacy createDataFrame path
+    exactly."""
+    import datetime
+
+    from smfg_datawarehouse_spark.session import local_rows_df
+
+    mx = datetime.datetime(2025, 5, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = [(-1, mx, -1, "heartbeat", 0.0, None)]
+    df = local_rows_df(spark, rows, schema)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan
+    legacy = spark.createDataFrame(rows, schema)
+    assert df.schema == legacy.schema
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, legacy.collect())
+    )
+    # arrays + empty input
+    arr = local_rows_df(spark, [(1, [1.0, 2.5])], "id long, v array<double>")
+    assert arr.collect()[0]["v"] == [1.0, 2.5]
+    empty = local_rows_df(spark, [], "a long, b string")
+    assert empty.count() == 0 and [f.name for f in empty.schema] == ["a", "b"]
