@@ -120,10 +120,15 @@ def time_with_escalation(
         if attempt >= repeats:
             # base repeats done: stop once the kept (fastest) run was
             # timed on a clean window or steal is unreadable; otherwise
-            # escalate toward max_repeats
+            # escalate toward max_repeats. The flag records only
+            # escalations that actually RAN an extra repeat — at
+            # attempt == max_repeats no further attempt follows, so
+            # setting it there would claim an escalation that never
+            # happened (e.g. SPARK_GRAFT_MAX_REPEATS == repeats).
             if best_rate is None or best_rate <= steal_thresh:
                 break
-            escalated = True
+            if attempt < max_repeats:
+                escalated = True
     return best, best_rate, escalated
 
 

@@ -12,8 +12,10 @@ from smfg_datawarehouse_spark.functions.vectors import (
     l2_norm,
 )
 from smfg_datawarehouse_spark.functions.text import (
+    attach_shingle_df,
     char_shingles,
     shingle_table,
+    term_scoped_postings,
     word_shingles,
     word_tokens,
 )
@@ -23,8 +25,10 @@ __all__ = [
     "cosine_similarity",
     "dot_product",
     "l2_norm",
+    "attach_shingle_df",
     "char_shingles",
     "shingle_table",
+    "term_scoped_postings",
     "word_shingles",
     "word_tokens",
 ]

@@ -79,14 +79,54 @@ def shingle_table(
         F.explode(make(F.col(text_col), k)).alias("shingle"),
     )
     if with_df:
-        from pyspark.sql import Window as W
-
-        sh = sh.withColumn(
-            "df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
-        )
+        sh = attach_shingle_df(sh)
     if checkpoint:
         sh = sh.localCheckpoint(eager=False)
     return sh
+
+
+def attach_shingle_df(sh: DataFrame, col: str = "shingle") -> DataFrame:
+    """Attach global document frequency to an exploded (id, shingle)
+    frame as a ``df`` column — via ``count(*) over (partition by
+    shingle)``, ONE shingle-keyed exchange that every df consumer
+    (prefix filtering, rarity weighting) needs anyway. This is the
+    single home of the x56/x139 rule: the vocabulary GROWS with the
+    corpus, so df must NEVER come back as a broadcast/collected table
+    (the driver/executor-memory blowup the x139 fix removed). Both
+    ``shingle_table(with_df=True)`` and ``jaccard_pairs``'s prefix
+    ranking route through here so the rule cannot drift apart.
+    """
+    from pyspark.sql import Window as W
+
+    return sh.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy(col))
+    )
+
+
+def term_scoped_postings(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional postings (doc_id, pos, tok) FILTERED to ``terms``
+    scan-side — the shared serving kernel of the positional-retrieval
+    ladder (x150 exact phrase, x162 NEAR/k): one repartitioned scan +
+    ``posexplode``, the term filter applied before anything shuffles
+    (cost Σ df(term), never the full token stream), returned
+    ``localCheckpoint(eager=False)`` because every query term consumes
+    the frame once more.
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_parts)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
+        )
+        .where(F.col("tok").isin(list(terms)))
+        .localCheckpoint(eager=False)
+    )
 
 
 def word_shingles(text: Column, k: int = 3, lowercase: bool = True) -> Column:

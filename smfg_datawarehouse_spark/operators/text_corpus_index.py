@@ -1590,18 +1590,12 @@ def x150_phrase_retrieval_positional(
     term-scoped postings); adjacency joins key on (doc_id, pos) — the
     classic impact-ordered phrase cost Σ df(term_i), never corpus².
     Counts are exact BIGINTs; ranking ties break on doc_id."""
-    from smfg_datawarehouse_spark.functions import word_tokens
+    from smfg_datawarehouse_spark.functions import term_scoped_postings
 
-    n_parts = spark.sparkContext.defaultParallelism
-    d = t(spark, sf_dir, "documents").repartition(n_parts)
     all_terms = sorted({w for ph in _X150_PHRASES for w in ph.split(" ")})
-    postings = (
-        d.select(
-            "doc_id", F.posexplode(word_tokens(F.col("text"))).alias("pos", "tok")
-        )
-        .where(F.col("tok").isin(all_terms))
-        .localCheckpoint(eager=False)  # consumed once per phrase term
-    )
+    postings = term_scoped_postings(
+        t(spark, sf_dir, "documents"), all_terms
+    )  # consumed once per phrase term
     out = None
     for ph in _X150_PHRASES:
         terms = ph.split(" ")
@@ -1691,19 +1685,12 @@ def x162_proximity_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     to |query terms| tokens, then per-query doc-keyed joins on the
     df-bounded postings. The window predicate is a residual on the
     equi-join, not a join explosion."""
-    from smfg_datawarehouse_spark.functions import word_tokens
+    from smfg_datawarehouse_spark.functions import term_scoped_postings
 
-    n_parts = spark.sparkContext.defaultParallelism
-    d = t(spark, sf_dir, "documents").repartition(n_parts)
     all_terms = sorted({w for ta, tb, _ in _X162_QUERIES for w in (ta, tb)})
-    postings = (
-        d.select(
-            "doc_id",
-            F.posexplode(word_tokens(F.col("text"))).alias("pos", "tok"),
-        )
-        .where(F.col("tok").isin(all_terms))
-        .localCheckpoint(eager=False)  # consumed once per query side
-    )
+    postings = term_scoped_postings(
+        t(spark, sf_dir, "documents"), all_terms
+    )  # consumed once per query side
     out = None
     for ta, tb, w in _X162_QUERIES:
         a = postings.where(F.col("tok") == ta).select(

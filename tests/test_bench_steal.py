@@ -102,3 +102,16 @@ def test_before_attempt_hook_runs_per_repeat():
         before_attempt=lambda: calls.append(1),
     )
     assert len(calls) == 2
+
+
+def test_no_false_escalation_when_max_equals_base():
+    """Review finding r8: with max_repeats == repeats no extra attempt
+    can run, so a contended kept run must NOT be flagged escalated —
+    the record would otherwise claim an escalation that never
+    happened."""
+    run = _mk_run([1.0, 1.1])
+    steal = _mk_steal([200, 210])  # contended throughout
+    best, rate, esc = time_with_escalation(run, 2, 2, 25.0, steal_fn=steal)
+    assert best == 1.0
+    assert rate > 25.0  # honesty: kept run was contended
+    assert esc is False  # but no escalation ever ran
