@@ -272,6 +272,9 @@ _RECERT_FILLERS = {
     "s08_streaming_outer_join", "x105_lsh_banding_calibration",
     "x154_weighted_jaccard_rescore", "x155_banding_design_table",
     "x144_maxmin_diversity_sample", "x147_bpe_merge_apply",
+    # review-fix conversions: attach_shingle_df in jaccard_pairs,
+    # term_scoped_postings in the positional ladder
+    "x03_minhash_lsh_dupes", "x56_shingle_novelty",
 }
 
 
