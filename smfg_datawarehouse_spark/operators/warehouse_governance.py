@@ -318,13 +318,17 @@ def l20_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _scratch_dir(spark, "l20")
     v0_path = os.path.join(tmp, "join_view")
     jv(a0, b0).write.mode("overwrite").parquet(v0_path)
+    # eager checkpoints: the gate consumes v1 THREE times (count,
+    # exceptAll, the returned rollup) and full twice — without them each
+    # consumer replays the three delta joins / the full join
     v1 = (
         spark.read.parquet(v0_path)
         .unionByName(jv(da, b0))
         .unionByName(jv(a0, db))
         .unionByName(jv(da, db))
+        .localCheckpoint()
     )
-    full = jv(o, li)
+    full = jv(o, li).localCheckpoint()
     n_v1, n_full = v1.count(), full.count()
     if n_v1 != n_full:
         raise RuntimeError(f"maintained view {n_v1} rows vs recompute {n_full}")
