@@ -343,3 +343,22 @@ def test_skew_profile_advisory_fires_on_hot_key(spark, tmp_path_factory):
     assert [tuple(map(str, r)) for r in srows] == [
         tuple(map(str, r)) for r in orows
     ]
+
+
+def test_split_leakage_null_source_parity(spark, tmp_path_factory):
+    """Review finding r8: x157's distinct source-pair count must use
+    NULL-PROPAGATING concatenation (the oracle's ||) — concat_ws would
+    swallow a NULL source on one edge end and count the other side
+    alone. Stage an LSH near-dup pair where one end's source is NULL
+    and assert bit-exact parity."""
+    d = tmp_path_factory.mktemp("edge_x157_null")
+    dup = " ".join(f"w{i}" for i in range(120))
+    rows = [
+        (0, dup, "en", "s0", len(dup)),
+        (1, dup + " tail", "en", None, len(dup) + 5),  # NULL source end
+        (2, "totally different text with unique tokens a b c", "en", "s1", 48),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    _compare(spark, str(d), "x157_split_leakage_certification")
