@@ -273,8 +273,10 @@ _RECERT_FILLERS = {
     "x154_weighted_jaccard_rescore", "x155_banding_design_table",
     "x144_maxmin_diversity_sample", "x147_bpe_merge_apply",
     # review-fix conversions: attach_shingle_df in jaccard_pairs,
-    # term_scoped_postings in the positional ladder
+    # term_scoped_postings in the positional ladder; l20's gate
+    # checkpoints
     "x03_minhash_lsh_dupes", "x56_shingle_novelty",
+    "l20_join_view_maintenance",
 }
 
 
