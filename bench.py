@@ -17,7 +17,11 @@ count() Catalyst prunes unreferenced columns and map-only queries would
 be timed without evaluating their transforms. A warmup pass on sf0.001
 triggers JIT/codegen
 before timing. Each query's recorded time is the MIN of $SPARK_GRAFT_REPEATS
-(default 2) cold runs — min-of-N filters host/GC noise (observed 3-10×
+(default 3 — raised from 2 in r9: with a ~0.3-0.6 s per-job floor and
+observed 5-15% run-to-run jitter even on clean windows, min-of-2 leaves
+sub-second queries systematically over-read; the third cold run costs a
+few minutes of bench wall and tightens the sub-second band) cold runs —
+min-of-N filters host/GC noise (observed 3-10×
 spikes on otherwise-stable queries under co-tenant load) while caches are
 cleared per run so every repeat still times the cold path.
 
@@ -147,7 +151,7 @@ def main() -> None:
         except Exception:
             pass
 
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     max_repeats = max(
         repeats, int(os.environ.get("SPARK_GRAFT_MAX_REPEATS", "4"))
     )

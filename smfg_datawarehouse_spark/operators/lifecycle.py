@@ -1617,8 +1617,20 @@ def l37_changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(new_images)
         )
 
+    # The replay chain is consumed by every gate below AND the returned
+    # frame: checkpoint it so the 2-diff lineage runs once, not per action.
+    state = state.localCheckpoint(eager=True)
     direct = vt.read(versions[-1]).select(*cols)
-    drift = state.exceptAll(direct).count() + direct.exceptAll(state).count()
+    # Both-direction equality, paid as ONE exceptAll: with |state| ==
+    # |direct| (cheap counts), empty state∖direct implies empty
+    # direct∖state for multisets — the second exceptAll only ever ran to
+    # re-prove the count check (VERDICT r8 item 1).
+    n_state, n_direct = state.count(), direct.count()
+    if n_state != n_direct:
+        raise RuntimeError(
+            f"replay drifted from direct read: {n_state} vs {n_direct} rows"
+        )
+    drift = state.exceptAll(direct).count()
     if drift != 0:
         raise RuntimeError(f"replay drifted from direct read: {drift} rows")
     return state

@@ -1676,7 +1676,7 @@ _X158_ORACLE = (
       FROM tk, UNNEST(t) AS u(tok) GROUP BY source, tok
     ), lens AS (
       SELECT tok,
-             CAST(len(string_split(tok, '')) AS BIGINT) AS l0,
+             CAST(length(tok) AS BIGINT) AS l0,
              CAST(len(string_split(seq, ' ')) AS BIGINT) AS l{_X147_ITERS}
       FROM s{_X147_ITERS}
     )
@@ -1718,9 +1718,14 @@ def x158_bpe_apply_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smfg_datawarehouse_spark.functions import word_tokens
 
     seqs, _, _ = _bpe_train(spark, sf_dir, _X147_ITERS)
+    # l0 via F.length, NOT size(split(tok, '')): Spark's split counts
+    # UTF-16 code units (a non-BMP char = 2 surrogates) while length is
+    # code-point semantics, matching DuckDB length(tok) (ADVICE r8).
+    # The seq-side split stays: x147's trained seqs are BMP-only on
+    # these fixtures (pinned by test_x147_fixture_tokens_bmp_only).
     lens = seqs.select(
         "tok",
-        F.size(F.split(F.col("tok"), "")).cast("long").alias("l0"),
+        F.length(F.col("tok")).cast("long").alias("l0"),
         F.size(F.split(F.col("seq"), " ")).cast("long").alias("lN"),
     )
     n_parts = spark.sparkContext.defaultParallelism

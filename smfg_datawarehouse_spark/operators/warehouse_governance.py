@@ -682,7 +682,13 @@ def q97_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction), so each step is a broadcast join."""
     ev = load_events(spark, sf_dir)
     ev.createOrReplaceTempView("events")
-    edges = spark.sql(_Q97_EDGES_SQL)
+    # Materialize the edge table BEFORE the recursion: a temp view over
+    # the raw plan makes every recursion step (anchor + each of 4 walk
+    # levels) re-derive the corpus-wide LEAD window; the checkpointed
+    # frame is the type-cardinality-sized graph the walk was designed to
+    # run on (VERDICT r8 watch item — the 2.1→3.3 s drift was exactly
+    # this re-derivation cost).
+    edges = spark.sql(_Q97_EDGES_SQL).localCheckpoint(eager=True)
     edges.createOrReplaceTempView("edges")
     return spark.sql(_Q97_RECURSIVE_SQL)
 
@@ -729,8 +735,11 @@ def l22_deletion_vector_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     mt0 = dvt.base_file_mtimes()
     p1 = "o_orderpriority = '1-URGENT'"
     p2 = "o_totalprice < 5000.0"
-    exp1 = o.where(p1).count()
-    exp2 = o.where(f"({p2}) AND NOT ({p1})").count()
+    # both expected deltas from ONE scan (was two count jobs)
+    exp1, exp2 = o.agg(
+        F.sum(F.expr(f"CAST(({p1}) AS INT)")).alias("e1"),
+        F.sum(F.expr(f"CAST(({p2}) AND NOT ({p1}) AS INT)")).alias("e2"),
+    ).first()
     n1 = dvt.delete(p1)
     n2 = dvt.delete(p2)
     n3 = dvt.delete(p1)  # replay: must be a no-op
@@ -1012,12 +1021,13 @@ def l26_multi_table_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     # detail-side orphans (lines whose order is missing) are the torn-state
-    # signature; orders without lines are a legitimate data property
-    orphans = cl.join(co, cl.l_orderkey == co.o_orderkey, "left_anti").count()
-    if orphans:
-        raise RuntimeError(f"l26 catalog join has {orphans} orphan lineitems")
-    return (
-        co.join(cl, co.o_orderkey == cl.l_orderkey)
+    # signature; orders without lines are a legitimate data property. One
+    # LEFT join serves both the orphan gate and the rollup (was a separate
+    # anti-join job + a second join at materialization — VERDICT r8
+    # item 1): orphan lines land in the NULL-priority group, the
+    # checkpoint pins the join so the gate and the returned frame share it.
+    rolled = (
+        cl.join(co, cl.l_orderkey == co.o_orderkey, "left")
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -1025,7 +1035,14 @@ def l26_multi_table_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             ),
         )
+        .localCheckpoint(eager=True)
     )
+    orphans = rolled.where(F.col("o_orderpriority").isNull()).first()
+    if orphans is not None:
+        raise RuntimeError(
+            f"l26 catalog join has {orphans['n_lines']} orphan lineitems"
+        )
+    return rolled.where(F.col("o_orderpriority").isNotNull())
 
 
 @register(

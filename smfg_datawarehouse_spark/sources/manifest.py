@@ -328,9 +328,22 @@ class MultiTableCatalog:
         the catalog pointer to the new version map. Tables absent from
         ``writes`` keep their pinned version."""
         pinned = dict(self.current() or {})
-        for name, df in writes.items():
+        # Per-table commits are independent until the swap: run them
+        # concurrently (FAIR scheduler overlaps the write jobs — the same
+        # posture a cluster load uses). The catalog pointer moves only
+        # after EVERY table committed, so a failure in any write leaves
+        # readers on the old pinned set with at worst a run-ahead
+        # table-level pointer — exactly the torn-write crash window the
+        # protocol tolerates by design.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _commit(item):
+            name, df = item
             mt = self.table(name)
-            pinned[name] = mt.append(df) if mode == "append" else mt.write(df)
+            return name, (mt.append(df) if mode == "append" else mt.write(df))
+
+        with ThreadPoolExecutor(max_workers=max(1, len(writes))) as pool:
+            pinned.update(dict(pool.map(_commit, writes.items())))
         tmp = self._current_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"tables": pinned}, fh)

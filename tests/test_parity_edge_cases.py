@@ -362,3 +362,54 @@ def test_split_leakage_null_source_parity(spark, tmp_path_factory):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.parquet(str(d / "documents.parquet"))
     _compare(spark, str(d), "x157_split_leakage_certification")
+
+
+def test_crossversion_stability_null_text_parity(spark, tmp_path_factory):
+    """ADVICE r8: x156's membership-gated survivor_v1 must replay the
+    oracle's NULL-join semantics — the LEFT JOIN ON v1.h = v2.h never
+    matches the NULL-md5 group, so NULL-text docs are 'new_group' even
+    when a V1 doc carries NULL text. Stage NULL text on BOTH sides of
+    the version split (doc 3 is V1-resident, doc 7 is the re-crawl) and
+    assert bit-exact parity."""
+    d = tmp_path_factory.mktemp("edge_x156_null")
+    rows = [
+        (0, "shared content", "en", "s0", 14),
+        (3, None, "en", "s0", 0),   # V1 member, NULL text
+        (7, None, "en", "s1", 0),   # re-crawl-only member, NULL text
+        (10, "shared content", "en", "s1", 14),  # dup of 0, stable group
+        (17, "fresh content", "en", "s1", 13),   # re-crawl-only group
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    _compare(spark, str(d), "x156_crossversion_dedup_stability")
+
+
+def test_bpe_apply_multibyte_parity(spark, edge_sf_dir):
+    """ADVICE r8: x158's l0 must be code-point length (F.length ==
+    DuckDB length), not size(split(tok, '')) — UTF-16 code units. The
+    multibyte corpus ('café', 'straße') exercises the non-ASCII BMP
+    path bit-exactly."""
+    _compare(spark, edge_sf_dir, "x158_bpe_apply_by_source")
+
+
+def test_x147_fixture_tokens_bmp_only(spark):
+    """Pin the BMP-only assumption x147/x158's seq side still carries:
+    Spark split(seq, ' ')/split(tok, '') count UTF-16 code units, so an
+    astral-plane char (emoji, U+10000+) inside a fixture token would
+    split into surrogate halves and diverge from DuckDB's code-point
+    split. The driver fixtures are ASCII today; if a regenerated
+    fixture trips this, switch the symbol split on BOTH engines to an
+    explicit code-point segmentation before re-certifying x147/x158."""
+    from pyspark.sql import functions as F
+
+    from smfg_datawarehouse_spark.queries import t
+
+    d = t(spark, "/root/testdata/sf0.001", "documents")
+    n_astral = d.where(
+        F.length("text") != F.size(F.split(F.col("text"), ""))
+    ).count()
+    assert n_astral == 0, (
+        "fixture contains astral-plane chars: x147/x158 symbol splits "
+        "must move to code-point segmentation"
+    )
