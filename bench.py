@@ -143,6 +143,16 @@ def main() -> None:
     spark = get_spark(app_name="smfg-bench")
 
     queries = qmod.all_queries()
+    # SPARK_GRAFT_ONLY=q01,x164 benches just those names (isolated
+    # timing for late-round registrations / regression re-timing) —
+    # filtered BEFORE warmup so the warm pass matches the timed set
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = keep - queries.keys()
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY names not registered: {unknown}")
+        queries = {n: f for n, f in queries.items() if n in keep}
     # warmup at the smallest scale (codegen + JVM JIT)
     warm_dir = "/root/testdata/sf0.001"
     for name, fn in queries.items():
@@ -208,10 +218,13 @@ def main() -> None:
     if failed:
         out["failed"] = failed
 
+    # subset runs (SPARK_GRAFT_ONLY) must never clobber the full-suite
+    # record: they default to stdout-only unless an output is named
     bench_out = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_LOCAL.json"),
+        "" if only else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        ),
     )
     if bench_out:
         local = dict(out)

@@ -1873,3 +1873,150 @@ def l39_overlap_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_L39_RUNS).cast("long").alias("n_runs"),
         F.max("d").cast("long").alias("max_overlap_depth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l40: end-to-end curation-run lifecycle — x40's curation pipeline staged
+# through l23's write-audit-publish gate with an x65-style per-source
+# datacard as the audit artifact (the reference's full-run model,
+# reference/dag/SMFG_DW_ETL_DAG.py:60-69 extract→audit→load, replayed at
+# corpus scale on the storage commit protocol itself)
+# ---------------------------------------------------------------------------
+
+
+def _l40_oracle() -> str:
+    """x40's curation oracle with (a) doc_id carried through the kept
+    CTE and (b) the repaired-publish filter applied — the poisoned batch
+    rows (doc_id % 5 = 0 AND % 13 = 0) never reach the published table,
+    so the replay simply excludes them. Built by splice so the scoring /
+    dedup / lang-gate expressions stay shared VERBATIM with x40; both
+    anchors are raise-guarded (x105's convention) so an x40 oracle edit
+    fails loudly here instead of silently diverging."""
+    from smfg_datawarehouse_spark.operators.text_analysis import _CURATION_ORACLE
+
+    kept_anchor = "SELECT source, n_tokens, quality_score"
+    pub_anchor = "FROM kept\n"
+    if _CURATION_ORACLE.count(kept_anchor) != 1 or _CURATION_ORACLE.count(
+        pub_anchor
+    ) != 1:
+        raise RuntimeError(
+            "x40 oracle anchors moved: re-align the l40 splice before "
+            "re-certifying"
+        )
+    return _CURATION_ORACLE.replace(
+        kept_anchor, "SELECT doc_id, source, n_tokens, quality_score"
+    ).replace(
+        pub_anchor,
+        "FROM kept\n      WHERE NOT (doc_id % 5 = 0 AND doc_id % 13 = 0)\n",
+    )
+
+
+@register("l40_curation_run_lifecycle", _l40_oracle())
+def l40_curation_run_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S6/S7/L6/§2.12] CURATION-RUN LIFECYCLE certified — the full
+    training-data run as ONE governed commit sequence: x40's curation
+    pipeline (exact dedup → quality scoring → language ID) produces the
+    per-doc curated corpus; it lands through l23's write-audit-publish
+    protocol; and the audit artifact gating every publish is an
+    x65-style per-source DATACARD (docs, tokens, min/mean quality) —
+    the sign-off report a data owner reviews before a source enters a
+    training mix, here promoted from documentation to the commit gate.
+
+    The certified sequence: (1) the standing curated corpus (non-%5
+    doc_ids) publishes as v1; (2) an incoming batch (%5 doc_ids)
+    arrives with a corrupted scoring run (quality negated for %13 keys
+    — l23's corruption shape at the curation grain), its staged
+    datacard shows min_quality < 0.5, the audit REFUSES publish, and
+    the RAISE-checked invariant is that readers still see v1 exactly
+    (staged files on disk, manifest unmoved); (3) the repaired batch
+    (poisoned rows dropped) audits clean and append-publishes as v2.
+    The final per-source rollup of the PUBLISHED table hash-matches an
+    oracle that replays curation and never saw the poison.
+
+    Scale shape: curation is x40's two-shuffle plan (content-hash
+    window + source rollup); audit cost is one scan of the STAGED
+    BATCH (never the standing table); publish is one manifest CAS;
+    failed-audit rollback costs nothing. This is the reference's
+    extract→audit→load DAG posture (SMFG_DW_ETL_DAG.py:60-69, the
+    FAILED/PARTIAL ledger gating of audit.py) carried to 100 TB as a
+    delete-free storage protocol."""
+    from smfg_datawarehouse_spark.operators.dedup import exact_dedup
+    from smfg_datawarehouse_spark.operators.text_analysis import (
+        lang_id,
+        quality_features,
+    )
+    from smfg_datawarehouse_spark.sources.manifest import ManifestTable
+
+    d = t(spark, sf_dir, "documents")
+    curated = lang_id(quality_features(exact_dedup(d, ["text"], "doc_id")))
+    # checkpoint the curated frame: standing/batch/repaired and both
+    # staged audits all derive from it, and without the pin each action
+    # replays the full curation plan (content-hash window + scoring)
+    # against the corpus — the run is a COMMIT-protocol cert, its cost
+    # should be the protocol's, not five curation recomputes
+    kept = (
+        curated.where(
+            (F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en")
+        )
+        .select("doc_id", "source", "n_tokens", "quality_score")
+        .localCheckpoint(eager=True)
+    )
+
+    base = _scratch_dir(spark, "l40")
+    mt = ManifestTable(spark, os.path.join(base, "curated_wap"))
+    standing = kept.where("doc_id % 5 != 0")
+    mt.write(standing)
+    v1 = mt.current_version()
+    n_v1 = mt.read().count()
+
+    batch = kept.where("doc_id % 5 = 0").withColumn(
+        "quality_score",
+        F.when(
+            F.col("doc_id") % 13 == 0, -F.col("quality_score")
+        ).otherwise(F.col("quality_score")),
+    )
+
+    def datacard_violations(df: DataFrame) -> list:
+        """x65-style per-source admission card over a staged snapshot;
+        a source violates when its quality floor breaks 0.5 or a doc
+        arrives tokenless (the curation gates, re-checked at commit)."""
+        card = df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("quality_score").alias("min_quality"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+        )
+        return [
+            r
+            for r in card.collect()
+            if r["min_quality"] < 0.5 or r["min_tokens"] < 1 or r["n_docs"] == 0
+        ]
+
+    staged = mt.stage(batch)
+    bad = datacard_violations(mt.read_staged(staged))
+    if not bad:
+        raise RuntimeError("l40 expected the poisoned batch to fail its datacard")
+    if mt.current_version() != v1 or mt.read().count() != n_v1:
+        raise RuntimeError(
+            "l40 WAP isolation broken: a failed datacard must leave the "
+            "published curated corpus untouched"
+        )
+
+    repaired = mt.stage(batch.where(F.col("quality_score") >= 0.5))
+    if datacard_violations(mt.read_staged(repaired)):
+        raise RuntimeError("l40 repaired batch still fails its datacard")
+    mt.publish_append(repaired)
+    if mt.current_version() == v1:
+        raise RuntimeError("l40 passing datacard must publish a new version")
+
+    return mt.read().groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            F.sum(
+                F.floor(F.col("quality_score") * 1e6 + 0.5).cast("long")
+            ).cast("double")
+            / 1e6
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )

@@ -1781,3 +1781,258 @@ def s25_streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("rev_partial").cast("double").alias("revenue"),
     )
+
+
+def _s26_oracle() -> str:
+    """Unrolled 2-wave replay of the streaming LSH index maintenance:
+    wave w's arrivals are checked against idx{w} (corpus ∪ the earlier
+    wave's ADMITTED arrivals), then the admitted set is folded into
+    idx{w+1} — the exact cascade foreachBatch executes, expressed as
+    CTE layers over the shared minhash/banding fragments x61's oracle
+    uses. TWO waves, not more: wave 1 already proves the load-bearing
+    transition (reject against an arrival ADMITTED in a prior batch —
+    the index grew); further waves would only repeat it (the s22/s24
+    two-slice adjudication applied here)."""
+    from smfg_datawarehouse_spark.operators.dedup import (
+        _band_cols,
+        _band_union,
+        _match_sum,
+        _minhash_cols,
+        _minhash_hashed_sql,
+        _NUM_HASHES,
+        _WORD_SHINGLE_SQL,
+    )
+
+    layers = []
+    for w in range(2):
+        layers.append(f"""
+    cand{w} AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM stacked n
+      JOIN arr a ON a.doc_id = n.doc_id AND a.wave = {w}
+      JOIN stacked c ON n.bi = c.bi AND n.bh = c.bh
+      WHERE c.doc_id IN (SELECT doc_id FROM idx{w})
+    ),
+    scored{w} AS (
+      SELECT cand{w}.new_id, cand{w}.corpus_id,
+             CAST(({_match_sum}) AS DOUBLE) / {_NUM_HASHES}.0 AS est
+      FROM cand{w}
+      JOIN sig sa ON sa.doc_id = cand{w}.new_id
+      JOIN sig sb ON sb.doc_id = cand{w}.corpus_id
+      WHERE CAST(({_match_sum}) AS DOUBLE) / {_NUM_HASHES}.0 >= 0.5
+    ),
+    best{w} AS (
+      SELECT new_id, corpus_id, est FROM (
+        SELECT new_id, corpus_id, est,
+               ROW_NUMBER() OVER (PARTITION BY new_id
+                                  ORDER BY est DESC, corpus_id) AS rn
+        FROM scored{w}
+      ) WHERE rn = 1
+    ),
+    adm{w} AS (
+      SELECT a.doc_id FROM arr a
+      WHERE a.wave = {w}
+        AND a.doc_id NOT IN (SELECT new_id FROM best{w})
+    ),
+    idx{w + 1} AS (
+      SELECT doc_id FROM idx{w} UNION ALL SELECT doc_id FROM adm{w}
+    )""")
+    return f"""
+    WITH sh AS ({_WORD_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id,
+           {_minhash_cols}
+      FROM ({_minhash_hashed_sql}) GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+           {_band_cols}
+      FROM sig
+    ),
+    stacked AS (
+{_band_union}
+    ),
+    arr AS (
+      SELECT doc_id, (doc_id // 10) % 2 AS wave
+      FROM documents WHERE doc_id % 10 = 7
+    ),
+    idx0 AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7),
+    {",".join(layers)}
+    SELECT a.doc_id, CAST(a.wave AS BIGINT) AS wave,
+           COALESCE(b.corpus_id, -1) AS dup_of,
+           COALESCE(b.est, 0.0) AS est_jaccard,
+           b.corpus_id IS NULL AS admitted
+    FROM arr a
+    LEFT JOIN (SELECT * FROM best0 UNION ALL
+               SELECT * FROM best1) b
+      ON b.new_id = a.doc_id
+    """
+
+
+@register("s26_streaming_index_maintenance", _s26_oracle())
+def s26_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T2/§2.12] STREAMING LSH INDEX MAINTENANCE certified — the
+    continuous-crawl shape: a STANDING MinHash/LSH band index (x61's
+    row format, seeded from the corpus) is MAINTAINED by foreachBatch
+    across micro-batches. Each batch of arriving documents is signed
+    fresh, checked against the index as of batch start (admit/reject
+    with x61's est ≥ 0.5 / best-match tie-break), its verdicts appended
+    to a verdict log, and the ADMITTED docs' band rows appended to the
+    index — so a near-dup of a doc admitted in an earlier batch is
+    rejected with ``dup_of`` naming the earlier ARRIVAL, not just a
+    corpus doc. Arrivals (doc_id % 10 == 7) land as two mtime-ordered
+    wave files (wave = (doc_id div 10) % 2, one file per micro-batch
+    via ``maxFilesPerTrigger=1``; TWO waves — batch 2 already proves
+    the cross-batch admit→reject transition, the s22/s24 two-slice
+    adjudication), making the admission cascade deterministic and
+    batch-replayable: the oracle unrolls the waves as CTE layers over
+    the same shared minhash fragments.
+
+    In-code invariants (RAISE-checked): every micro-batch carries
+    exactly one wave (staging order intact), the drained verdict log
+    covers every arrival exactly once, and the final index row count
+    equals seeded corpus bands + one band-set per ADMITTED
+    shingle-bearing doc (the append protocol wrote what it admitted,
+    nothing else — sub-shingle-width docs carry no bands and append
+    nothing).
+
+    Scale shape: the index side is always the SCAN side and the batch
+    side the BROADCAST (``lsh_index_match``) — per batch the cost is
+    one index scan + a broadcast-hash join on the band key; no
+    corpus-pair shuffle exists at any corpus size, and state lives in
+    the persisted index table, not the state store (unbounded-corpus
+    safe, the s10-CDC posture applied to dedup). At 100 TB the index is
+    a bucketed table on (bi, bh); the append is a partition add. The
+    wave staging is ONE arrival scan (partitioned single-task write),
+    and batch frames are tiny by contract, so every per-batch job is
+    index-IO-bound, never corpus-bound."""
+    from smfg_datawarehouse_spark.functions import word_tokens
+    from smfg_datawarehouse_spark.operators.dedup import (
+        _BANDS,
+        lsh_band_rows,
+        lsh_index_match,
+        minhash_signatures,
+    )
+
+    src = _scratch_dir(spark, "s26")
+    raw = _os.path.join(src, "raw")
+    _os.makedirs(raw, exist_ok=True)
+    idx_path = _os.path.join(src, "index")
+    verd_path = _os.path.join(src, "verdicts")
+
+    d = t(spark, sf_dir, "documents")
+    wave = F.expr("(doc_id DIV 10) % 2").cast("long")
+
+    # stage the wave files from ONE arrival scan (single-task
+    # partitioned write → one file per wave), mtime-pinned to wave order
+    import shutil as _shutil
+    import time as _time
+
+    stage_root = _os.path.join(src, "stage")
+    (
+        d.where(F.col("doc_id") % 10 == 7)
+        .withColumn("wave", wave)
+        .repartition(1)
+        .write.partitionBy("wave")
+        .mode("overwrite")
+        .parquet(stage_root)
+    )
+    now = _time.time()
+    for w in range(2):
+        wdir = _os.path.join(stage_root, f"wave={w}")
+        if not _os.path.isdir(wdir):
+            continue  # an empty wave stages no file (tiny fixtures)
+        part = next(f for f in _os.listdir(wdir) if f.endswith(".parquet"))
+        dst = _os.path.join(raw, f"{w}_wave.parquet")
+        _shutil.copy(_os.path.join(wdir, part), dst)
+        _os.utime(dst, (now - 600 + 300 * w, now - 600 + 300 * w))
+
+    # seed the standing index with the corpus band rows
+    corpus = d.where(F.col("doc_id") % 10 != 7)
+    lsh_band_rows(minhash_signatures(corpus)).write.mode("overwrite").parquet(
+        idx_path
+    )
+    n_seed = spark.read.parquet(idx_path).count()
+
+    # NOTE the wave files were written WITHOUT the wave column (partition
+    # value lives in the directory name); recompute it per batch instead
+    arrival_schema = d.schema
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        bands = lsh_band_rows(minhash_signatures(batch_df)).localCheckpoint(
+            eager=True
+        )
+        idx = spark.read.parquet(idx_path)
+        best = lsh_index_match(idx, bands).localCheckpoint(eager=True)
+        # the verdict log carries batch_id so wave↔batch purity is ONE
+        # end-of-drain check instead of a per-batch driver collect
+        (
+            batch_df.select("doc_id", wave.alias("wave"))
+            .join(F.broadcast(best), F.col("doc_id") == F.col("new_id"), "left")
+            .select(
+                "doc_id",
+                "wave",
+                F.coalesce(F.col("corpus_id"), F.lit(-1))
+                .cast("long")
+                .alias("dup_of"),
+                F.coalesce(F.col("est"), F.lit(0.0)).alias("est_jaccard"),
+                F.col("corpus_id").isNull().alias("admitted"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(verd_path)
+        )
+        bands.join(
+            best.select(F.col("new_id").alias("doc_id")), "doc_id", "left_anti"
+        ).write.mode("append").parquet(idx_path)
+
+    stream = (
+        spark.readStream.schema(arrival_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw)
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", _os.path.join(src, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("s26 index-maintenance drain did not terminate in 600s")
+
+    verdicts = spark.read.parquet(verd_path).localCheckpoint(eager=True)
+    # wave↔batch purity from the log itself: a wave split across batches
+    # or a batch mixing waves both surface as a non-1:1 cell structure
+    cells = verdicts.groupBy("wave", "batch_id").count().collect()
+    waves_of = {}
+    batches_of = {}
+    for r in cells:
+        waves_of.setdefault(r["batch_id"], set()).add(r["wave"])
+        batches_of.setdefault(r["wave"], set()).add(r["batch_id"])
+    if any(len(v) != 1 for v in waves_of.values()) or any(
+        len(v) != 1 for v in batches_of.values()
+    ):
+        raise RuntimeError(f"s26 wave/batch structure broken: {sorted(cells)}")
+    n_verd = sum(r["count"] for r in cells)
+    n_arrivals = spark.read.parquet(stage_root).count()
+    if n_verd != n_arrivals:
+        raise RuntimeError(
+            f"s26 verdict log covers {n_verd} of {n_arrivals} arrivals"
+        )
+    # index growth invariant: seeded bands + one band-set per admitted
+    # shingle-bearing doc (docs under the shingle width have no bands)
+    n_banded_adm = (
+        d.join(
+            verdicts.where("admitted").select("doc_id"), "doc_id", "left_semi"
+        )
+        .where(F.size(word_tokens(F.col("text"))) >= 3)
+        .count()
+    )
+    n_idx = spark.read.parquet(idx_path).count()
+    if n_idx != n_seed + _BANDS * n_banded_adm:
+        raise RuntimeError(
+            f"s26 index drifted: {n_idx} rows vs seeded {n_seed} + "
+            f"{_BANDS} x {n_banded_adm} admitted"
+        )
+    return verdicts.drop("batch_id")

@@ -261,22 +261,20 @@ if not _CERTIFIED:
 #: a slot from a never-certified query. Refresh per round alongside the
 #: round notes; stale entries cost nothing (they stay certified).
 _RECERT_FILLERS = {
-    # round 8: x150 oracle doc-final-gram fix (ADVICE r7 high) — the
-    # engine plan is unchanged but the oracle moved, so re-hash it
-    "x150_phrase_retrieval_positional",
-    # round 8 perf rewrites: shared-array tokenize pass (x129), two-slice
-    # streaming drains (s22/s24), Arrow local-relation staging in the
-    # streaming heartbeats + shared shingle kernel conversions
-    "x129_ngram_novelty_curve", "s22_streaming_chained_aggregation",
-    "s24_streaming_scd2_maintenance", "s11_streaming_late_data_drop",
-    "s08_streaming_outer_join", "x105_lsh_banding_calibration",
-    "x154_weighted_jaccard_rescore", "x155_banding_design_table",
-    "x144_maxmin_diversity_sample", "x147_bpe_merge_apply",
-    # review-fix conversions: attach_shingle_df in jaccard_pairs,
-    # term_scoped_postings in the positional ladder; l20's gate
-    # checkpoints
-    "x03_minhash_lsh_dupes", "x56_shingle_novelty",
-    "l20_join_view_maintenance",
+    # round 9 advice fixes (ADVICE r8): x156's NULL-hash survivor gate
+    # and x158's code-point l0 changed the engine plan — re-hash both
+    "x156_crossversion_dedup_stability", "x158_bpe_apply_by_source",
+    # round 9 perf rewrites: l25's max_by assignment + local-frame
+    # centroids, l37's single-exceptAll gate, l22's one-scan deltas,
+    # l26's shared LEFT-join rollup, q97's checkpointed edge table,
+    # manifest.commit_all's concurrent per-table writes (l26 again)
+    "l25_ann_index_persistence", "l37_changelog_replay",
+    "l22_deletion_vector_delete", "l26_multi_table_transaction",
+    "q97_recursive_reachability",
+    # round 9 refactor: x61's band/scoring blocks extracted to the shared
+    # lsh_band_rows/lsh_index_match kernels (now also s26's) — plan-equal
+    # by construction, re-hash to prove it
+    "x61_incremental_minhash_dedup",
 }
 
 

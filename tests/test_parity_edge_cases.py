@@ -413,3 +413,98 @@ def test_x147_fixture_tokens_bmp_only(spark):
         "fixture contains astral-plane chars: x147/x158 symbol splits "
         "must move to code-point segmentation"
     )
+
+
+def test_paragraph_dedup_edge_parity(spark, edge_sf_dir):
+    """x164 on the edge corpus: multibyte tokens, a whitespace-only doc
+    (excluded by the >=1-token gate on BOTH engines), and sub-width
+    documents whose single partial paragraph must count as one block."""
+    _compare(spark, edge_sf_dir, "x164_paragraph_dedup_reflow")
+
+
+def test_paragraph_dedup_removal_semantics(spark, tmp_path_factory):
+    """x164 keep-first semantics pinned explicitly: cross-doc dup blocks
+    go to the lowest (doc_id, position) owner, an exact-copy document is
+    fully removed (kept_frac 0.0, zero reflow spans), and an intra-doc
+    repeated paragraph keeps only its first occurrence. Oracle parity
+    plus direct row assertions."""
+    from smfg_datawarehouse_spark.queries import all_queries
+
+    a = " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10))
+    c = " ".join(f"c{i}" for i in range(10))
+    d = " ".join(f"d{i}" for i in range(10))
+    rows = [
+        (0, f"{a} {b}", "en", "s0", 0),   # owns blocks a, b
+        (1, f"{a} {c}", "en", "s0", 0),   # block a removed (owned by 0)
+        (2, f"{a} {b}", "en", "s1", 0),   # exact copy of 0: fully removed
+        (3, "solo", "en", "s1", 0),       # single token: one partial block
+        (4, f"{d} {d}", "en", "s1", 0),   # intra-doc repeat: 2nd d removed
+    ]
+    tmp = tmp_path_factory.mktemp("edge_x164")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp / "documents.parquet"))
+    _compare(spark, str(tmp), "x164_paragraph_dedup_reflow")
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["x164_paragraph_dedup_reflow"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert out[0]["n_paras_removed"] == 0 and out[0]["kept_frac"] == 1.0
+    assert out[1]["n_paras_removed"] == 1 and out[1]["n_tokens_kept"] == 10
+    assert out[2]["n_paras_removed"] == 2 and out[2]["kept_frac"] == 0.0
+    assert out[2]["n_spans_reflow"] == 0
+    assert out[3]["n_paras"] == 1 and out[3]["n_tokens_kept"] == 1
+    assert out[4]["n_paras_removed"] == 1 and out[4]["n_spans_reflow"] == 1
+
+
+def test_streaming_index_maintenance_cascade(spark, tmp_path_factory):
+    """s26's load-bearing semantics, pinned on a hand-built corpus and
+    asserted both vs the unrolled oracle (_compare) and directly:
+    (a) a wave-1 arrival identical to an ADMITTED wave-0 arrival is
+    rejected with dup_of naming the arrival (the index grew);
+    (b) two identical docs in the SAME wave are both admitted (batches
+    check against the index as of batch START, not each other) and a
+    later duplicate rejects against the LOWEST of them (tie-break);
+    (c) an arrival matching a corpus doc rejects with the corpus id;
+    (d) a sub-shingle-width arrival (no bands) is trivially admitted."""
+    from smfg_datawarehouse_spark.queries import all_queries
+
+    def words(tag):
+        return " ".join(f"{tag}{i}" for i in range(6))
+
+    rows = [
+        # corpus (doc_id % 10 != 7)
+        (0, words("p"), "en", "s0", 0),
+        (1, words("q"), "en", "s0", 0),
+        (2, words("r"), "en", "s0", 0),
+        # wave 0 (doc_id DIV 10 % 2 == 0): X unique; Y twice in one batch
+        (7, words("x"), "en", "s1", 0),
+        (27, words("y"), "en", "s1", 0),
+        (67, words("y"), "en", "s1", 0),
+        # wave 1: dup of the admitted wave-0 pair, a corpus dup, and a
+        # bandless 2-token doc
+        (17, words("y"), "en", "s1", 0),
+        (37, words("r"), "en", "s1", 0),
+        (57, "tiny doc", "en", "s1", 0),
+    ]
+    tmp = tmp_path_factory.mktemp("edge_s26")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp / "documents.parquet"))
+    _compare(spark, str(tmp), "s26_streaming_index_maintenance")
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["s26_streaming_index_maintenance"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert out[7]["admitted"] and out[27]["admitted"]
+    assert out[67]["admitted"], "same-wave duplicate must not self-reject"
+    assert not out[17]["admitted"] and out[17]["dup_of"] == 27, (
+        "wave-1 dup must reject against the lowest ADMITTED wave-0 arrival"
+    )
+    assert not out[37]["admitted"] and out[37]["dup_of"] == 2
+    assert out[57]["admitted"] and out[57]["dup_of"] == -1
