@@ -1532,8 +1532,12 @@ def l25_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # norms are factored OUT of every pair loop below (computed once per
+    # row/centroid/query, not once per pair — identical IEEE values, the
+    # division just reads the precomputed column; at k centroids this
+    # cuts the assignment arithmetic ~3×: dot only, not dot+2 norms)
     cos = dot_product(F.col("v"), F.col("cv")) / (
-        l2_norm(F.col("v")) * l2_norm(F.col("cv"))
+        F.col("_vn") * F.col("_cn")
     )
 
     # ---- build: centroids + cell-clustered corpus -------------------------
@@ -1551,17 +1555,19 @@ def l25_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = len(cent_rows)
     cents = local_rows_df(spark, cent_rows, "cid long, cv array<double>")
     cents.write.mode("overwrite").parquet(cents_path)
+    cents = cents.withColumn("_cn", l2_norm(F.col("cv")))
     # argmax assignment via max_by, not a row_number window: the window
     # form shuffles + sorts every (vec, centroid) pair row CARRYING the
     # dim-wide array; max_by is one partial-aggregated shuffle of ≤|corpus|
-    # skinny best-so-far structs (measured 4× faster here, bit-identical —
-    # max on (cos, -cid) is exactly "highest cosine, ties to lowest cid").
+    # skinny best-so-far structs (bit-identical — max on (cos, -cid) is
+    # exactly "highest cosine, ties to lowest cid").
     best = F.max_by(
         F.struct("cid", "v"),
         F.struct(F.col("_cos"), (-F.col("cid")).alias("nc")),
     )
     (
-        vecs.crossJoin(F.broadcast(cents))
+        vecs.withColumn("_vn", l2_norm(F.col("v")))
+        .crossJoin(F.broadcast(cents))
         .withColumn("_cos", cos)
         .groupBy("vec_id")
         .agg(best.alias("b"))
@@ -1578,10 +1584,12 @@ def l25_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ---- query: disk index + probe-pruned scan -----------------------------
     q = vecs.where(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        l2_norm(F.col("v")).alias("_qn"),
     )
     qcos = dot_product(F.col("qv"), F.col("cv")) / (
-        l2_norm(F.col("qv")) * l2_norm(F.col("cv"))
+        F.col("_qn") * F.col("_cn")
     )
     w2 = W.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("cid"))
     probe = (
@@ -1596,10 +1604,11 @@ def l25_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(index_path)
         .where(F.col("cid").isin([int(c) for c in probed_cells]))
         .select(F.col("cid").cast("long").alias("cid"),
-                F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+                F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"),
+                l2_norm(F.col("v")).alias("_nn"))
     )
     ncos = dot_product(F.col("qv"), F.col("nv")) / (
-        l2_norm(F.col("qv")) * l2_norm(F.col("nv"))
+        F.col("_qn") * F.col("_nn")
     )
     w3 = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     out = (
