@@ -1949,10 +1949,12 @@ def s26_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
 
     # seed the standing index with the corpus band rows
     corpus = d.where(F.col("doc_id") % 10 != 7)
-    lsh_band_rows(minhash_signatures(corpus)).write.mode("overwrite").parquet(
-        idx_path
-    )
-    n_seed = spark.read.parquet(idx_path).count()
+    seed_bands = lsh_band_rows(minhash_signatures(corpus))
+    idx_schema = seed_bands.schema  # declared on every index re-read:
+    # the per-batch maintenance loop re-opens the index table; footer
+    # inference per micro-batch is pure driver overhead (r9, guide §5)
+    seed_bands.write.mode("overwrite").parquet(idx_path)
+    n_seed = spark.read.schema(idx_schema).parquet(idx_path).count()
 
     # NOTE the wave files were written WITHOUT the wave column (partition
     # value lives in the directory name); recompute it per batch instead
@@ -1962,7 +1964,7 @@ def s26_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         bands = lsh_band_rows(minhash_signatures(batch_df)).localCheckpoint(
             eager=True
         )
-        idx = spark.read.parquet(idx_path)
+        idx = spark.read.schema(idx_schema).parquet(idx_path)
         best = lsh_index_match(idx, bands).localCheckpoint(eager=True)
         # the verdict log carries batch_id so wave↔batch purity is ONE
         # end-of-drain check instead of a per-batch driver collect
@@ -2015,7 +2017,9 @@ def s26_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     ):
         raise RuntimeError(f"s26 wave/batch structure broken: {sorted(cells)}")
     n_verd = sum(r["count"] for r in cells)
-    n_arrivals = spark.read.parquet(stage_root).count()
+    n_arrivals = spark.read.schema(arrival_schema.add("wave", "long")).parquet(
+        stage_root
+    ).count()
     if n_verd != n_arrivals:
         raise RuntimeError(
             f"s26 verdict log covers {n_verd} of {n_arrivals} arrivals"
@@ -2029,7 +2033,7 @@ def s26_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         .where(F.size(word_tokens(F.col("text"))) >= 3)
         .count()
     )
-    n_idx = spark.read.parquet(idx_path).count()
+    n_idx = spark.read.schema(idx_schema).parquet(idx_path).count()
     if n_idx != n_seed + _BANDS * n_banded_adm:
         raise RuntimeError(
             f"s26 index drifted: {n_idx} rows vs seeded {n_seed} + "

@@ -1457,8 +1457,17 @@ def x139_tfidf_cosine_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executor-memory blowup at 100 TB — the window rides the SAME
     # tok-keyed shuffle the postings already need, no second pass, no
     # broadcast of corpus-derived state.
+    # Explicit tok-keyed exchange ahead of the df window (r9): AQE's
+    # byte-based coalescing collapses the few-MB postings shuffle to ONE
+    # task, serializing the window + every downstream stage that reads
+    # the checkpointed frame (measured 2.3-4.3 s single-task tail). An
+    # explicit repartition(n, tok) pins CPU-dense parallelism locally
+    # and IS the exchange the window needs (same key, same N — no
+    # second shuffle, guide §2.4); at scale the byte-sized AQE answer
+    # and this one converge.
     w = (
-        tk.withColumn(
+        tk.repartition(n_parts, "tok")
+        .withColumn(
             "df", F.count(F.lit(1)).over(W.partitionBy("tok")).cast("long")
         )
         .crossJoin(F.broadcast(nd))

@@ -52,6 +52,17 @@ class ManifestTable:
         self.path = path
         os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        # Schema cache (r9 optimization — the Iceberg "schema lives in
+        # table metadata" posture): every _stage records the staged
+        # DataFrame's schema; snapshot reads then declare it instead of
+        # re-running parquet footer inference per read (~50-200 ms of
+        # driver work per call, several reads per lifecycle cert). If
+        # two stages ever disagree (schema evolution), the cache
+        # DISABLES itself and reads fall back to inference — behavior
+        # identical to before. The cache is metadata only: every read
+        # still scans the data files.
+        self._schema = None
+        self._schema_mixed = False
 
     # -- commit protocol ---------------------------------------------------
 
@@ -151,11 +162,23 @@ class ManifestTable:
         rel = os.path.join("data", f"batch-{batch}")
         out = os.path.join(self.path, rel)
         df.write.mode("overwrite").parquet(out)
+        if self._schema is None and not self._schema_mixed:
+            self._schema = df.schema
+        elif self._schema is not None and df.schema != self._schema:
+            self._schema, self._schema_mixed = None, True
         return [
             os.path.join(rel, f)
             for f in os.listdir(out)
             if f.endswith(".parquet")
         ]
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        """Read exactly ``files``, declaring the cached schema when every
+        staged batch agreed on one (skips per-read footer inference)."""
+        paths = [os.path.join(self.path, f) for f in files]
+        if self._schema is not None:
+            return self.spark.read.schema(self._schema).parquet(*paths)
+        return self.spark.read.parquet(*paths)
 
     # -- table operations --------------------------------------------------
 
@@ -206,9 +229,7 @@ class ManifestTable:
         files = self.manifest(version)
         if not files:
             raise FileNotFoundError(f"no committed snapshot in {self.path}")
-        return self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in files]
-        )
+        return self._read_files(files)
 
     def compact(self, target_file_bytes: int = 256 * 1024 * 1024) -> int:
         """Rewrite the current file set into size-targeted files and
@@ -267,9 +288,7 @@ class ManifestTable:
 
     def read_staged(self, files: list[str]) -> DataFrame:
         """WAP step 2 input: read EXACTLY a staged file set (for audits)."""
-        return self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in files]
-        )
+        return self._read_files(files)
 
     def publish_append(self, files: list[str]) -> int:
         """WAP step 3: append the audited staged files to the table in one
