@@ -168,6 +168,7 @@ def _drain_stream(
     tag: str,
     output_mode: str,
     progress_sink: list | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain via ``run_stream_to_memory`` under a FIXED per-tag sink name,
     dropping the previous run's memory table first — repeated
@@ -176,10 +177,23 @@ def _drain_stream(
     (the same bound ``_scratch_dir`` enforces for files)."""
     from smfg_datawarehouse_spark.streaming.windows import run_stream_to_memory
 
+    from smfg_datawarehouse_spark.streaming.windows import (
+        DRAIN_STATE_PARTITIONS,
+    )
+
     name = f"{tag}_mem"
     spark.catalog.dropTempView(name)
     return run_stream_to_memory(
-        spark, streaming_df, name, output_mode, progress_sink=progress_sink
+        spark,
+        streaming_df,
+        name,
+        output_mode,
+        state_partitions=(
+            DRAIN_STATE_PARTITIONS
+            if state_partitions is None
+            else state_partitions
+        ),
+        progress_sink=progress_sink,
     )
 
 
@@ -225,7 +239,13 @@ def s02_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     from smfg_datawarehouse_spark.streaming.windows import events_stream
 
     stream = events_stream(spark, _stage_events_dir(spark, sf_dir, "s02"))
-    drained = _drain_stream(spark, running_user_totals(stream), "s02", "update")
+    # applyInPandasWithState runs real per-key compute in PYTHON workers:
+    # parallelism here is sized to the compute, not the state volume
+    # (r9 A/B: 4 state partitions regressed this drain ~+0.4 s)
+    drained = _drain_stream(
+        spark, running_user_totals(stream), "s02", "update",
+        state_partitions=8,
+    )
     final = F.max(F.struct("n_events", "total_micros")).alias("s")
     return drained.groupBy("user_id").agg(final).select(
         "user_id",

@@ -117,10 +117,15 @@ def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
 #: bounded certification drains, 8 partitions halves wall time vs 32
 #: (measured: interval join 6.4→3.9 s, stateful totals 5.3→2.6 s at sf0.1)
 #: with bit-identical results (all drained queries are partition-count
-#: invariant by design; tests/test_streaming asserts stream==batch). A
+#: invariant by design; tests/test_streaming asserts stream==batch), and
+#: 4 buys another ~0.6-1.4 s on the stateful-agg drains (r9 A/B:
+#: s08 3.2→2.6, s19 3.2→2.5, s21 2.9→2.3, s22 4.6→3.3) — the one
+#: exception is the ``applyInPandasWithState`` drain, whose PYTHON
+#: per-key compute wants worker parallelism (s02 regressed ~+0.4 s at
+#: 4), so that cert passes ``state_partitions=8`` explicitly. A
 #: production deployment sizes this to rate×watermark state instead —
 #: pass ``state_partitions=None`` to inherit the session's setting.
-DRAIN_STATE_PARTITIONS = 8
+DRAIN_STATE_PARTITIONS = 4
 
 
 def run_stream_to_memory(

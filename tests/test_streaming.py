@@ -481,7 +481,7 @@ def test_state_store_partition_pin_and_rocksdb(spark, events_dir):
 
     # 1. partition pin: the drain helper scopes shuffle partitions to the
     # documented constant while the query runs
-    assert DRAIN_STATE_PARTITIONS == 8
+    assert DRAIN_STATE_PARTITIONS == 4  # r9: sized down to the drains' state volume
     stream = events_stream(spark, events_dir, watermark="10 minutes")
     seen: dict[str, str] = {}
     orig = spark.conf.get("spark.sql.shuffle.partitions")
