@@ -303,10 +303,16 @@ def pq_adc_topk(
     Q×coarse_k candidates (broadcast join)."""
     import math
 
+    # repartition before persist (r9): the corpus arrives as one scan
+    # split at test scale, so the Lloyd assign (m·kc interpreted
+    # distance evals per row) and the final encode otherwise run as ONE
+    # task (~0.5-0.9 s each single-threaded); parallelism here is sized
+    # to the compute, and at real scale the scan is already wide
+    n_parts_ = corpus.sparkSession.sparkContext.defaultParallelism
     vecs = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).persist()
+    ).repartition(n_parts_).persist()
     try:
         first = vecs.orderBy("vec_id").limit(kc).collect()
         if not first:

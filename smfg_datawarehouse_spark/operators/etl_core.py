@@ -323,10 +323,20 @@ def l03_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _scratch_dir(spark, "l03")
     opts = {"csv": {"header": "true"}, "json": {}, "orc": {}}
+    # the three format sinks are independent — overlap them (guide §2.6:
+    # actions are only sequential because driver code calls them
+    # sequentially); measured ~1.4 s of serial writer-init/save cost
+    # collapses to the slowest single format
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(fmt: str) -> None:
+        write_sink(li, fmt, os.path.join(base, fmt), options=opts[fmt])
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_write, ["csv", "json", "orc"]))
     parts = []
     for fmt in ["csv", "json", "orc"]:
         path = os.path.join(base, fmt)
-        write_sink(li, fmt, path, options=opts[fmt])
         back = read_source(spark, fmt, path, schema=schema, options=opts[fmt])
         parts.append(
             back.agg(

@@ -1599,7 +1599,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, iters: int):
         )
 
     base_symbols = symbols_total(seqs)
-    records = [(0, None, None, base_symbols)]
+    merges = []  # (iteration, pair, cnt, post-merge frame)
     for i in range(1, iters + 1):
         # size-1 sequences have no pairs; Spark's sequence(1, 0) DESCENDS
         # ([1, 0]) rather than returning empty, so gate on length first
@@ -1623,7 +1623,29 @@ def _bpe_train(spark: SparkSession, sf_dir: str, iters: int):
         seqs = seqs.select(
             "tok", "freq", bpe_merge_fold(pa, pb).alias("seq")
         ).localCheckpoint(eager=False)
-        records.append((i, top.pair, int(top.cnt), symbols_total(seqs)))
+        merges.append((i, top.pair, int(top.cnt), seqs))
+    # per-round symbol totals in ONE batched action (r9): the loop's
+    # only per-round DRIVER decision is the argmax pair; the totals are
+    # reporting, so they union into a single job over the checkpointed
+    # round frames instead of one action (plus its planning/py4j gap)
+    # per round. Each round's frame is vocab-sized; the checkpoints
+    # were already materialized by round r+1's pair count.
+    total_of = lambda df, it: df.agg(  # noqa: E731
+        F.lit(it).alias("it"),
+        F.sum(F.col("freq") * F.size(F.split(F.col("seq"), " ")))
+        .cast("long")
+        .alias("total"),
+    )
+    from functools import reduce
+
+    totals_df = reduce(
+        lambda a, b: a.unionAll(b),
+        [total_of(frame, it) for it, _, _, frame in merges],
+    )
+    totals = {r["it"]: int(r["total"]) for r in totals_df.collect()}
+    records = [(0, None, None, base_symbols)] + [
+        (it, pair, cnt, totals[it]) for it, pair, cnt, _ in merges
+    ]
     return seqs, records, base_symbols
 
 

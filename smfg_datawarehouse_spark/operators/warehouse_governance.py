@@ -1718,18 +1718,27 @@ def l33_manifest_tree_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.withColumn("pday", F.date_format("ts", "yyyy-MM-dd"))
 
     tree = ManifestTree(spark, path, "pday")
-    (dmin,) = e.agg(F.min(F.to_date("ts"))).first()
     import datetime as _dt
+
+    # ONE distinct-dates collect (≤ the fixture's day span, ~31 rows)
+    # replaces the min-date agg + a per-week emptiness probe action —
+    # 7 driver actions become 1 (r9; the commit loop itself stays
+    # sequential, root swaps are ordered by protocol)
+    days = sorted(
+        r["d"] for r in e.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    dmin = days[0]
+    weeks_present = {(d - dmin).days // 7 for d in days}
 
     n_branches = 0
     for w in range(6):  # weekly commits over the fixture's ~1-month span
+        if w not in weeks_present:
+            continue
         lo = dmin + _dt.timedelta(days=7 * w)
         hi = lo + _dt.timedelta(days=6)
         batch = e.where(
             (F.to_date("ts") >= F.lit(lo)) & (F.to_date("ts") <= F.lit(hi))
         )
-        if batch.limit(1).count() == 0:
-            continue
         tree.append(batch)
         n_branches += 1
     if n_branches < 2:

@@ -40,6 +40,12 @@ class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # per-version schema cache (r9 — same posture as ManifestTable's):
+        # every write records the landed schema so time-travel reads skip
+        # parquet footer inference; reads of versions this instance never
+        # wrote (re-opened table) fall back to inference unchanged.
+        # Metadata only — reads still scan the data files.
+        self._schemas: dict[int, object] = {}
 
     # -- version bookkeeping (driver-side, metadata only) -------------------
 
@@ -70,6 +76,9 @@ class VersionedTable:
             raise FileNotFoundError(
                 f"no committed version {version!r} at {self.path}"
             )
+        schema = self._schemas.get(v)
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(self._version_dir(v))
         return self.spark.read.parquet(self._version_dir(v))
 
     def write(self, df: DataFrame) -> int:
@@ -81,6 +90,7 @@ class VersionedTable:
         cur = self.current_version()
         nxt = 0 if cur is None else cur + 1
         df.write.mode("errorifexists").parquet(self._version_dir(nxt))
+        self._schemas[nxt] = df.schema
         return nxt
 
     def merge(
