@@ -72,9 +72,10 @@ def shingle_table(
       dedupes identical subplans and a checkpoint only adds
       materialization cost (the r7 x100 A/B).
     """
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    from smfg_datawarehouse_spark.session import ensure_min_parallelism
+
     make = word_shingles if mode == "word" else char_shingles
-    sh = docs.repartition(n_parts).select(
+    sh = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(make(F.col(text_col), k)).alias("shingle"),
     )
@@ -117,9 +118,10 @@ def term_scoped_postings(
     ``localCheckpoint(eager=False)`` because every query term consumes
     the frame once more.
     """
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    from smfg_datawarehouse_spark.session import ensure_min_parallelism
+
     return (
-        docs.repartition(n_parts)
+        ensure_min_parallelism(docs)
         .select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),

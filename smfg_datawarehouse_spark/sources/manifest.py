@@ -40,6 +40,33 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def nullable_copy(schema):
+    """Detached, all-nullable copy of a StructType.
+
+    Parquet inference always yields nullable columns (Spark relaxes
+    nullability on read), so a schema CACHE that declares what the writer
+    handed it can flip read-side nullability vs the prior inference
+    behavior — and aliasing the caller's live StructType invites the
+    mutation bugs ``StructType.add`` makes easy. Normalizing on store
+    keeps declared reads bit-identical to inference. Applied recursively:
+    the reader relaxes nested struct/array/map nullability too."""
+    from pyspark.sql.types import StructType
+
+    def relax(node):
+        if isinstance(node, dict):
+            return {
+                k: True
+                if k in ("nullable", "containsNull", "valueContainsNull")
+                else relax(v)
+                for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [relax(v) for v in node]
+        return node
+
+    return StructType.fromJson(relax(schema.jsonValue()))
+
+
 class CommitConflict(RuntimeError):
     """Another writer moved CURRENT since this commit's base snapshot."""
 
@@ -162,9 +189,10 @@ class ManifestTable:
         rel = os.path.join("data", f"batch-{batch}")
         out = os.path.join(self.path, rel)
         df.write.mode("overwrite").parquet(out)
+        staged = nullable_copy(df.schema)
         if self._schema is None and not self._schema_mixed:
-            self._schema = df.schema
-        elif self._schema is not None and df.schema != self._schema:
+            self._schema = staged
+        elif self._schema is not None and staged != self._schema:
             self._schema, self._schema_mixed = None, True
         return [
             os.path.join(rel, f)

@@ -90,7 +90,9 @@ class VersionedTable:
         cur = self.current_version()
         nxt = 0 if cur is None else cur + 1
         df.write.mode("errorifexists").parquet(self._version_dir(nxt))
-        self._schemas[nxt] = df.schema
+        from smfg_datawarehouse_spark.sources.manifest import nullable_copy
+
+        self._schemas[nxt] = nullable_copy(df.schema)
         return nxt
 
     def merge(

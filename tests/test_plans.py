@@ -126,10 +126,15 @@ def test_x36_divergence_reuses_token_count_shuffle(spark):
 
 
 def test_x57_kmeans_assignment_is_scan_side(spark):
-    # centroids enter as literals: assignment adds NO join/shuffle — the
-    # single exchange is the final per-cluster aggregation
+    # centroids ride the numpy task closure (r10): assignment adds NO
+    # join/shuffle — the exchanges are the final per-cluster aggregation
+    # plus (at test scale) the gated scan-width repartition feeding the
+    # cached corpus (ensure_min_parallelism fires because the fixture
+    # scan is one split; at a wide real scan it adds nothing)
+    # (the repartition appears twice in the census — the cached
+    # relation's AQE subtree prints both Initial and Final plans)
     df = qmod.all_queries()["x57_kmeans_lloyd"](spark, SF)
-    assert exchange_count(df) == 1
+    assert exchange_count(df) <= 3
     assert_no_cartesian(df)
 
 
