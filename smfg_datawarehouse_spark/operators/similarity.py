@@ -1104,6 +1104,74 @@ def _km_assign_np(vecs: DataFrame, cents: list[tuple[int, list[float]]]) -> Data
     )
 
 
+def _km_partials_np(
+    vecs: DataFrame, cents: list[tuple[int, list[float]]], mode: str
+) -> DataFrame:
+    """Assignment + EXACT-INTEGER partial aggregation in one Arrow pass
+    (r10, guide §2.3 "aggregate before you shuffle" — the x85 move).
+
+    The Lloyd loop only ever consumes AGGREGATES of the assignment:
+
+    - ``mode="update"``: per (cluster, dim) micro-unit coordinate sums —
+      the old path posexploded |corpus|×dim (cluster, dim, val) rows
+      through the shuffle; each batch now emits at most k×dim integer
+      partial rows. floor(val·1e6 + 0.5) per element is the identical
+      IEEE chain, and integer partial sums are associative, so the
+      driver-side means are bit-identical at any partition count.
+    - ``mode="final"``: per cluster (n, Σ micro-dist, max dist) — same
+      argument (count/int-sum/max are all associative; np.max and
+      Spark's MAX both treat NaN as greatest).
+
+    Assignment itself is :func:`_km_assign_np`'s arithmetic verbatim
+    (same fold, tie, NaN-pick semantics — pinned by the r10 tests).
+    """
+    cents = sorted(cents)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.stack([np.asarray(cv, dtype=np.float64) for _, cv in cents])
+
+    def partials(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].values).astype(np.float64)
+            D = np.zeros((len(V), len(C)))
+            for i in range(V.shape[1]):
+                diff = V[:, i][:, None] - C[:, i][None, :]
+                D = D + diff * diff
+            pick = np.argmin(np.where(np.isnan(D), np.inf, D), axis=1)
+            clusters = cids[pick]
+            if mode == "update":
+                micro = np.floor(V * 1000000.0 + 0.5).astype(np.int64)
+                out = {"cluster": [], "dim": [], "ms": [], "n": []}
+                for cid in np.unique(clusters):
+                    rows = micro[clusters == cid]
+                    ms = rows.sum(axis=0)
+                    for d in range(V.shape[1]):
+                        out["cluster"].append(int(cid))
+                        out["dim"].append(d)
+                        out["ms"].append(int(ms[d]))
+                        out["n"].append(len(rows))
+                yield pd.DataFrame(out)
+            else:
+                dist = D[np.arange(len(V)), pick]
+                md = np.floor(dist * 1000000.0 + 0.5).astype(np.int64)
+                out = {"cluster": [], "n": [], "msd": [], "mx": []}
+                for cid in np.unique(clusters):
+                    mask = clusters == cid
+                    out["cluster"].append(int(cid))
+                    out["n"].append(int(mask.sum()))
+                    out["msd"].append(int(md[mask].sum()))
+                    out["mx"].append(float(np.max(dist[mask])))
+                yield pd.DataFrame(out)
+
+    schema = (
+        "cluster long, dim int, ms long, n long"
+        if mode == "update"
+        else "cluster long, n long, msd long, mx double"
+    )
+    return vecs.mapInPandas(partials, schema)
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     k: int = KMEANS_K,
@@ -1136,16 +1204,13 @@ def kmeans_lloyd(
     init = vecs.orderBy("vec_id").limit(k).collect()
     cents = [(cid, [_quant(float(x)) for x in row.v]) for cid, row in enumerate(init)]
     for _ in range(iters):
-        assigned = _km_assign_np(vecs, cents)
+        # r10: partial-aggregate INSIDE the assignment pass — the old
+        # path shipped the full assignment through Arrow and posexploded
+        # |corpus|×dim rows into the shuffle just to micro-sum them
         rows = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            _km_partials_np(vecs, cents, "update")
             .groupBy("cluster", "dim")
-            .agg(
-                F.sum(
-                    F.floor(F.col("val") * 1000000.0 + 0.5).cast("long")
-                ).alias("ms"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            .agg(F.sum("ms").alias("ms"), F.sum("n").alias("n"))
             .collect()
         )
         means: dict[int, dict[int, float]] = {}
@@ -1157,18 +1222,13 @@ def kmeans_lloyd(
             (cid, [means[cid][d] for d in range(len(cv))] if cid in means else cv)
             for cid, cv in cents
         ]
-    final = _km_assign_np(vecs, cents)
     out = (
-        final.groupBy("cluster")
+        _km_partials_np(vecs, cents, "final")
+        .groupBy("cluster")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            (
-                F.sum(F.floor(F.col("dist") * 1000000.0 + 0.5).cast("long")).cast(
-                    "double"
-                )
-                / 1000000.0
-            ).alias("inertia"),
-            F.max("dist").alias("max_dist"),
+            F.sum("n").alias("n_vectors"),
+            (F.sum("msd").cast("double") / 1000000.0).alias("inertia"),
+            F.max("mx").alias("max_dist"),
         )
         .select(
             F.col("cluster").cast("long").alias("cluster"),

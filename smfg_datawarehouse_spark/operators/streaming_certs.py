@@ -2085,21 +2085,46 @@ def s26_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     staged_schema = StructType(
         list(arrival_schema.fields) + [StructField("wave", LongType())]
     )
-    n_arrivals = spark.read.schema(staged_schema).parquet(stage_root).count()
+    # ONE batched audit job (r10, the _bpe_train reporting move, guide
+    # §1/§5 driver-cost): arrival coverage, admitted banded-doc count and
+    # final index size are three independent COUNTS over three different
+    # inputs — unioned into a single action instead of three driver
+    # round trips (the checks themselves are unchanged)
+    arrivals_cnt = (
+        spark.read.schema(staged_schema)
+        .parquet(stage_root)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("arrivals").alias("k"), "n")
+    )
+    banded_cnt = (
+        d.join(
+            verdicts.where("admitted").select("doc_id"), "doc_id", "left_semi"
+        )
+        .where(F.size(word_tokens(F.col("text"))) >= 3)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("banded_adm").alias("k"), "n")
+    )
+    idx_cnt = (
+        spark.read.schema(idx_schema)
+        .parquet(idx_path)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("idx").alias("k"), "n")
+    )
+    audit = {
+        r["k"]: r["n"]
+        for r in arrivals_cnt.unionByName(banded_cnt)
+        .unionByName(idx_cnt)
+        .collect()
+    }
+    n_arrivals = audit["arrivals"]
     if n_verd != n_arrivals:
         raise RuntimeError(
             f"s26 verdict log covers {n_verd} of {n_arrivals} arrivals"
         )
     # index growth invariant: seeded bands + one band-set per admitted
     # shingle-bearing doc (docs under the shingle width have no bands)
-    n_banded_adm = (
-        d.join(
-            verdicts.where("admitted").select("doc_id"), "doc_id", "left_semi"
-        )
-        .where(F.size(word_tokens(F.col("text"))) >= 3)
-        .count()
-    )
-    n_idx = spark.read.schema(idx_schema).parquet(idx_path).count()
+    n_banded_adm = audit["banded_adm"]
+    n_idx = audit["idx"]
     if n_idx != n_seed + _BANDS * n_banded_adm:
         raise RuntimeError(
             f"s26 index drifted: {n_idx} rows vs seeded {n_seed} + "

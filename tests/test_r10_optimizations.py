@@ -394,3 +394,72 @@ def test_pq_assignment_np_matches_expression(spark):
                 D = D + diff * diff
             got.append(int(np.argmin(np.where(np.isnan(D), np.inf, D))))
         assert got == expr_codes[r["vec_id"]], r["vec_id"]
+
+
+def test_km_partials_match_posexplode_aggregation(spark):
+    """x57's in-kernel partial aggregation must equal the old
+    assignment + posexplode/groupBy pipeline exactly (integer micro
+    sums, counts, repr-exact max dist)."""
+    from smfg_datawarehouse_spark.operators.similarity import (
+        _km_assign_np,
+        _km_partials_np,
+        _quant,
+    )
+
+    vecs = _vecs(spark)
+    init = vecs.orderBy("vec_id").limit(8).collect()
+    cents = [
+        (cid, [_quant(float(x)) for x in row.v]) for cid, row in enumerate(init)
+    ]
+
+    assigned = _km_assign_np(vecs, cents)
+    old_update = {
+        (r["cluster"], r["dim"]): (r["ms"], r["n"])
+        for r in assigned.select(
+            "cluster", F.posexplode("v").alias("dim", "val")
+        )
+        .groupBy("cluster", "dim")
+        .agg(
+            F.sum(F.floor(F.col("val") * 1000000.0 + 0.5).cast("long")).alias(
+                "ms"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    new_update = {
+        (r["cluster"], r["dim"]): (r["ms"], r["n"])
+        for r in _km_partials_np(vecs, cents, "update")
+        .groupBy("cluster", "dim")
+        .agg(F.sum("ms").alias("ms"), F.sum("n").alias("n"))
+        .collect()
+    }
+    assert old_update == new_update and len(old_update) > 0
+
+    old_final = {
+        r["cluster"]: (r["n_vectors"], repr(r["inertia"]), repr(r["max_dist"]))
+        for r in assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            (
+                F.sum(
+                    F.floor(F.col("dist") * 1000000.0 + 0.5).cast("long")
+                ).cast("double")
+                / 1000000.0
+            ).alias("inertia"),
+            F.max("dist").alias("max_dist"),
+        )
+        .collect()
+    }
+    new_final = {
+        r["cluster"]: (r["n_vectors"], repr(r["inertia"]), repr(r["max_dist"]))
+        for r in _km_partials_np(vecs, cents, "final")
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").alias("n_vectors"),
+            (F.sum("msd").cast("double") / 1000000.0).alias("inertia"),
+            F.max("mx").alias("max_dist"),
+        )
+        .collect()
+    }
+    assert old_final == new_final and len(old_final) > 0
